@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to a noop sink so the full plan runs without
+driver-side transfer skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from durablefunctions_mapreduce_dotnet_spark.queries import all_queries
+from durablefunctions_mapreduce_dotnet_spark.session import get_spark
+
+#: headline set — extended as operators land
+HEADLINE = [
+    "flagship_faithful",
+    "flagship_global",
+]
+
+
+def run_one(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # JVM/codegen warmup on the first query (not timed)
+    run_one(qs[names[0]](spark, sf_dir))
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run_one(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

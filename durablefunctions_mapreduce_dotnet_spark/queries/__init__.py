@@ -1,0 +1,59 @@
+"""Registry of driver-checkable queries.
+
+Each area module exports ``QUERIES: dict[name, fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, sql]`` (DuckDB ANSI SQL over the pre-registered
+views).  Keys without an oracle get the driver's weaker rows-only check —
+reserved for genuinely non-SQL-expressible ops (LSH, streaming state).
+
+Contract (``/root/repo/__spark_entry__.py``): column names must match the
+oracle exactly (the driver sorts columns by name before value-hashing),
+and float outputs must be deterministic — see ``functions.numeric``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _wrap(fn: QueryFn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)  # UTC tz + AQE even on a session we didn't build
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _modules():
+        for name, fn in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = _wrap(fn)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out
+
+
+def _modules():
+    from . import flagship_q
+
+    mods = [flagship_q]
+    for name in ("relational_q", "joins_q", "windows_q", "dedup_q", "similarity_q", "text_q", "multimodal_q"):
+        try:
+            mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
+        except ImportError:
+            pass
+    return mods

@@ -1,0 +1,52 @@
+"""Parquet readers for the synthetic test tables (TESTDATA.md).
+
+The reference's only source is a prefix-filtered blob listing + CSV
+scan (``Sample.cs:109-126`` listing, ``Sample.cs:143-151`` scan).  In
+Spark both collapse into ``spark.read`` over a path glob: file
+enumeration is the InMemoryFileIndex, and the scan is the columnar
+parquet/CSV datasource with predicate pushdown and column pruning —
+so a "table" here is simply a path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Plain ``spark.read.parquet`` so Catalyst
+    keeps pushdown/pruning; no caching or materialization here.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
+    rebuild into a microsecond timestamp (``x div 1000`` in integer space —
+    going through double would lose precision above 2^53 ns).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
