@@ -23,6 +23,11 @@ from durablefunctions_mapreduce_dotnet_spark.session import get_spark
 HEADLINE = [
     "flagship_faithful",
     "flagship_global",
+    "pricing_summary",
+    "join_inner_revenue",
+    "window_rank_topk",
+    "join_asof",
+    "sessionization",
 ]
 
 

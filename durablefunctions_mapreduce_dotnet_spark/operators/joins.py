@@ -1,0 +1,92 @@
+"""Join operators beyond plain equi-joins.
+
+The reference has no joins at all (SURVEY.md §2.2 — verified absent), so
+this surface is designed Spark-first: equi-joins ride Catalyst
+(broadcast / sort-merge / shuffle-hash picked by AQE); the composite
+operators below fill the gaps Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: dict[str, str] | None = None,
+    inner: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` and the same key.
+
+    Spark has no native as-of join; a naive range-join explodes to
+    O(|L|·|R|) per key.  This implementation unions both sides and runs
+    one ordered window per key — a single shuffle on ``key``, linear
+    work, no row explosion.  At 100 TB the hazard is key skew (one hot
+    key serializes into one task); mitigate by pre-filtering time ranges
+    or falling back to ``applyInPandas`` + ``pd.merge_asof`` per key
+    bucket.
+
+    payload: mapping of right-column -> output-column carried from the
+    matched right row. Ties on (key, ts): the right row sorts before the
+    left row so an equal timestamp matches (>= semantics, like
+    ``pd.merge_asof`` / DuckDB ASOF JOIN).
+    """
+    payload = payload or {}
+    lcols = [F.col(c) for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{out}") for src, out in payload.items()],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(src).alias(f"_p_{out}") for src, out in payload.items()],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).select(
+        *left.columns,
+        F.col("_side").alias("_side"),
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("matched_ts"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(f"_p_{out}")), ignorenulls=True)
+            .over(w)
+            .alias(out)
+            for out in payload.values()
+        ],
+    )
+    out = matched.where(F.col("_side") == 1).drop("_side")
+    if inner:
+        out = out.where(F.col("matched_ts").isNotNull())
+    return out
+
+
+def range_band_join(facts: DataFrame, bands: DataFrame, value_col: str, lo: str = "lo", hi: str = "hi") -> DataFrame:
+    """Theta/range join of a fact table onto small [lo, hi) bands.
+
+    Bands are dimension-sized: broadcast them so the join is a map-side
+    nested-loop over a handful of rows — no shuffle of the fact side.
+    (For large band tables, bucketize ``value_col`` and equi-join on the
+    bucket id instead.)
+    """
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo)) & (F.col(value_col) < F.col(hi)),
+        "inner",
+    )

@@ -1,0 +1,202 @@
+"""Join surface: inner/left/full/semi/anti equi-joins (Catalyst-native,
+broadcast-hinted for dimension tables), theta/range band join, and the
+composite as-of join (SURVEY.md §2.2 Joins row; §7.2 phase 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.joins import asof_join_backward, range_band_join
+from ..sources.readers import read_table
+from ._sql import dsum as sql_dsum
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: the classic star join.  Fact table (lineitem)
+    streams; orders→customer→nation sides shrink progressively; nation is
+    broadcast so the final join is shuffle-free."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_JOIN_REVENUE_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per customer including zero-order customers."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one finalized order (left-semi: no row
+    multiplication, right side only probed)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "semi").select("c_custkey", "c_name")
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no pending ('P') orders — anti-join against a
+    filtered right side so the result is non-degenerate at every SF."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "anti").select("c_custkey", "c_name")
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer vs supplier presence per nation (full outer)."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.ck == s.sk, "full")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_JOIN_FULL_SQL = """
+WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(ck, sk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON ck = sk ORDER BY nationkey
+"""
+
+
+_BANDS = [(900.0, 930.0, "low"), (930.0, 960.0, "mid"), (960.0, 1000.0, "high")]
+
+
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        _BANDS,
+        T.StructType(
+            [
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+                T.StructField("band", T.StringType()),
+            ]
+        ),
+    )
+    return (
+        range_band_join(p, bands, "p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_JOIN_RANGE_SQL = f"""
+SELECT band, COUNT(*) AS n_parts, {sql_dsum('p_retailprice')} AS sum_price
+FROM part
+JOIN (VALUES (900.0, 930.0, 'low'), (930.0, 960.0, 'mid'), (960.0, 1000.0, 'high'))
+     AS b(lo, hi, band)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's most recent signup/click/view
+    at-or-before it (backward as-of join, >= semantics)."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    refs = e.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join_backward(
+        purchases, refs, key="user_id", payload={"value": "signup_value"}, inner=True
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "signup_value")
+
+
+_JOIN_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, s.ts AS matched_ts, s.value AS signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+QUERIES = {
+    "join_inner_revenue": q_join_revenue,
+    "join_left_counts": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_full_outer": q_join_full,
+    "join_range_band": q_join_range_band,
+    "join_asof": q_join_asof,
+}
+ORACLES = {
+    "join_inner_revenue": _JOIN_REVENUE_SQL,
+    "join_left_counts": _JOIN_LEFT_SQL,
+    "join_semi": _JOIN_SEMI_SQL,
+    "join_anti": _JOIN_ANTI_SQL,
+    "join_full_outer": _JOIN_FULL_SQL,
+    "join_range_band": _JOIN_RANGE_SQL,
+    "join_asof": _JOIN_ASOF_SQL,
+}
