@@ -1,0 +1,356 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Four families, all expressed as DataFrame plans (SURVEY.md §7.2 phase 3;
+north-star scope in BASELINE.json):
+
+* exact       — hash-groupBy on a text fingerprint
+* MinHash+LSH — shingle → signature → banded bucket join → verify
+* SimHash     — 64-bit sign-aggregated token hashes, hamming candidates
+* n-gram Jaccard — inverted-index self-join with exact set overlap
+
+Scale posture: signatures are computed per-row with higher-order
+functions (no explode, no shuffle, no Python); candidate generation only
+ever joins on band/bucket keys (never all-pairs); verification touches
+candidate pairs only.  Buckets are capped to keep a degenerate key from
+serializing a task (the classic LSH skew hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact text.  GroupBy rides on a 128-bit
+    fingerprint so only 16-byte keys shuffle, never the full text."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+# --- shingling / MinHash ----------------------------------------------------
+
+
+def shingle_expr(text_col: str, k: int = 5) -> F.Column:
+    """Distinct lowercase character k-shingles, computed per-row (no explode)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
+        f" i -> substring(lower({text_col}), i, {k})))"
+    )
+
+
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 42) -> tuple[str, str]:
+    """Deterministic universal-hash coefficients (a*h + b) mod p, baked in
+    as SQL array literals."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)]
+    fmt = lambda xs: "array(" + ",".join(f"{x}L" for x in xs) + ")"  # noqa: E731
+    return fmt(a), fmt(b)
+
+
+def shingle_hashes_expr(shingles_col: str) -> F.Column:
+    """31-bit base hash per shingle — the only string hashing in MinHash,
+    done exactly once per shingle."""
+    return F.expr(f"transform({shingles_col}, s -> xxhash64(s) & {_MERSENNE}L)")
+
+
+def minhash_signature_expr(hashes_col: str, num_hashes: int = 64) -> F.Column:
+    """MinHash signature via a universal hash family over precomputed
+    base hashes (``shingle_hashes_expr``): the k-th hash of a shingle is
+    (a_k·h + b_k) mod (2^31-1) — 64 cheap int ops instead of 64 string
+    hashes per shingle (~60× less CPU).  Operands stay below 2^62, so no
+    overflow under ANSI mode.  One pass per row, codegen'd, no shuffle."""
+    arr_a, arr_b = _hash_family(num_hashes)
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), k -> array_min(transform({hashes_col},"
+        f" h -> (element_at({arr_a}, k + 1) * h + element_at({arr_b}, k + 1)) % {_MERSENNE}L)))"
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    bands=32 over 64 hashes (rows-per-band = 2) targets recall ≈ 1 down
+    to Jaccard ≈ 0.5: P(miss) = (1 - J^2)^32.  At petabyte scale raise
+    rows-per-band to cut candidate volume (precision/recall trade).
+    Buckets larger than ``max_bucket`` are dropped — a degenerate key
+    (e.g. boilerplate-heavy shingles) would otherwise produce a
+    quadratic task.
+    """
+    rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    # CPU-heavy per-row stage: spread it across all cores even when the
+    # input arrives as a single small file/partition.
+    src = df.select(F.col(id_col), F.col(text_col)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = (
+        src.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
+        .select(id_col, shingle_hashes_expr("sh").alias("hs"))
+        .select(id_col, minhash_signature_expr("hs", num_hashes).alias("sig"))
+    )
+    # Bucket key embeds the band index, so each doc lands in exactly one
+    # bucket per band — no distinct needed before grouping.
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("bucket"),
+    )
+    # One shuffle total for candidate generation: group ids per bucket,
+    # cap the bucket (skew guard), emit in-bucket pair combinations with
+    # a per-row nested transform.  No self-join → the signature pipeline
+    # runs exactly once.
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (never all-pairs).
+    Integer-ratio arithmetic → deterministic doubles.
+
+    Shingles are computed only for docs that appear in some candidate
+    pair (semi-join first) — at scale candidates are a vanishing
+    fraction of the corpus, so this skips almost all the shingling."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(ids, id_col, "semi").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = needed.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    **kw,
+) -> DataFrame:
+    """Greedy near-dedup: drop any doc that duplicates a smaller-id doc.
+    (Deterministic single pass; full connected components would need
+    iterative joins — overkill for dedup, where greedy-by-id is the
+    standard large-pipeline choice.)"""
+    pairs = jaccard_verify(
+        df, minhash_candidates(df, text_col, id_col, **kw), text_col, id_col, threshold=threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "anti")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def token_hashes_expr(text_col: str) -> F.Column:
+    """One xxhash64 per whitespace token — materialize this in its own
+    select so the 64 bit-probes below never re-hash strings."""
+    return F.expr(
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''),"
+        " t -> xxhash64(t))"
+    )
+
+
+def simhash_from_hashes_expr(hashes_col: str) -> F.Column:
+    """64-bit SimHash from precomputed token hashes: bit b is set iff the
+    sum of ±1 contributions (bit b of each hash) is positive — pure
+    integer higher-order functions, per-row, no shuffle."""
+    return F.expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> acc + "
+        f"(case when aggregate({hashes_col}, 0, (s, h) -> s + "
+        "(case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)) > 0 "
+        "then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
+    )
+
+
+def simhash_expr(text_col: str) -> F.Column:
+    """Convenience single-expression form (tests); prefer the two-step
+    ``token_hashes_expr`` → ``simhash_from_hashes_expr`` in plans."""
+    return simhash_from_hashes_expr(f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit
+    chunks: two signatures within hamming distance 3 share at least one
+    of 4 chunks exactly (pigeonhole), so candidates come from equi-joins
+    on chunk values, never all-pairs.  ``max_hamming`` then filters
+    exactly via bit_count(xor)."""
+    src = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = src.select(F.col(id_col), token_hashes_expr(text_col).alias("hs")).select(
+        F.col(id_col), simhash_from_hashes_expr("hs").alias("simhash")
+    )
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> named_struct("
+                "'c', c, 'v', (simhash div shiftleft(cast(1 as bigint), c * 16)) % 65536))"
+            )
+        ).alias("chunk"),
+    ).select(id_col, "simhash", F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "v")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "v")
+    return (
+        a.join(b, ["c", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard (inverted index) ---------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_postings: int = 500,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via an inverted index: explode distinct
+    n-grams, self-join postings lists, count shared grams per pair, then
+    Jaccard from per-doc gram counts.  ``max_postings`` drops stop-grams
+    whose postings would explode quadratically (df-cut, standard IR
+    practice)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
+                f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df").between(2, max_postings)
+    ).select("gram")
+    g = grams.join(hot, "gram")
+    a = g.select(F.col("gram"), F.col(id_col).alias("id_a"))
+    b = g.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Pairs of vectors with cosine ≥ threshold.
+
+    This is the *verification-style* all-pairs form (block nested loop);
+    at scale, run it per LSH bucket (see operators.similarity) so the
+    quadratic term is bounded per bucket.  Output is ids only: FP enters
+    solely through the threshold comparison, keeping results
+    hash-stable."""
+    from ..functions.vectors import as_double, cosine, l2_norm
+
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= threshold)
+        .select("id_a", "id_b")
+    )

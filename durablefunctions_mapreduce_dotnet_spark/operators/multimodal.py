@@ -1,0 +1,93 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — binary columns, metadata structs,
+Arrow-batched ``mapInPandas`` with explicit output schemas, partition
+sizing — while the actual media decode is STUBBED: the container has no
+image/audio libraries, so ``decode_image_meta`` uses a clearly-marked
+deterministic fake keyed on the bytes (and ``decode_image_real`` raises
+NotImplementedError until Pillow/ffmpeg exist on the cluster).
+
+At scale: binary payloads dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` for payload width, keep metadata
+in separate (pruned) columns so metadata-only queries never touch bytes,
+and let ``mapInPandas`` stream Arrow batches instead of collecting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Simulate a multimodal table: utf-8 payload bytes + typed metadata
+    struct.  In production this is ``spark.read.format('binaryFile')``
+    or parquet with a binary column."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """DETERMINISTIC FAKE decode — stands in for Pillow/ffmpeg, which are
+    not in this container.  Dimensions derive from payload bytes so the
+    pipeline (schema, batching, partitioning) is fully exercised and
+    reproducible."""
+    content = batch["content"]
+    n_bytes = content.str.len().astype("int32")
+    first = content.str[0].apply(lambda b: b if isinstance(b, int) else (b[0] if len(b) else 0))
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": n_bytes,
+            "width": ((first % 64 + 1) * 16).astype("int32"),
+            "height": ((n_bytes % 64 + 1) * 16).astype("int32"),
+            "n_frames": pd.Series([1] * len(batch), dtype="int32"),
+        }
+    )
+
+
+def decode_image_meta(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: ``mapInPandas`` streams batches through
+    Python with explicit schema — the real shape of a media pipeline."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_decode(batch)
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, DECODED_SCHEMA)
+
+
+def decode_image_real(binary_df: DataFrame) -> DataFrame:
+    """Real decode path — requires Pillow, absent from this container."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # clearly-marked stub per the build brief
+        raise NotImplementedError(
+            "Image decode requires Pillow on the executors; this container "
+            "ships none. Use decode_image_meta (deterministic fake) for "
+            "pipeline testing."
+        ) from exc
+    raise NotImplementedError("wire Pillow decode here when the library lands")

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines (north-star scope):
+language ID, quality scoring, token counting, fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` — regexes and string
+ops run inside whole-stage codegen; there is no Python in these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: stopword probes per language for the n-gram/stopword Language-ID
+#: heuristic.  Word-boundary regexes keep this SQL-expressible (the
+#: DuckDB oracle uses the same RE2-compatible patterns).
+LANG_PROBES: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|los|de|que|es)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|les|des|et|est)\b",
+}
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    return [
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).alias(f"score_{lang}")
+        for lang, pat in LANG_PROBES.items()
+    ]
+
+
+def predicted_lang() -> Column:
+    """Argmax over probe scores with a fixed priority tie-break (en, es,
+    de, fr; 'und' when all probes score 0) — deterministic."""
+    langs = list(LANG_PROBES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+WORD_RE = r"[A-Za-z]+"
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring feature battery: lengths, token counts, ratios.
+    Ratios are integer/integer divisions — deterministic doubles."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.regexp_count(t, F.lit(r"\S+"))
+    n_words = F.regexp_count(t, F.lit(WORD_RE))
+    n_bpe = F.regexp_count(t, F.lit(BPE_RE))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        (n_chars.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite heuristic quality gate (Gopher-rules flavored): flags
+    docs by length bounds, stopword floor and punctuation ceiling."""
+    s = text_stats(df, text_col, id_col)
+    return s.select(
+        id_col,
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100000)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("punct_ratio") <= 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable document fingerprints: md5 of whitespace-normalized
+    lowercase text (exact-dup key) + xxhash64 (cheap 64-bit join key)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xxh64"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), *lang_scores(text_col)).select(
+        id_col,
+        *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in LANG_PROBES],
+        predicted_lang().alias("predicted_lang"),
+    )

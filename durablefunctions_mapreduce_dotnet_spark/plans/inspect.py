@@ -1,0 +1,53 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB posture is enforced here, not hoped for: tests assert that
+filters reach the parquet scan (``PushedFilters``), that scans decode
+only the projected columns (``ReadSchema``), and that no accidental
+cartesian product appears.  ``.explain`` output is the source of truth.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> str:
+    """Assert each fragment appears in a PushedFilters: [...] clause."""
+    plan = explain_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(pushed)
+    for frag in fragments:
+        assert frag in joined, f"filter {frag!r} not pushed; PushedFilters lines:\n{joined}\n\nfull plan:\n{plan}"
+    return plan
+
+
+def assert_read_schema_only(df: DataFrame, table_marker: str, allowed: set[str]) -> str:
+    """Assert the scan whose ReadSchema line contains ``table_marker``
+    reads no columns beyond ``allowed`` (column-pruning check)."""
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and table_marker in plan:
+            # ReadSchema: struct<a:int,b:string,...>
+            inner = ln.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols = {c.split(":")[0].strip() for c in inner.split(",") if ":" in c}
+            extra = cols - allowed
+            assert not extra, f"scan reads unexpected columns {extra}; line: {ln}"
+    return plan
+
+
+def assert_no_cartesian(df: DataFrame) -> str:
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "unexpected cartesian/nested-loop join in plan:\n" + plan
+    )
+    return plan

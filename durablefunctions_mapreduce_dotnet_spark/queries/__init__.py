@@ -51,7 +51,16 @@ def _modules():
     from . import flagship_q
 
     mods = [flagship_q]
-    for name in ("relational_q", "joins_q", "windows_q", "dedup_q", "similarity_q", "text_q", "multimodal_q"):
+    for name in (
+        "relational_q",
+        "joins_q",
+        "windows_q",
+        "dedup_q",
+        "similarity_q",
+        "text_q",
+        "multimodal_q",
+        "streaming_q",
+    ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

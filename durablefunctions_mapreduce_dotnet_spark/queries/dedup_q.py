@@ -1,0 +1,136 @@
+"""Dedup queries over the ``documents`` table (north-star scope).
+
+Oracle strategy: exact/minhash/ngram/embedding dedup are SQL-expressible
+(brute-force or mirrored-cut formulations in DuckDB); SimHash depends on
+xxhash64 which DuckDB lacks → rows-only (driver records the weaker
+check; pytest property-tests cover it instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_verify,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from ..sources.readers import read_table
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demonstrated on documents ∪ (documents with shifted
+    ids) — every text then has exactly one duplicate, and dedup must keep
+    the original (smaller) id."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_dedup(d.union(dups)).orderBy("doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM all_docs GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verify at τ=0.6.  The
+    oracle recomputes all-pairs Jaccard brute-force; parity also proves
+    LSH recall = 1.0 on this corpus at this threshold."""
+    d = read_table(spark, sf_dir, "documents")
+    return jaccard_verify(d, minhash_candidates(d), threshold=0.6)
+
+
+_DEDUP_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                                      i -> substr(lower(text), i, 5))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.5 via inverted index with df-cut at 500
+    (mirrored exactly in the oracle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_postings=500)
+
+
+_DEDUP_NGRAM_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+                   i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' '))
+  )) AS gram
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 500),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN hot USING (gram) JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤8 candidate pairs (rows-only: DuckDB lacks
+    xxhash64; properties are pytest-verified instead)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=8)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at τ=0.45 — ids only, so FP enters
+    results solely via the threshold comparison."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.45)
+
+
+_DEDUP_EMBEDDING_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash": _DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+}

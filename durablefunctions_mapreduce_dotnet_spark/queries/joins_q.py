@@ -171,11 +171,23 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join_backward(
         purchases, refs, key="user_id", payload={"value": "signup_value"}, inner=True
     )
-    return out.select("event_id", "user_id", "ts", "matched_ts", "signup_value")
+    # timestamps rendered as microsecond ISO strings so the pandas dtype
+    # matches DuckDB exactly (datetime64[ns] vs [us] otherwise)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts_fmt).alias("ts"),
+        F.date_format("matched_ts", ts_fmt).alias("matched_ts"),
+        "signup_value",
+    )
 
 
 _JOIN_ASOF_SQL = """
-SELECT p.event_id, p.user_id, p.ts, s.ts AS matched_ts, s.value AS signup_value
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+       s.value AS signup_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND p.ts >= s.ts

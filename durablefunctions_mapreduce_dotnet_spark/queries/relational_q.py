@@ -228,7 +228,11 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mon"),
         F.dayofmonth("o_orderdate").alias("dom"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # string-typed so the pandas dtype matches DuckDB exactly
+        # (Spark ts -> datetime64[ns] vs DuckDB -> [us] otherwise)
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_2002"
         ),
@@ -242,7 +246,7 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INTEGER) AS mon,
        CAST(day(o_orderdate) AS INTEGER) AS dom,
        CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
-       date_trunc('month', o_orderdate) AS month_start,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
 FROM orders
 """
@@ -281,9 +285,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 

@@ -1,0 +1,95 @@
+"""Text-analysis queries over the ``documents`` table (north-star scope)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.textops import fingerprint, language_id, quality_score, text_stats
+from ..sources.readers import read_table
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(read_table(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+         / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+           / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS stopword_ratio,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       (n_tokens >= 10 AND n_tokens <= 100000
+        AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2) AS passes_quality
+FROM s
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+_TEXT_LANGID_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS score_en,
+         CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|es)\b')) AS BIGINT) AS score_es,
+         CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS score_de,
+         CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|est)\b')) AS BIGINT) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+            WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (the xxhash64 companion column
+    is exposed by the operator but left out here — DuckDB can't mirror it)."""
+    return fingerprint(read_table(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+_TEXT_FP_SQL = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+ORACLES = {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_langid": _TEXT_LANGID_SQL,
+    "text_fingerprint": _TEXT_FP_SQL,
+}

@@ -1,0 +1,106 @@
+"""Structured Streaming surface (SURVEY.md §7.2 phase 4).
+
+The reference's only notion of streaming is incremental orchestration
+status (``Sample.cs:55-88``); the real streaming analogue of its
+workload is an incremental windowed aggregation with late-data
+handling.  These operators run the same logical plans as the batch
+engine but over ``readStream`` micro-batches with watermarked state.
+
+For tests/driver runs the file source + memory sink + a synchronous
+``processAllAvailable()`` drain makes results deterministic and
+batch-equivalent; in production the source would be Kafka/files and the
+sink a Delta/parquet table via ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table.  Schema comes from a batch
+    probe (streaming sources require explicit schemas); the nanos-as-long
+    timestamp is rebuilt exactly as in the batch reader."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory; point it at the sf dir and
+    # glob-filter to the one table file.
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return src
+
+
+def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregation synchronously into a memory sink and
+    return the materialized result (test/driver harness path)."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type with a 1-hour watermark:
+    counts + exact decimal sums, incremental state per (window, type).
+
+    State sizing at scale: |active windows| × |event types| rows — the
+    watermark bounds active windows, so state is O(types) per day of
+    allowed lateness, not O(events)."""
+    src = _stream_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    # day as a date string: pandas dtype then matches DuckDB exactly
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("day", "event_type")
+
+
+def streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship per-dow average as an incremental streaming agg
+    (global-average semantics — streaming state keeps (sum, count) per
+    (event_type, dow) exactly like the batch partial aggregate)."""
+    from ..functions.taxi import dotnet_dayofweek, finite
+
+    src = _stream_events(spark, sf_dir)
+    records = src.where((F.col("value") > 0) & finite(F.col("value"))).select(
+        F.col("event_type").alias("file"),
+        dotnet_dayofweek("ts").alias("dow"),
+        F.col("value").alias("speed"),
+    )
+    agg = records.groupBy("file", "dow").agg(
+        F.sum(F.col("speed").cast("decimal(38,9)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    per_file = run_to_memory(agg, "complete")
+    # final fan-in happens batch-side on the drained state (tiny)
+    return (
+        per_file.groupBy("dow")
+        .agg(
+            (
+                F.sum(F.col("s").cast("decimal(38,9)")).cast("double")
+                / F.sum("c")
+            ).alias("avg_speed")
+        )
+        .orderBy("dow")
+    )

@@ -1,0 +1,96 @@
+"""Property tests for the non-SQL-expressible operators (the driver only
+rows-only-checks these, so correctness is locked here instead):
+SimHash, LSH ANN recall, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+    near_dedup_minhash,
+    simhash_candidates,
+    simhash_expr,
+)
+from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+    attach_binary,
+    decode_image_meta,
+    decode_image_real,
+)
+from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+from .conftest import SF_DIR
+
+
+def test_simhash_identical_texts_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.h for r in df.select("doc_id", simhash_expr("text").alias("h")).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+    pairs = simhash_candidates(df, max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_near_text_small_distance(spark):
+    base = "spark group query row data slow small filter customer line the batch value merge extra tokens here"
+    edited = base.replace("slow", "fast")
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    pairs = simhash_candidates(df, max_hamming=16).collect()
+    assert len(pairs) == 1 and pairs[0].hamming <= 16
+
+
+def test_near_dedup_minhash_drops_planted_dups(spark):
+    docs = read_table(spark, SF_DIR, "documents")
+    kept = near_dedup_minhash(docs, threshold=0.6)
+    n_docs = docs.count()
+    n_kept = kept.count()
+    assert n_kept < n_docs  # planted near-dups must be dropped
+    # survivors contain no pair above threshold: idempotence
+    again = near_dedup_minhash(kept, threshold=0.6)
+    assert again.count() == n_kept
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = lsh_topk(e, q, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # recall of 4-table × 4-plane LSH on this near-random corpus is ~0.4
+    # (theory: 1-(1-(1-acos(c)/π)^4)^4 at the observed neighbor cosines)
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert 0.25 <= recall <= 1.0, f"recall {recall}"
+    # rank-1 self-consistency: approx results are a subset of per-bucket
+    # exact scoring, so each query's neighbors are distinct and ranked 1..n
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in approx)
+    for r in approx:
+        assert 1 <= r.rank <= 5
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_multimodal_decode_batches(spark):
+    docs = read_table(spark, SF_DIR, "documents").limit(50)
+    out = decode_image_meta(attach_binary(docs)).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.n_bytes > 0 and r.width % 16 == 0 and r.height % 16 == 0 and r.n_frames == 1
+
+
+def test_multimodal_real_decode_is_marked_stub(spark):
+    docs = read_table(spark, SF_DIR, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(attach_binary(docs))

@@ -1,0 +1,56 @@
+"""Scale-posture assertions: pushdown, pruning, and join strategy are
+checked against the physical plan, not assumed (SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from durablefunctions_mapreduce_dotnet_spark.operators.flagship import flagship_events
+from durablefunctions_mapreduce_dotnet_spark.plans import (
+    assert_pushed_filters,
+    assert_read_schema_only,
+    explain_str,
+)
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+from .conftest import SF_DIR
+
+
+def test_flagship_prunes_and_pushes(spark):
+    df = flagship_events(read_table(spark, SF_DIR, "events"))
+    # only the three used columns are decoded (of 6)
+    assert_read_schema_only(df, "events", {"ts", "event_type", "value"})
+    # value > 0 reaches the scan (row-group stats pruning at scale)
+    assert_pushed_filters(df, "GreaterThan(value,0.0)")
+
+
+def test_filter_pushdown_on_lineitem(spark):
+    li = read_table(spark, SF_DIR, "lineitem").where(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_quantity"
+    )
+    assert_pushed_filters(li, "GreaterThan(l_quantity,45.0)")
+    assert_read_schema_only(li, "lineitem", {"l_orderkey", "l_quantity"})
+
+
+def test_star_join_broadcasts_dimension(spark):
+    n = read_table(spark, SF_DIR, "nation")
+    c = read_table(spark, SF_DIR, "customer")
+    plan = explain_str(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    o = read_table(spark, SF_DIR, "orders")
+    plan = explain_str(o.orderBy(F.desc("o_totalprice")).limit(10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    # Under AQE the formatted plan shows AdaptiveSparkPlan(isFinalPlan=false)
+    # without codegen annotations; "codegen" mode actually generates the
+    # fused loops, proving scan..partial-agg stays JVM-side.
+    df = flagship_events(read_table(spark, SF_DIR, "events"))
+    plan = explain_str(df, mode="codegen")
+    assert "WholeStageCodegen" in plan
