@@ -59,7 +59,10 @@ def avg_of_file_averages(records: DataFrame, files: DataFrame, value_col: str = 
     scaffold = files.distinct().select(
         "file", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("dow")
     )
-    densified = F.broadcast(scaffold).join(per_file, ["file", "dow"], "left").select(
+    # The outer (preserved) scaffold side must stream; per_file is the
+    # broadcast build side — post-agg it is |files|×7 rows no matter the
+    # input size, so the densify join is shuffle-free at any scale.
+    densified = scaffold.join(F.broadcast(per_file), ["file", "dow"], "left").select(
         "file", "dow", F.coalesce(F.col("s") / F.col("c"), F.lit(0.0)).alias("file_avg")
     )
     # Final fan-in (≙ the reducer, Sample.cs:208-240) — deterministic,

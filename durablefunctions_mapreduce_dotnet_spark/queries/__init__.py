@@ -55,6 +55,8 @@ def _modules():
         "relational_q",
         "joins_q",
         "windows_q",
+        "subquery_q",
+        "arrays_q",
         "dedup_q",
         "similarity_q",
         "text_q",

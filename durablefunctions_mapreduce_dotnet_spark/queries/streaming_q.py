@@ -3,7 +3,11 @@ synchronous and deterministic (batch-equivalent results)."""
 
 from __future__ import annotations
 
-from ..streaming.stream_ops import streaming_daily_counts, streaming_flagship
+from ..streaming.stream_ops import (
+    streaming_daily_counts,
+    streaming_flagship,
+    streaming_sliding_counts,
+)
 from ._sql import dsum as sql_dsum
 
 _STREAM_DAILY_SQL = f"""
@@ -27,11 +31,23 @@ SELECT dow,
 FROM per GROUP BY dow ORDER BY dow
 """
 
+# Each event lands in exactly two 2-day/1-day-slide windows: starts at
+# trunc(day)-1d and trunc(day) (Spark windows are epoch-aligned, so the
+# daily grid matches date_trunc in the UTC session).
+_STREAM_SLIDING_SQL = """
+SELECT strftime(date_trunc('day', ts) - k * INTERVAL 1 DAY, '%Y-%m-%d') AS win_start,
+       event_type, COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) AS off(k)
+GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
+    "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_flagship": streaming_flagship,
 }
 ORACLES = {
     "streaming_daily_counts": _STREAM_DAILY_SQL,
+    "streaming_sliding_counts": _STREAM_SLIDING_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
 }

@@ -76,6 +76,24 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows advancing by 1 day (each event lands in two
+    overlapping windows), watermarked.  State is O(active windows ×
+    types); overlap multiplies state by window/slide = 2, not by events."""
+    src = _stream_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("win_start"),
+        "event_type",
+        "n_events",
+    ).orderBy("win_start", "event_type")
+
+
 def streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship per-dow average as an incremental streaming agg
     (global-average semantics — streaming state keeps (sum, count) per
