@@ -28,6 +28,9 @@ HEADLINE = [
     "window_rank_topk",
     "join_asof",
     "sessionization",
+    "dedup_minhash",
+    "ann_bruteforce_topk",
+    "text_stats",
 ]
 
 

@@ -52,8 +52,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MINHASH_SQL = """
 WITH sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 4, 1) + 1),
-                                      i -> substr(lower(text), i, 5))) AS s
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 1) + 1),
+                                      i -> substr(lower(text), i, 9))) AS s
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

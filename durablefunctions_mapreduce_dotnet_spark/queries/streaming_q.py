@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from ..streaming.stream_ops import (
     streaming_daily_counts,
+    streaming_first_seen,
     streaming_flagship,
     streaming_sliding_counts,
 )
@@ -41,13 +42,27 @@ FROM events CROSS JOIN (VALUES (0), (1)) AS off(k)
 GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
+# first-seen per user: earliest (ts, event_id) — SQL-expressible, so the
+# stateful operator gets the full exact check, not the weaker rows-only one.
+_STREAM_FIRST_SEEN_SQL = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       event_id AS first_event_id
+FROM (SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_first_seen": streaming_first_seen,
     "streaming_flagship": streaming_flagship,
 }
 ORACLES = {
     "streaming_daily_counts": _STREAM_DAILY_SQL,
     "streaming_sliding_counts": _STREAM_SLIDING_SQL,
+    "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
 }

@@ -1,0 +1,56 @@
+"""Sinks: the write-side of the engine.
+
+The reference has two: the orchestration output string (O1,
+``Sample.cs:103``) and a disabled single-blob text writer (O2,
+``Sample.cs:245-262`` — ``WriteToBlob``, call site commented out at
+``Sample.cs:97-100``).  Our engine keeps results as DataFrames (O1 is
+presentation, not engine), and generalizes O2 into the three write
+paths a 100 TB pipeline needs:
+
+* **partitioned parquet** — the production sink: hive-style partition
+  directories enable partition pruning for downstream readers, and
+  ``maxRecordsPerFile`` bounds file size so a skewed partition key
+  cannot produce one giant file.
+* **csv** — interchange; parallel (one file per task), headered.
+* **single text file** — the literal O2 shape.  ``coalesce(1)``
+  funnels everything through one task, so this is ONLY for
+  driver-small results (like the reference's 7-row answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Production sink.  Partition columns should be low-cardinality
+    (date, category): each distinct value becomes a directory, and at
+    1000 executors a high-cardinality partitionBy degenerates into
+    millions of tiny files.  For write-side clustering WITHIN partitions
+    use ``df.sortWithinPartitions`` before calling."""
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Headered CSV, one file per task (parallel).  Quoting is standard
+    CSV — note the reference's *reader* never handled quotes
+    (``Sample.cs:151`` naive split), so faithful round-trips of data
+    containing commas must go through parquet instead."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_single_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """O2-faithful single-file text sink (``Sample.cs:245-262``).  The
+    single-column input is funneled through one task — driver-small
+    results only."""
+    assert len(df.columns) == 1, "text sink takes exactly one string column"
+    df.coalesce(1).write.mode(mode).text(path)

@@ -94,6 +94,22 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful first-touch per user via ``applyInPandasWithState``
+    (streaming/stateful.py).  The file source delivers everything in one
+    trigger here, so each key emits exactly once and the drained memory
+    table is directly the answer."""
+    from .stateful import first_seen_stateful
+
+    src = _stream_events(spark, sf_dir)
+    out = run_to_memory(first_seen_stateful(src), "update")
+    return out.select(
+        "user_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        "first_event_id",
+    ).orderBy("user_id")
+
+
 def streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship per-dow average as an incremental streaming agg
     (global-average semantics — streaming state keeps (sum, count) per
