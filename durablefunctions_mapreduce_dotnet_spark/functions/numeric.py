@@ -46,3 +46,70 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(DECIMAL)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
+
+
+# Statistical moments are TWO-PASS and centered: pass 1 computes the
+# exact-decimal mean per group; pass 2 sums per-row centered products
+# cast to decimal.  Every FP step is per-row and order-free (double
+# subtract/multiply, one deterministic decimal rounding per row), and
+# all additive accumulation is exact decimal — so results are
+# bit-identical under any partitioning AND across engines.  The naive
+# one-pass n·Σx²−(Σx)² form is NOT portable: the giant power sums
+# overflow Spark's 38-digit decimal cap (silent scale reduction) and
+# its double form is FMA-contraction-dependent (observed: DuckDB vs
+# JVM differ by ulps).  Centering is also the numerically right call —
+# no catastrophic cancellation.  Mirrors: ``_sql.moments_sql``.
+
+
+def grouped_moments(
+    df,
+    group_cols: list[str],
+    x: str,
+    y: str,
+):
+    """Per-group (var_samp(x), stddev_samp(y), corr(x, y)) — deterministic.
+
+    Returns a DataFrame with group_cols + var_<x>, sd_<y>, corr columns.
+    Two aggregations over the input with a broadcast join of the tiny
+    per-group means in between — the second pass re-uses the same
+    shuffle key, and at 100 TB the means side is |groups| rows.
+    """
+    cx, cy = F.col(x), F.col(y)
+    means = df.groupBy(*group_cols).agg(
+        davg(cx, "_mux"), davg(cy, "_muy")
+    )
+    j = df.join(F.broadcast(means), group_cols)
+    ctr_x = cx - F.col("_mux")
+    ctr_y = cy - F.col("_muy")
+    return (
+        j.select(
+            *group_cols,
+            (ctr_x * ctr_x).cast(DECIMAL).alias("_dxx"),
+            (ctr_y * ctr_y).cast(DECIMAL).alias("_dyy"),
+            (ctr_x * ctr_y).cast(DECIMAL).alias("_dxy"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_dxx").cast("double").alias("_sxx"),
+            F.sum("_dyy").cast("double").alias("_syy"),
+            F.sum("_dxy").cast("double").alias("_sxy"),
+        )
+        .select(
+            *group_cols,
+            # Final stats are rounded (6/9 dp): the per-row double→decimal
+            # cast rounds the shortest string repr on the JVM but the
+            # binary value in C++ engines, so the exact sums can differ
+            # by an ulp on borderline rows — rounding absorbs that last
+            # bit while keeping 6+ significant digits of the statistic.
+            F.round(F.col("_sxx") / (F.col("_n").cast("double") - F.lit(1.0)), 6).alias(
+                f"var_{x}"
+            ),
+            F.round(
+                F.sqrt(F.col("_syy") / (F.col("_n").cast("double") - F.lit(1.0))), 6
+            ).alias(f"sd_{y}"),
+            F.round(
+                F.col("_sxy") / (F.sqrt(F.col("_sxx")) * F.sqrt(F.col("_syy"))), 9
+            ).alias("corr_xy"),
+        )
+    )

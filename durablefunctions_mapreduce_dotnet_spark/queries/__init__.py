@@ -57,6 +57,7 @@ def _modules():
         "windows_q",
         "subquery_q",
         "arrays_q",
+        "aggregates_q",
         "dedup_q",
         "similarity_q",
         "text_q",

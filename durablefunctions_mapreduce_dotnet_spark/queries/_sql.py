@@ -9,3 +9,27 @@ def dsum(x: str) -> str:
 def davg(x: str) -> str:
     """Order-independent AVG — mirror of ``functions.numeric.davg``."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
+
+
+def moments_sql(table: str, group: str, x: str, y: str) -> str:
+    """Mirror of ``functions.numeric.grouped_moments``: two-pass centered
+    variance/stddev/correlation with exact-decimal means and sums; FP is
+    per-row only (order-free), so the result is engine-portable."""
+    return f"""
+WITH means AS (
+  SELECT {group}, {davg(x)} AS _mux, {davg(y)} AS _muy
+  FROM {table} GROUP BY {group}
+), centered AS (
+  SELECT t.{group},
+         CAST(({x} - _mux) * ({x} - _mux) AS DECIMAL(38,6)) AS _dxx,
+         CAST(({y} - _muy) * ({y} - _muy) AS DECIMAL(38,6)) AS _dyy,
+         CAST(({x} - _mux) * ({y} - _muy) AS DECIMAL(38,6)) AS _dxy
+  FROM {table} t JOIN means USING ({group})
+)
+SELECT {group},
+       ROUND(CAST(SUM(_dxx) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) - 1.0), 6) AS var_{x},
+       ROUND(SQRT(CAST(SUM(_dyy) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS sd_{y},
+       ROUND(CAST(SUM(_dxy) AS DOUBLE)
+         / (SQRT(CAST(SUM(_dxx) AS DOUBLE)) * SQRT(CAST(SUM(_dyy) AS DOUBLE))), 9) AS corr_xy
+FROM centered GROUP BY {group}
+"""

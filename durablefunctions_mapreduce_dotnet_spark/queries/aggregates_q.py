@@ -1,0 +1,180 @@
+"""Extended aggregate surface: grouping sets, arg-min/max, exact
+percentiles, deterministic statistical moments, boolean/conditional
+aggregates, and set-collection.
+
+The reference's only aggregate is the sum/count combiner pair
+(``Sample.cs:137-138, 189-199``); everything here is Spark-first
+extension.  FP-bearing aggregates ride the exact-decimal power-sum
+helpers (functions.numeric) so results are partitioning-independent
+and hash-equal to the serial DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, grouped_moments
+from ..sources.readers import read_table
+from ._sql import dsum as sql_dsum
+from ._sql import moments_sql
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) — one shuffle,
+    Catalyst expands the sets without re-scanning the input."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest/priciest order key per priority.  ``min_by`` is
+    nondeterministic under price ties, so the engine form is a struct
+    min/max — lexicographic (price, key) makes the tie-break explicit
+    and the result reproducible under any partitioning."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("cheapest_key"),
+            F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("priciest_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ARGMINMAX_SQL = """
+WITH b AS (SELECT o_orderpriority,
+                  MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p
+           FROM orders GROUP BY 1)
+SELECT b.o_orderpriority,
+       (SELECT MIN(o_orderkey) FROM orders o
+        WHERE o.o_orderpriority = b.o_orderpriority AND o.o_totalprice = b.min_p)
+         AS cheapest_key,
+       (SELECT MAX(o_orderkey) FROM orders o
+        WHERE o.o_orderpriority = b.o_orderpriority AND o.o_totalprice = b.max_p)
+         AS priciest_key
+FROM b ORDER BY o_orderpriority
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group.  Both engines use the
+    (p·(n−1)) linear-interpolation definition on doubles, so results are
+    bit-equal.  At 100 TB swap in ``approx_percentile`` (t-digest; one
+    pass, mergeable sketches) — exact percentile materializes the group
+    sorted."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.25).alias("p25"),
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.75).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per group — two-pass centered with
+    exact decimal accumulation (functions.numeric.grouped_moments);
+    built-in ``var_samp``/``corr`` stream doubles and drift with
+    partitioning, and one-pass power sums are not engine-portable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return grouped_moments(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+_MOMENTS_SQL = (
+    moments_sql("lineitem", "l_returnflag", "l_quantity", "l_extendedprice")
+    + " ORDER BY l_returnflag"
+)
+
+
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates per nation of customers."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_high"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_BOOL_AGGS_SQL = """
+SELECT c_nationkey,
+       COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_positive,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       bool_or(c_acctbal > 9000) AS any_high
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set collection rendered as a sorted joined string: collect_set's
+    order is partition-dependent, so sort before exposing — and a string
+    column keeps the driver's value-hash engine-portable."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments")
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_COLLECT_SET_SQL = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "agg_grouping_sets": q_grouping_sets,
+    "agg_argminmax": q_argminmax,
+    "agg_percentiles": q_percentiles,
+    "agg_moments": q_moments,
+    "agg_bool_conditional": q_bool_aggs,
+    "agg_collect_set": q_collect_set,
+}
+ORACLES = {
+    "agg_grouping_sets": _GROUPING_SETS_SQL,
+    "agg_argminmax": _ARGMINMAX_SQL,
+    "agg_percentiles": _PERCENTILES_SQL,
+    "agg_moments": _MOMENTS_SQL,
+    "agg_bool_conditional": _BOOL_AGGS_SQL,
+    "agg_collect_set": _COLLECT_SET_SQL,
+}
