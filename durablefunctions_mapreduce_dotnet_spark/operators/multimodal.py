@@ -80,6 +80,85 @@ def decode_image_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(gen, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("fit_w", T.IntegerType()),
+        T.StructField("fit_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_meta(binary_df: DataFrame, dst_w: int = 224, dst_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit-resize plan over Arrow batches.  The pixel
+    work is STUBBED (no media libs in this container) — what is real is
+    the pipeline shape: decode dims → integer fit box → per-batch
+    streaming, with the same mapInPandas signature a Pillow/ffmpeg
+    implementation would use.  Integer arithmetic only → oracle-exact."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            m = _fake_decode(batch)
+            # integer fit: scale = min(dst/src) as a rational, computed in
+            # int space (floor((src * dst_opposite) / src_opposite))
+            fit_w = (m["width"] * dst_h // m["height"]).clip(upper=dst_w)
+            fit_h = (m["height"] * dst_w // m["width"]).clip(upper=dst_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": m["doc_id"],
+                    "src_w": m["width"],
+                    "src_h": m["height"],
+                    "dst_w": pd.Series([dst_w] * len(m), dtype="int32"),
+                    "dst_h": pd.Series([dst_h] * len(m), dtype="int32"),
+                    "fit_w": fit_w.astype("int32"),
+                    "fit_h": fit_h.astype("int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_tag", T.LongType()),
+    ]
+)
+
+
+def frame_sample(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Row-generating media op: sample every ``every_n``-th frame of a
+    fake video whose frame count derives from the payload size.  Real
+    shape: one input row fans out to a variable number of output rows
+    through the same Arrow batch stream a real ffmpeg sampler would use;
+    ``frame_tag`` stands in for the frame payload (deterministic)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_bytes = batch["content"].str.len().astype("int64")
+            n_frames = (n_bytes % 29 + 1).astype("int64")
+            out_ids, out_idx, out_tag = [], [], []
+            for doc_id, nf, nb in zip(batch["doc_id"], n_frames, n_bytes):
+                idxs = range(0, int(nf), every_n)
+                out_ids.extend([doc_id] * len(range(0, int(nf), every_n)))
+                out_idx.extend(idxs)
+                out_tag.extend((int(nb) * 2654435761 + i) % 2147483647 for i in idxs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_tag": pd.Series(out_tag, dtype="int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, FRAMES_SCHEMA)
+
+
 def decode_image_real(binary_df: DataFrame) -> DataFrame:
     """Real decode path — requires Pillow, absent from this container."""
     try:

@@ -85,12 +85,23 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprints: md5 of whitespace-normalized
-    lowercase text (exact-dup key) + xxhash64 (cheap 64-bit join key)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    lowercase text (exact-dup key), xxhash64 (cheap 64-bit join key),
+    and a Rabin-style polynomial rolling hash (base 131 mod 2³¹−1 folded
+    left-to-right — the streaming-update form used by winnowing)."""
+    df = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias("_norm"),
+    )
+    roll = F.expr(
+        "aggregate(transform(sequence(1, length(_norm)),"
+        " i -> cast(ascii(substring(_norm, i, 1)) as bigint)),"
+        " cast(0 as bigint), (acc, c) -> (acc * 131 + c) % 2147483647)"
+    )
     return df.select(
         F.col(id_col),
-        F.md5(norm).alias("fp_md5"),
-        F.xxhash64(norm).alias("fp_xxh64"),
+        F.md5("_norm").alias("fp_md5"),
+        F.xxhash64("_norm").alias("fp_xxh64"),
+        roll.alias("fp_rolling"),
     )
 
 

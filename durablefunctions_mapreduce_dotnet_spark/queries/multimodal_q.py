@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary, decode_image_meta
+from ..operators.multimodal import (
+    attach_binary,
+    decode_image_meta,
+    frame_sample,
+    resize_meta,
+)
 from ..sources.readers import read_table
 
 
@@ -48,11 +53,57 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-resize metadata (stubbed pixels, real
+    integer geometry — mirrored exactly in SQL)."""
+    b = attach_binary(read_table(spark, sf_dir, "documents"))
+    return resize_meta(b, 224, 224)
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST((ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS BIGINT) AS src_w,
+         CAST((octet_length(encode(text)) % 64 + 1) * 16 AS BIGINT) AS src_h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+       CAST(224 AS INTEGER) AS dst_w, CAST(224 AS INTEGER) AS dst_h,
+       CAST(least(src_w * 224 // src_h, 224) AS INTEGER) AS fit_w,
+       CAST(least(src_h * 224 // src_w, 224) AS INTEGER) AS fit_h
+FROM m
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row fans out to n_frames/4 rows through the
+    Arrow stream (row-generating media op)."""
+    b = attach_binary(read_table(spark, sf_dir, "documents"))
+    return frame_sample(b, every_n=4)
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb,
+         octet_length(encode(text)) % 29 + 1 AS nf
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       (nb * 2654435761 + i) % 2147483647 AS frame_tag
+FROM (SELECT doc_id, nb, UNNEST(range(0, nf, 4)) AS i FROM m)
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
 }

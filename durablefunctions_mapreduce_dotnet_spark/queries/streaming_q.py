@@ -7,6 +7,7 @@ from ..streaming.stream_ops import (
     streaming_daily_counts,
     streaming_first_seen,
     streaming_flagship,
+    streaming_session_windows,
     streaming_sliding_counts,
 )
 from ._sql import dsum as sql_dsum
@@ -54,15 +55,40 @@ FROM (SELECT user_id, ts, event_id,
 WHERE rn = 1 ORDER BY user_id
 """
 
+# session_window(gap) ≡ the classic lag/cumsum sessionization: a new
+# session starts when the gap to the previous event exceeds 30 min;
+# session_start is the first event's ts.
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_session_windows": streaming_session_windows,
     "streaming_first_seen": streaming_first_seen,
     "streaming_flagship": streaming_flagship,
 }
 ORACLES = {
     "streaming_daily_counts": _STREAM_DAILY_SQL,
     "streaming_sliding_counts": _STREAM_SLIDING_SQL,
+    "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
 }

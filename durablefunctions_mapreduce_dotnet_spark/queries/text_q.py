@@ -70,14 +70,25 @@ FROM s
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """md5 fingerprint of normalized text (the xxhash64 companion column
-    is exposed by the operator but left out here — DuckDB can't mirror it)."""
-    return fingerprint(read_table(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+    """md5 + Rabin rolling-hash fingerprints of normalized text (the
+    xxhash64 companion column is exposed by the operator but left out
+    here — DuckDB can't mirror it)."""
+    return fingerprint(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_rolling"
+    )
 
 
 _TEXT_FP_SQL = r"""
-SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
-FROM documents
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length(norm) + 1),
+                        i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 131 + c) % 2147483647) AS fp_rolling
+FROM n
 """
 
 

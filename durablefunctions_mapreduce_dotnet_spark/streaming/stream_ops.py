@@ -94,6 +94,26 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via the native
+    ``session_window`` streaming aggregation — sessions merge as events
+    arrive; the state store holds one open window per (user, session).
+    Semantically identical to the batch lag/cumsum sessionization, so the
+    oracle is the same SQL pattern."""
+    src = _stream_events(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful first-touch per user via ``applyInPandasWithState``
     (streaming/stateful.py).  The file source delivers everything in one

@@ -47,6 +47,31 @@ def test_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+#: queries whose plans legitimately contain a broadcast nested-loop join:
+#: scalar-subquery broadcast (1-row build side), theta/range joins against
+#: broadcast band tables, and the brute-force ANN baseline (broadcast
+#: query set scored against every corpus row by definition).
+_BNLJ_OK = {"subq_scalar_avg", "join_range_band", "ann_bruteforce_topk"}
+
+
+def test_no_accidental_cartesian_in_any_query(spark):
+    """Build every registered query's plan at sf0.001 and reject
+    CartesianProduct everywhere and BroadcastNestedLoopJoin outside the
+    known theta-join allowlist — the classic silent 100TB killer."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    for name, fn in entry.queries().items():
+        if name.startswith("streaming_"):
+            continue  # constructing these executes a streaming drain
+        plan = explain_str(fn(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product:\n{plan}"
+        if name not in _BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: unexpected nested-loop join:\n{plan}"
+            )
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     # Under AQE the formatted plan shows AdaptiveSparkPlan(isFinalPlan=false)
     # without codegen annotations; "codegen" mode actually generates the
