@@ -162,8 +162,28 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path: approx_percentile (t-digest)
+    and approx_count_distinct (HLL++) are single-pass and mergeable, so
+    they partial-aggregate map-side like sum/count, where exact
+    percentile materializes each group sorted and exact distinct
+    shuffles every value.  No SQL oracle (sketch internals are
+    engine-specific); accuracy is property-tested against the exact
+    answers in tests/test_llm_ops.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("nd_partkey_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "agg_grouping_sets": q_grouping_sets,
+    "agg_approx_sketches": q_approx_sketches,
     "agg_argminmax": q_argminmax,
     "agg_percentiles": q_percentiles,
     "agg_moments": q_moments,

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.readers import read_table
 
 
@@ -47,9 +47,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, _queries_subset(e), k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only: cell boundaries depend on the
+    deterministic seed centroids; recall vs brute force is pytest-checked)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _queries_subset(e), k=5)
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
 }
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,

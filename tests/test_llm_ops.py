@@ -82,6 +82,45 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert all(v <= 5 for v in per_q.values())
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = [(r.query_id, r.neighbor_id) for r in ivf_topk(e, q, k=5).collect()]
+    # measured ~0.5-0.6 at n_probe=4/16 on this near-random corpus —
+    # probing 1/4 of the cells should recover roughly that share of
+    # neighbors plus the cell-locality bonus
+    recall = len(exact & set(approx)) / len(exact)
+    assert 0.3 <= recall <= 1.0, f"recall {recall}"
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """approx_percentile / approx_count_distinct must land within their
+    configured error of the exact answers (rows-only driver check, so
+    accuracy is locked here)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.aggregates_q import (
+        q_approx_sketches,
+    )
+
+    approx = {r["l_returnflag"]: r for r in q_approx_sketches(spark, SF_DIR).collect()}
+    li = read_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.countDistinct("l_partkey").alias("nd"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["p50_approx"] - e["p50"]) / e["p50"] < 0.05, flag
+        assert abs(a["nd_partkey_approx"] - e["nd"]) / e["nd"] < 0.06, flag
+
+
 def test_multimodal_decode_batches(spark):
     docs = read_table(spark, SF_DIR, "documents").limit(50)
     out = decode_image_meta(attach_binary(docs)).collect()

@@ -39,6 +39,17 @@ def test_csv_roundtrip(spark, tmp_path):
     assert back.count() == n.count()
 
 
+def test_json_roundtrip(spark, tmp_path):
+    """JSON source/sink parity: write line-delimited JSON, read with an
+    explicit schema (schema inference is a full extra pass at scale)."""
+    n = read_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_json")
+    n.write.mode("overwrite").json(out)
+    back = spark.read.schema(n.schema).json(out)
+    assert back.count() == n.count()
+    assert back.exceptAll(n).count() == 0 and n.exceptAll(back).count() == 0
+
+
 def test_single_text_sink(spark, tmp_path):
     df = spark.createDataFrame([("Sun: 1.0, Mon: 2.0",)], ["line"])
     out = str(tmp_path / "o2")
