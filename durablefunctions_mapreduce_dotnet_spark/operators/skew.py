@@ -1,0 +1,47 @@
+"""Skew-resistant aggregation: two-level salted exact distinct count.
+
+The reference never faces skew — its reducer receives N×7 doubles
+(``Sample.cs:208-240``).  At 100 TB, ``COUNT(DISTINCT v) GROUP BY k``
+is the classic skew bomb: every distinct value of a hot key must meet
+in one reducer task, so a key holding 30% of the data turns one task
+into the job's critical path.
+
+The salted form partitions each key's *value space* by hash into
+``buckets`` disjoint shards, counts distincts per (key, shard) — at
+most 1/buckets of the hot key per task — then sums the shard counts.
+Disjointness of the hash shards makes the two-level count EXACT, not
+approximate, and both shuffles are plain hash exchanges AQE can size.
+``approx_count_distinct`` (HLL++) is the cheaper one-shuffle answer
+when ±2% error is acceptable (queries/aggregates_q.py); this is the
+exact-answer scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    alias: str = "n_distinct",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ``COUNT(DISTINCT value) GROUP BY keys``, skew-proof.
+
+    Level 1 groups by (keys, xxhash64(value) mod buckets): each hot key
+    fans out over ``buckets`` reducer tasks, and a value's duplicates
+    all land in the same shard, so per-shard ``count_distinct`` shards
+    the true distinct set.  Level 2 sums shard counts per key — a tiny
+    |keys|×buckets-row exchange.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    shard = F.pmod(F.xxhash64(v), F.lit(buckets)).alias("_shard")
+    return (
+        df.groupBy(*keys, shard)
+        .agg(F.count_distinct(v).alias("_nd"))
+        .groupBy(*keys)
+        .agg(F.sum("_nd").alias(alias))
+    )

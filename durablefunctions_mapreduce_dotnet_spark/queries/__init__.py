@@ -63,6 +63,8 @@ def _modules():
         "text_q",
         "multimodal_q",
         "streaming_q",
+        "timeseries_q",
+        "udf_q",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -194,8 +194,57 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
 """
 
 
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation inside one region over a date
+    window — the classic 6-table snowflake (TPC-H Q5 shape).
+
+    Scale plan: lineitem (the fact) never moves more than once — the
+    region→nation filter is broadcast down both dimension arms, orders
+    carries the pushed-down date predicate into the scan, and the
+    c_nationkey = s_nationkey "local" condition is applied as a post-
+    join filter on two already-small broadcast sides.  Catalyst's join
+    reordering + AQE pick broadcast-hash for every dimension here;
+    only lineitem⋈orders is a true shuffle join at 100 TB.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_JOIN_MULTIWAY_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = {
     "join_inner_revenue": q_join_revenue,
+    "join_multiway_region": q_join_multiway,
     "join_left_counts": q_join_left,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
@@ -205,6 +254,7 @@ QUERIES = {
 }
 ORACLES = {
     "join_inner_revenue": _JOIN_REVENUE_SQL,
+    "join_multiway_region": _JOIN_MULTIWAY_SQL,
     "join_left_counts": _JOIN_LEFT_SQL,
     "join_semi": _JOIN_SEMI_SQL,
     "join_anti": _JOIN_ANTI_SQL,

@@ -1,0 +1,97 @@
+"""Time-series surface: hypertable-style time-bucket rollup (OHLC
+downsample) and the skew-proof exact distinct count, both over the
+``events`` table.
+
+The reference's only time function is day-of-week extraction
+(``Sample.cs:189``); bucketed downsampling is the standard time-series
+extension (continuous-aggregate / materialized-rollup pattern).  At
+100 TB the rollup is one shuffle on (bucket, type) with full map-side
+partial aggregation — the struct-min/max open/close rides the same
+hash aggregate as the sums, no window function and no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..operators.skew import salted_distinct_count
+from ..sources.readers import read_table
+from ._sql import dsum as sql_dsum
+
+
+def q_time_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC-style rollup per event type: count, exact volume,
+    low/high, and open/close (first/last value by event time).
+
+    Open/close are struct-extrema — ``min(struct(ts, event_id, value))``
+    — so the tie-break on (ts, event_id) is explicit and the result is
+    reproducible under any partitioning, unlike bare first()/min_by().
+    The whole rollup is a single hash aggregate: partial OHLC state per
+    map task, one (day, type)-keyed exchange, final merge — the same
+    combiner shape as the flagship (SURVEY.md §2.1 A1/A3).
+    """
+    e = read_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "volume"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            first["value"].alias("open_v"),
+            last["value"].alias("close_v"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_TIME_ROLLUP_SQL = f"""
+WITH r AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT day, event_type, COUNT(*) AS n,
+       {sql_dsum('value')} AS volume,
+       MIN(value) AS low, MAX(value) AS high,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v
+FROM r GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
+def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the salted two-level
+    plan (operators/skew.py) — same answer as COUNT(DISTINCT), but a
+    hot event type fans out over 32 tasks instead of serializing on
+    one."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        salted_distinct_count(e, ["event_type"], "user_id", alias="n_users")
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_SALTED_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "time_rollup_ohlc": q_time_rollup_ohlc,
+    "distinct_users_salted": q_distinct_users_salted,
+}
+ORACLES = {
+    "time_rollup_ohlc": _TIME_ROLLUP_SQL,
+    "distinct_users_salted": _DISTINCT_SALTED_SQL,
+}

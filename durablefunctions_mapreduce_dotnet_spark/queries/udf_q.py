@@ -1,0 +1,68 @@
+"""User-defined aggregate surface: Arrow-vectorized grouped-agg
+pandas UDF with an exact, engine-portable result.
+
+The reference's "UDF surface" is the activity function itself — the
+mapper/reducer bodies are arbitrary C# (``Sample.cs:131-240``).  Our
+equivalent escape hatch is the pandas UDF family; this module proves
+the UDAF flavor end-to-end against the SQL oracle.
+
+Determinism contract: a grouped-agg UDF receives each group as one
+pandas batch, but row ORDER within the batch is partition-dependent —
+so the UDF body must be order-free.  Here every additive step is an
+int64 sum of exact cent values (money is 2-dp, quantity is integral),
+so the result is bit-identical under any partitioning and across
+engines; a naive ``np.average`` would drift in the low-order bits.
+
+Scale note (100 TB): grouped-agg pandas UDFs are NOT mergeable — the
+whole group ships to one worker.  Right tool for bounded groups
+(per-key model scoring, per-group curve fits); for unbounded additive
+aggregation the decimal-exact built-ins (functions/numeric.py) remain
+the scale path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..sources.readers import read_table
+
+
+# returnType must be a DataType instance, not the DDL string "double":
+# string forms are parsed through the active SparkContext at decoration
+# time, which would make importing this module require a live session.
+@F.pandas_udf(DoubleType())
+def _wavg_price(price: pd.Series, qty: pd.Series) -> float:
+    # price*qty*100 is mathematically integral (2-dp money × integer
+    # qty), so round() only strips FP noise — never a .5 boundary —
+    # and the int64 sums are exact and order-free.
+    cents = int((price * qty * 100.0).round().astype("int64").sum())
+    units = int(qty.astype("int64").sum())
+    return float(cents) / 100.0 / float(units)
+
+
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag, computed by a
+    grouped-agg pandas UDF (Arrow batch in, scalar out)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(_wavg_price("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# Mirrors the UDF exactly: int64 cent sums, then the same left-to-right
+# double division chain.
+_UDAF_WAVG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {"udaf_weighted_avg": q_udaf_weighted_avg}
+ORACLES = {"udaf_weighted_avg": _UDAF_WAVG_SQL}

@@ -49,9 +49,15 @@ def test_topk_plans_take_ordered(spark):
 
 #: queries whose plans legitimately contain a broadcast nested-loop join:
 #: scalar-subquery broadcast (1-row build side), theta/range joins against
-#: broadcast band tables, and the brute-force ANN baseline (broadcast
-#: query set scored against every corpus row by definition).
-_BNLJ_OK = {"subq_scalar_avg", "join_range_band", "ann_bruteforce_topk"}
+#: broadcast band tables, the brute-force ANN baseline (broadcast query
+#: set scored against every corpus row by definition), and IVF centroid
+#: assignment (bounded cross product against an n_lists-row broadcast).
+_BNLJ_OK = {
+    "subq_scalar_avg",
+    "join_range_band",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+}
 
 
 def test_no_accidental_cartesian_in_any_query(spark):
@@ -70,6 +76,27 @@ def test_no_accidental_cartesian_in_any_query(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: unexpected nested-loop join:\n{plan}"
             )
+
+
+def test_multiway_join_broadcasts_all_dimensions(spark):
+    """Q5-shape snowflake: supplier/nation/region must all ride
+    broadcast-hash joins; only the fact-side joins may shuffle."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.joins_q import q_join_multiway
+
+    plan = explain_str(q_join_multiway(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_distinct_is_two_level_hash_agg(spark):
+    """The salted plan must contain no Expand/single-reducer distinct:
+    two HashAggregate pairs keyed on (key, shard) then (key)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.timeseries_q import (
+        q_distinct_users_salted,
+    )
+
+    plan = explain_str(q_distinct_users_salted(spark, SF_DIR), "simple")
+    assert "Expand" not in plan, plan
 
 
 def test_whole_stage_codegen_covers_agg(spark):
