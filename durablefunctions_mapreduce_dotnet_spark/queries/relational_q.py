@@ -292,8 +292,41 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- unpivot (melt) ---------------------------------------------------------
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures, then an exact sum
+    per (returnflag, measure).  ``unpivot`` is a zero-shuffle narrow op
+    (each row expands to 4 in place); the only exchange is the final
+    small-key aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(dsum("val", "total"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+SELECT l_returnflag, measure, {sql_dsum('val')} AS total
+FROM long GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "unpivot_measures": q_unpivot,
     "agg_stats": q_agg_stats,
     "distinct_segments": q_distinct,
     "cube_flag_status": q_cube,
@@ -321,4 +354,5 @@ ORACLES = {
     "scalar_date_funcs": _SCALAR_DATE_SQL,
     "json_extract": _JSON_SQL,
     "pivot_status": _PIVOT_SQL,
+    "unpivot_measures": _UNPIVOT_SQL,
 }

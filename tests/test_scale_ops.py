@@ -60,6 +60,42 @@ def test_udaf_weighted_avg_partition_invariant(spark):
     assert shuffled == base
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located join: both sides bucketed+sorted on the join key must
+    sort-merge-join with ZERO exchanges — the 100 TB recipe for a
+    repeatedly-joined fact/dim pair.  (Managed tables land in the local
+    spark-warehouse; dropped after.)"""
+    from durablefunctions_mapreduce_dotnet_spark.plans import explain_str
+
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("li_bucketed")
+        )
+        (
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("o_bucketed")
+        )
+        j = (
+            spark.table("li_bucketed")
+            .hint("merge")  # keep SMJ even under the broadcast threshold
+            .join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = explain_str(j, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        assert j.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
 def test_time_rollup_open_close_tie_stable(spark):
     """Struct-extrema open/close must be identical under repartition —
     bare first()/min_by would not be."""
