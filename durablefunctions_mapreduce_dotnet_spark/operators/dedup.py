@@ -372,7 +372,7 @@ def simhash_candidates(
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), c -> named_struct("
-                "'c', c, 'v', (simhash div shiftleft(cast(1 as bigint), c * 16)) % 65536))"
+                "'c', c, 'v', shiftright(simhash, c * 16) & 65535))"
             )
         ).alias("chunk"),
     ).select(id_col, "simhash", F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))

@@ -35,7 +35,10 @@ def asof_join_backward(
     payload: mapping of right-column -> output-column carried from the
     matched right row. Ties on (key, ts): the right row sorts before the
     left row so an equal timestamp matches (>= semantics, like
-    ``pd.merge_asof`` / DuckDB ASOF JOIN).
+    ``pd.merge_asof`` / DuckDB ASOF JOIN).  Among right rows sharing
+    (key, ts) the payload struct itself is the tie-break, so the carried
+    payload is deterministic (the max payload wins) regardless of
+    partition order.
     """
     payload = payload or {}
     lcols = [F.col(c) for c in left.columns]
@@ -53,9 +56,10 @@ def asof_join_backward(
         F.lit(0).alias("_side"),
         *[F.col(src).alias(f"_p_{out}") for src, out in payload.items()],
     )
+    tie = F.struct(*[F.col(f"_p_{out}") for out in payload.values()]) if payload else F.lit(0)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(F.col("_ts"), F.col("_side"), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r).select(

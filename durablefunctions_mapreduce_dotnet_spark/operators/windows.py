@@ -16,15 +16,19 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Assign gap-based session ids per user: a new session starts when
     the time since the previous event exceeds ``gap_seconds``.
 
     lag + cumulative sum over one window — a single shuffle on the user
     key, linear per-user work.  Gap arithmetic is done in integer
-    microseconds (``unix_micros``) so it is exact.
+    microseconds (``unix_micros``) so it is exact.  ``id_col`` breaks
+    timestamp ties so per-row session ids are deterministic (a total
+    order, not just ts order).
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col] + ([id_col] if id_col in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = F.lit(gap_seconds * 1_000_000)
     prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     is_new = F.when(

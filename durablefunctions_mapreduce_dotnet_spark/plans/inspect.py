@@ -9,6 +9,7 @@ cartesian product appears.  ``.explain`` output is the source of truth.
 from __future__ import annotations
 
 import io
+import re as _re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -35,13 +36,23 @@ def assert_read_schema_only(df: DataFrame, table_marker: str, allowed: set[str])
     """Assert the scan whose ReadSchema line contains ``table_marker``
     reads no columns beyond ``allowed`` (column-pruning check)."""
     plan = explain_str(df)
+    # Formatted explain prints each scan as a "(N) Scan ..." detail block whose
+    # Location and ReadSchema are separate lines — scope the marker per block.
+    in_marked_block = False
+    checked = False
     for ln in plan.splitlines():
-        if "ReadSchema" in ln and table_marker in plan:
+        if _re.match(r"^\(\d+\) ", ln):
+            in_marked_block = False
+        if table_marker in ln:
+            in_marked_block = True
+        if "ReadSchema" in ln and in_marked_block:
             # ReadSchema: struct<a:int,b:string,...>
             inner = ln.split("struct<", 1)[-1].rsplit(">", 1)[0]
             cols = {c.split(":")[0].strip() for c in inner.split(",") if ":" in c}
             extra = cols - allowed
             assert not extra, f"scan reads unexpected columns {extra}; line: {ln}"
+            checked = True
+    assert checked, f"no scan matching {table_marker!r} found in plan:\n{plan}"
     return plan
 
 

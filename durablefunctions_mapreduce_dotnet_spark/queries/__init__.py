@@ -66,8 +66,5 @@ def _modules():
         "timeseries_q",
         "udf_q",
     ):
-        try:
-            mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
-        except ImportError:
-            pass
+        mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
     return mods
