@@ -455,47 +455,65 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Pairs of vectors with cosine ≥ threshold — numpy block matmul.
+    """Pairs of vectors with cosine ≥ threshold — distributed block gemm.
 
-    Each partition scores its rows against the full normalized matrix
-    (broadcast) with one BLAS gemm; output is ids only.  FP note: gemm
-    accumulation order differs from a sequential fold by ~1e-15 relative,
-    while the threshold margin on real corpora is orders larger
-    (measured here: min |cos − τ| ≈ 1e-4), so the decision set is stable.
+    Exact all-pairs is inherently O(n²) work; the plan makes it
+    *distributed* O(n²): rows are hashed into ``n_blocks`` blocks, every
+    unordered block pair (bi ≤ bj) becomes one cogroup task, and each
+    task scores its two blocks with a single BLAS matmul.  Nothing is
+    collected to the driver and no full matrix is broadcast — peak
+    memory per task is two blocks, O(2·n·d/B) plus the (n/B)² score
+    tile, and shuffle volume is O(n·d·B) (each row joins B pair-tasks).
+    At 100 TB pick B ≈ n·d·8bytes / executor-mem so a block pair fits;
+    the cheaper sub-quadratic alternative stays the LSH-bucketed path
+    (operators.similarity.lsh_topk's banding).
 
-    The matrix rides a driver collect: this is the *verification-scale*
-    all-pairs form — O(n²) work and O(n·d) broadcast memory are inherent
-    to exact all-pairs no matter the plan.  At 100 TB use the LSH-bucketed
-    path (operators.similarity) so the quadratic term is per-bucket, or
-    chunk-aggregate both sides into block rows and crossJoin blocks."""
+    FP note: gemm accumulation order differs from a sequential fold by
+    ~1e-15 relative, while the threshold margin on real corpora is
+    orders larger (measured here: min |cos − τ| ≈ 1e-4), so the decision
+    set is stable vs the SQL oracle."""
     import numpy as np
     import pandas as pd
 
-    from ..functions.vectors import as_double
+    src = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    left = src.select(
+        "_id", "_v", F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_bj"),
+    )
+    right = src.select(
+        "_id", "_v", F.col("_blk").alias("_bj"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_bi"),
+    )
 
-    spark = embeddings.sparkSession
-    pdf = embeddings.select(
-        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
-    ).toPandas()
-    ids = pdf["_id"].to_numpy(dtype=np.int64)
-    m = np.stack(pdf["_v"].to_numpy())
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
-
-    def gen(batches):
-        ids_all, mat = bc.value
-        pos = {int(i): k for k, i in enumerate(ids_all)}
-        for batch in batches:
-            if not len(batch):
-                continue
-            my_ids = batch["_id"].to_numpy(dtype=np.int64)
-            rows = np.array([pos[int(i)] for i in my_ids])
-            scores = mat[rows] @ mat.T
-            keep = (scores >= threshold) & (ids_all[None, :] > my_ids[:, None])
+    def score(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        ids_l = l["_id"].to_numpy(dtype=np.int64)
+        ids_r = r["_id"].to_numpy(dtype=np.int64)
+        ml = np.stack(l["_v"].to_numpy()).astype(np.float64)
+        mr = np.stack(r["_v"].to_numpy()).astype(np.float64)
+        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        keep = (ml @ mr.T) >= threshold
+        if key[0] == key[1]:
+            # same block on both sides: order the pair once
+            keep &= ids_r[None, :] > ids_l[:, None]
             ai, bj = np.nonzero(keep)
-            yield pd.DataFrame({"id_a": my_ids[ai], "id_b": ids_all[bj]})
+            return pd.DataFrame({"id_a": ids_l[ai], "id_b": ids_r[bj]})
+        # cross-block: each unordered pair appears in exactly one task,
+        # in one orientation — normalize (min, max) instead of filtering
+        ai, bj = np.nonzero(keep)
+        a, b = ids_l[ai], ids_r[bj]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
 
-    return embeddings.select(F.col(id_col).alias("_id")).mapInPandas(
-        gen, "id_a bigint, id_b bigint"
+    return (
+        left.groupBy("_bi", "_bj")
+        .cogroup(right.groupBy("_bi", "_bj"))
+        .applyInPandas(score, "id_a bigint, id_b bigint")
     )

@@ -11,6 +11,77 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_distribution_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    ntile_k: int = 4,
+) -> DataFrame:
+    """Global row_number / ntile / percent_rank / cume_dist WITHOUT a
+    single-partition window — the distributed form of ``OVER (ORDER BY
+    …)`` distribution functions.
+
+    Classic two-pass range-partitioned rank:
+
+    1. ``repartitionByRange`` on the order columns (sampled boundaries —
+       the same exchange a global ``orderBy`` uses), then a
+       per-partition sort + local ``row_number`` — all parallel.
+    2. The ranked pass is pinned with ``localCheckpoint`` (so the
+       sampled range boundaries can't re-randomize between jobs), then
+       per-partition counts (one tiny P-row collect) become broadcast
+       cumulative offsets: ``global_rn = offset[pid] + local_rn``.
+
+    Distribution functions follow arithmetically from ``global_rn`` and
+    the total count — exact, because ``order_cols`` must be a total
+    order (unique tie-break), which makes rank == row_number.  At
+    production scale swap ``localCheckpoint`` (executor memory) for
+    ``persist(DISK_ONLY)`` or a reliable checkpoint; the plan shape is
+    unchanged.  Adds columns: _rn, quartile (ntile_k-tile), pct_rank,
+    cume — no SinglePartition exchange anywhere (plan-asserted in
+    tests/test_plans.py).
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint(eager=True)
+
+    counts = {
+        r["_pid"]: r["_c"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint"))
+    rn = (F.col("_off") + F.col("_lrn")).alias("_rn")
+    base, rem = divmod(n, ntile_k) if n else (0, 0)
+    cut = rem * (base + 1)
+    if n < ntile_k:
+        tile = F.col("_rn")
+    else:
+        # first `rem` tiles hold base+1 rows, the rest hold base
+        tile = F.when(
+            F.col("_rn") <= cut, F.floor((F.col("_rn") - 1) / (base + 1)) + 1
+        ).otherwise(rem + F.floor((F.col("_rn") - cut - 1) / base) + 1)
+    pct = (
+        F.lit(0.0)
+        if n <= 1
+        else (F.col("_rn") - 1).cast("double") / F.lit(float(n - 1))
+    )
+    return (
+        local.join(off, "_pid")
+        .withColumn("_rn", rn)
+        .withColumn("quartile", tile.cast("int"))
+        .withColumn("pct_rank", pct)
+        .withColumn("cume", F.col("_rn").cast("double") / F.lit(float(n)))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

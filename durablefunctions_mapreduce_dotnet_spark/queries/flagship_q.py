@@ -7,14 +7,33 @@ is already Sunday=0 (.NET numbering), Spark's needs ``-1``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.flagship import flagship_events, flagship_events_global
+from ..operators.flagship import flagship_events, flagship_events_global, flagship_trips
 from ..sources.readers import read_table
+from ..sources.trips import read_trips_csv_faithful
+
+#: committed trips-shaped CSV fixture (tests/fixtures/gen_trips_fixture.py)
+#: — the reference's REAL input shape (headered CSV blobs with dirt),
+#: exercised end-to-end: S2 naive-split scan + F1 validity rule + flagship.
+_TRIPS_GLOB = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "trips", "*.csv",
+)
 
 
 def q_flagship_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_events(read_table(spark, sf_dir, "events"))
+
+
+def q_flagship_csv_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship over the faithful CSV reader (S2+F1+F2+F3+E1+E2+A1-A3
+    end-to-end on real trip-shaped CSV).  The fixture is a committed
+    repo path — scale-independent by design, like the reference's fixed
+    blob container (Sample.cs:109); ``sf_dir`` is unused."""
+    return flagship_trips(read_trips_csv_faithful(spark, _TRIPS_GLOB))
 
 
 def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,11 +71,54 @@ WHERE value > 0 AND NOT isnan(value) AND NOT isinf(value)
 GROUP BY dow ORDER BY dow
 """
 
+# DuckDB mirror of the faithful CSV path: read_text + manual newline /
+# comma split reproduces the reference's naive parser (quote-blind),
+# then the same 17-field + int-col0 validity rule, speed expression and
+# avg-of-file-averages.  1.0/0.0 is NULL in DuckDB = Spark try_divide.
+_CSV_FAITHFUL_SQL = f"""
+WITH raw AS (
+  SELECT filename AS file, unnest(string_split(content, chr(10))) AS line
+  FROM read_text('{_TRIPS_GLOB}')
+), fields AS (
+  SELECT file, string_split(line, ',') AS f FROM raw
+), valid AS (
+  SELECT file,
+         try_strptime(f[2], '%Y-%m-%d %H:%M:%S') AS pu,
+         try_strptime(f[3], '%Y-%m-%d %H:%M:%S') AS dof,
+         TRY_CAST(f[5] AS DOUBLE) AS dist
+  FROM fields
+  WHERE len(f) = 17 AND TRY_CAST(f[1] AS INTEGER) IS NOT NULL
+), src AS (
+  SELECT file, CAST(dayofweek(pu) AS INTEGER) AS dow,
+         dist / ((epoch_us(dof) - epoch_us(pu)) / 3600000000.0) AS speed
+  FROM valid WHERE dist > 0
+), kept AS (
+  SELECT file, dow, speed FROM src
+  WHERE NOT isnan(speed) AND NOT isinf(speed)
+), per AS (
+  SELECT file, dow,
+         CAST(SUM(CAST(speed AS DECIMAL(38,9))) AS DOUBLE) AS s, COUNT(*) AS c
+  FROM kept GROUP BY file, dow
+), scaffold AS (
+  SELECT v.file, CAST(d.dow AS INTEGER) AS dow
+  FROM (SELECT DISTINCT file FROM valid) v
+  CROSS JOIN (SELECT unnest(range(7)) AS dow) d
+), densified AS (
+  SELECT sc.file, sc.dow, COALESCE(p.s / p.c, 0.0) AS file_avg
+  FROM scaffold sc LEFT JOIN per p ON sc.file = p.file AND sc.dow = p.dow
+)
+SELECT dow,
+       CAST(SUM(CAST(file_avg AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_speed
+FROM densified GROUP BY dow ORDER BY dow
+"""
+
 QUERIES = {
     "flagship_faithful": q_flagship_faithful,
     "flagship_global": q_flagship_global,
+    "flagship_csv_faithful": q_flagship_csv_faithful,
 }
 ORACLES = {
     "flagship_faithful": _FAITHFUL_SQL,
     "flagship_global": _GLOBAL_SQL,
+    "flagship_csv_faithful": _CSV_FAITHFUL_SQL,
 }

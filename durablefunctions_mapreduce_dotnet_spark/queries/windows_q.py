@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.windows import sessionize
+from ..operators.windows import global_distribution_rank, sessionize
 from ..sources.readers import read_table
 
 
@@ -123,14 +123,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
+    """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
+    window: range-partitioned two-pass rank (operators.windows.
+    global_distribution_rank) — same results as ``OVER (ORDER BY …)``,
+    plan-asserted SinglePartition-free in tests/test_plans.py."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_distribution_rank(o, ["o_totalprice", "o_orderkey"], ntile_k=4)
+    return ranked.select("o_orderkey", "quartile", "pct_rank", "cume")
 
 
 _WINDOW_DIST_SQL = """

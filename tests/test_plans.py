@@ -99,6 +99,18 @@ def test_salted_distinct_is_two_level_hash_agg(spark):
     assert "Expand" not in plan, plan
 
 
+def test_window_distribution_has_no_single_partition_exchange(spark):
+    """Global distribution functions must ride the range-partitioned
+    two-pass rank — an `Exchange SinglePartition` means someone reverted
+    to a partitionless window (the classic 100TB killer)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.windows_q import (
+        q_window_distribution,
+    )
+
+    plan = explain_str(q_window_distribution(spark, SF_DIR), "simple")
+    assert "SinglePartition" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     # Under AQE the formatted plan shows AdaptiveSparkPlan(isFinalPlan=false)
     # without codegen annotations; "codegen" mode actually generates the

@@ -1,0 +1,65 @@
+"""X4 progress reporting + remote-source scheme passthrough (round-2
+VERDICT items 7-9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from durablefunctions_mapreduce_dotnet_spark.operators.flagship import flagship_events
+from durablefunctions_mapreduce_dotnet_spark.progress import CustomStatus, run_with_progress
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table, table_path
+
+from .conftest import SF_DIR
+
+
+def test_progress_phases_observable_during_run(spark):
+    df = flagship_events(read_table(spark, SF_DIR, "events"))
+    rows, status = run_with_progress(spark, lambda: df.collect(), label="flagship")
+    assert len(rows) == 7
+    phases = status.phases()
+    assert phases[0] == "started" and phases[-1] == "finished"
+    assert "running" in phases  # sampled at least once while executing
+    running = [e for e in status.history if e["phase"] == "running"]
+    assert all("jobs" in e and "stages" in e for e in running)
+    assert status.get()["phase"] == "finished"
+
+
+def test_progress_reports_failure_phase(spark):
+    status = CustomStatus()
+
+    def boom():
+        raise RuntimeError("job failed")
+
+    try:
+        run_with_progress(spark, boom, status=status)
+    except RuntimeError:
+        pass
+    assert status.get()["phase"] == "failed"
+
+
+def test_table_path_preserves_remote_schemes():
+    for uri in (
+        "wasbs://container@acct.blob.core.windows.net/sf1",
+        "abfss://fs@acct.dfs.core.windows.net/data/",
+        "s3a://bucket/prefix",
+        "hdfs://nn:8020/warehouse",
+        "file:///root/testdata/sf0.001",
+    ):
+        out = table_path(uri, "events")
+        assert out == uri.rstrip("/") + "/events.parquet"
+
+
+def test_read_table_accepts_scheme_uri(spark):
+    plain = read_table(spark, SF_DIR, "nation").count()
+    via_uri = read_table(spark, f"file://{SF_DIR}", "nation").count()
+    assert plain == via_uri > 0
+
+
+def test_flagship_csv_fixture_end_to_end(spark):
+    from durablefunctions_mapreduce_dotnet_spark.queries.flagship_q import (
+        q_flagship_csv_faithful,
+    )
+
+    out = q_flagship_csv_faithful(spark, SF_DIR).collect()
+    assert [r["dow"] for r in out] == list(range(7))
+    assert all(r["avg_speed"] == r["avg_speed"] for r in out)  # no NaN
