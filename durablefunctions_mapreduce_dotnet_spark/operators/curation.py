@@ -1,0 +1,181 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+sampling/splits, sequence packing, vocabulary statistics, PII redaction.
+
+All are pure built-in-expression plans (codegen'd, shuffle-minimal) so
+they hold at 100 TB: sampling/splitting is a stateless per-row hash (no
+shuffle at all), packing is one window per source shard, vocabulary is a
+combiner-reduced word count, redaction is a per-row regex rewrite.
+
+Determinism doctrine: sampling uses an explicit multiplicative integer
+hash (Knuth 2654435761 mod 2^32) rather than ``rand(seed)`` or an
+engine-specific hash — the SAME rows are selected on any engine, any
+partitioning, any retry, and the DuckDB oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant; bucket space 2^32
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): id large
+    enough to need care arrives as bigint; the product stays < 2^63 for
+    ids < ~3.4e9 (shard first beyond that)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c * F.lit(_KNUTH)) % F.lit(_M32)) % F.lit(n_buckets)
+
+
+def sample_fraction(df: DataFrame, id_col: str, percent: int) -> DataFrame:
+    """Keep ~percent% of rows, deterministically (hash-bucket < percent)."""
+    return df.where(hash_bucket(id_col) < percent)
+
+
+def sample_stratified(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, int], default: int = 0
+) -> DataFrame:
+    """Per-stratum sampling rates (percent), e.g. downsample dominant
+    languages and keep the tail — the standard corpus-rebalancing move.
+    Stateless per-row predicate: no shuffle, no sort, retry-stable."""
+    rate = F.lit(default)
+    for key, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == key, F.lit(pct)).otherwise(rate)
+    return df.where(hash_bucket(id_col) < rate)
+
+
+def train_val_test_split(
+    df: DataFrame, id_col: str, val_percent: int = 5, test_percent: int = 5
+) -> DataFrame:
+    """Adds a ``split`` column (train/val/test) from the same portable
+    hash — membership is a pure function of the id, so the split is
+    stable across runs, engines and repartitioning."""
+    b = hash_bucket(id_col)
+    train_hi = 100 - val_percent - test_percent
+    return df.withColumn(
+        "split",
+        F.when(b < train_hi, "train")
+        .when(b < train_hi + val_percent, "val")
+        .otherwise("test"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing at document granularity: within
+    each group (ordered by id), documents are laid end-to-end and cut
+    into packs of ``budget_tokens`` — ``pack_id = floor(exclusive-prefix
+    -sum(tokens) / budget)``, the deterministic window form of the
+    standard training-data packing pass.
+
+    One window per group: shuffle keyed on ``group_col``, linear work;
+    skew caps out at the largest single source (pre-shard hot sources by
+    salting the group key if one source dominates)."""
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(pre / F.lit(budget_tokens)))
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k vocabulary by document frequency (distinct docs containing
+    the word), tie-broken (df desc, term asc) — corpus-level vocabulary
+    statistics.  Per-doc distinct + combiner-reduced count: the shuffle
+    carries (term, partial count), never raw text; final top-k is a
+    ``TakeOrderedAndProject``, not a global sort."""
+    words = df.select(
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            )
+        ).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return counts.orderBy(F.desc("doc_freq"), F.asc("term")).limit(k)
+
+
+def doc_top_distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Per-document top-k distinctive terms: rank by (term frequency
+    desc, document frequency asc, term asc) and attach the TF-IDF score.
+
+    The RANKING is pure integer lexicographic ordering — engine-exact,
+    no FP in the decision path (for fixed tf it coincides with tf·idf
+    order; across tf values it prefers frequent-in-doc first, a
+    documented, deterministic choice).  The tf·idf VALUE (tf·ln(N/df))
+    is emitted rounded to 6 dp as a score column only.
+
+    Two shuffles total: term-level df aggregation (combiner-reduced),
+    then the per-doc top-k window keyed on doc id."""
+    if max_doc_id is not None:
+        df = df.where(F.col(id_col) <= max_doc_id)
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "rank",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+#: no lookaround — portable across Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count and redact email/phone PII spans — the scrubbing pass every
+    training corpus gets.  Pure per-row regex rewrite (codegen'd, no
+    shuffle); patterns deliberately avoid lookaround so the oracle can
+    run the identical regex."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )

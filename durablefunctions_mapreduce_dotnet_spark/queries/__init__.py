@@ -59,6 +59,7 @@ def _modules():
         "arrays_q",
         "aggregates_q",
         "dedup_q",
+        "curation_q",
         "similarity_q",
         "text_q",
         "multimodal_q",

@@ -1,0 +1,209 @@
+"""Dataset-curation queries over ``documents`` (north-star scope):
+deterministic sampling/splits, sequence packing, vocabulary stats,
+PII redaction — each mirrored exactly in DuckDB.
+
+The portable multiplicative hash (operators.curation.hash_bucket) is
+what makes sampling/split oracles EXACT rather than statistical: both
+engines select the identical row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    doc_top_distinctive_terms,
+    pack_documents,
+    redact_pii,
+    sample_fraction,
+    sample_stratified,
+    train_val_test_split,
+    vocab_top_terms,
+)
+from ..sources.readers import read_table
+
+_BUCKET = "(((doc_id * 2654435761) % 4294967296) % 100)"
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample (hash-bucket membership)."""
+    d = read_table(spark, sf_dir, "documents")
+    return sample_fraction(d, "doc_id", 10).select("doc_id", "lang")
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 10
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalancing sample: downsample dominant en to 10%, keep 50% of
+    the tail languages."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}
+    return sample_stratified(d, "doc_id", "lang", rates).select("doc_id", "lang")
+
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET} < (CASE lang WHEN 'en' THEN 10
+                             WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                             WHEN 'es' THEN 50 WHEN 'zh' THEN 50 ELSE 0 END)
+"""
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split, counted per (lang, split) — the
+    stability check a pipeline runs after splitting."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", 5, 5)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN {_BUCKET} < 90 THEN 'train'
+            WHEN {_BUCKET} < 95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token packs per source.
+    (Budget is a power of two, so floor(prefix/budget) is FP-exact on
+    both engines.)"""
+    d = read_table(spark, sf_dir, "documents")
+    return pack_documents(d, budget_tokens=2048)
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            / 2048.0) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary by document frequency (df desc, term asc)."""
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_top_terms(d, k=50)
+
+
+_VOCAB_SQL = """
+WITH words AS (
+  SELECT unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS doc_freq FROM words
+GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50
+"""
+
+
+def q_doc_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms (tf desc, df asc, term asc) with
+    the tf-idf score attached (rounded 6 dp; ordering is pure-integer)."""
+    d = read_table(spark, sf_dir, "documents")
+    return doc_top_distinctive_terms(d, k=3)
+
+
+_DOC_TOPTERMS_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, rank,
+       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS BIGINT) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+"""
+
+
+def _with_pii(d: DataFrame) -> DataFrame:
+    """Inject deterministic PII spans (synthetic docs carry none): every
+    3rd doc gets an email, every 5th a phone number."""
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return redact_pii(_with_pii(d))
+
+
+_REDACT_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || doc_id || '@example.com' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                  ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM src
+"""
+
+
+QUERIES = {
+    "curation_sample_hash": q_sample_hash,
+    "curation_sample_stratified": q_sample_stratified,
+    "curation_split_counts": q_split_counts,
+    "curation_pack_sequences": q_pack,
+    "curation_vocab_topk": q_vocab,
+    "curation_doc_topterms": q_doc_topterms,
+    "curation_redact_pii": q_redact_pii,
+}
+ORACLES = {
+    "curation_sample_hash": _SAMPLE_SQL,
+    "curation_sample_stratified": _STRATIFIED_SQL,
+    "curation_split_counts": _SPLIT_SQL,
+    "curation_pack_sequences": _PACK_SQL,
+    "curation_vocab_topk": _VOCAB_SQL,
+    "curation_doc_topterms": _DOC_TOPTERMS_SQL,
+    "curation_redact_pii": _REDACT_SQL,
+}

@@ -120,8 +120,51 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment + canonical keep-list: MinHash pairs
+    → connected components (iterative min-label propagation) → every doc
+    labeled with its cluster and a keep flag.  The oracle recomputes the
+    transitive closure with a recursive CTE over brute-force Jaccard
+    pairs, so parity proves pair recall AND the component labels."""
+    from ..operators.graph import canonicalize_clusters
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
+    return canonicalize_clusters(d, pairs).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 1) + 1),
+                                      i -> substr(lower(text), i, 9))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+), comp AS (
+  SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
@@ -129,6 +172,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_embedding": _DEDUP_EMBEDDING_SQL,

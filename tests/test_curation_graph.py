@@ -1,0 +1,106 @@
+"""Unit/property tests for the curation + graph operators (round 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+    hash_bucket,
+    pack_documents,
+    train_val_test_split,
+)
+from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+    canonicalize_clusters,
+    connected_components,
+)
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+from .conftest import SF_DIR
+
+
+def test_connected_components_chain_star_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces >1 propagation round),
+    # star 10-{11,12,13}, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["n"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_canonicalize_marks_min_id_keep(spark):
+    universe = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 5), (5, 7)], "id_a bigint, id_b bigint")
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in canonicalize_clusters(universe, pairs).collect()}
+    assert rows[1] == (1, True) and rows[5] == (1, False) and rows[7] == (1, False)
+    # untouched docs are their own kept cluster
+    assert rows[0] == (0, True) and rows[6] == (6, True)
+
+
+def test_split_is_deterministic_partition_invariant(spark):
+    d = read_table(spark, SF_DIR, "documents").select("doc_id")
+    a = train_val_test_split(d, "doc_id").collect()
+    b = train_val_test_split(d.repartition(13), "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    frac = {s: n for s, n in ((r[0], r[1]) for r in
+            train_val_test_split(d, "doc_id").groupBy("split").count().collect())}
+    total = sum(frac.values())
+    assert 0.85 < frac["train"] / total < 0.95  # ~90% with hash noise
+
+
+def test_hash_bucket_range(spark):
+    d = spark.range(0, 1000).select(hash_bucket(F.col("id"), 100).alias("b"))
+    lo, hi = d.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= lo and hi <= 99
+
+
+def test_packing_respects_budget_boundaries(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    packed = pack_documents(d, budget_tokens=2048)
+    # exclusive prefix sum within (source, pack) must start below budget:
+    # pack_id == floor(pre/2048) implies pre in [pack*2048, (pack+1)*2048)
+    w_ok = packed.withColumn(
+        "pre",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    bad = w_ok.where(
+        (F.col("pre") < F.col("pack_id") * 2048)
+        | (F.col("pre") >= (F.col("pack_id") + 1) * 2048)
+    ).count()
+    assert bad == 0
+
+
+def test_simhash_negative_signature_chunks_still_bucket(spark):
+    """Regression for the signed-chunk bug (ADVICE r1): two identical
+    texts whose simhash is NEGATIVE must still meet in a chunk bucket
+    and appear as a hamming-0 candidate pair."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_from_hashes_udf,
+        token_hashes_expr,
+    )
+
+    base = "zq xv qk jj wy zz pq vx kq jx"  # arbitrary; we scan for a negative-sig text
+    cands = None
+    for salt in range(40):
+        text = f"{base} s{salt}"
+        df = spark.createDataFrame([(1, text), (2, text)], "doc_id bigint, text string")
+        sig = (
+            df.select(token_hashes_expr("text").alias("hs"))
+            .select(simhash_from_hashes_udf()(F.col("hs")).alias("sh"))
+            .first()["sh"]
+        )
+        if sig < 0:
+            cands = simhash_candidates(df, max_hamming=0).collect()
+            break
+    assert cands is not None, "no negative simhash found in probe space"
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in cands] == [(1, 2, 0)]
