@@ -70,3 +70,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_binary_files(
+    spark: SparkSession, glob: str, path_filter: str | None = None
+) -> DataFrame:
+    """Opaque-blob source for multimodal ingestion: one row per file with
+    ``(path, modificationTime, length, content binary)`` — the input
+    shape of the operators.multimodal decode pipeline when real media
+    lands on a store.  Spark's binaryFile datasource lists in parallel
+    and never decodes; pair with ``pathGlobFilter`` so listing (not
+    reading) eliminates non-matching files."""
+    r = spark.read.format("binaryFile")
+    if path_filter:
+        r = r.option("pathGlobFilter", path_filter)
+    return r.load(glob)
