@@ -43,27 +43,27 @@ def connected_components(
     labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
         "component", F.col("n")
     ).localCheckpoint(eager=True)
+    # Convergence probe: labels are per-node MONOTONICALLY non-increasing,
+    # so the total sum strictly decreases iff any label changed — a single
+    # cheap aggregation on the already-checkpointed frame replaces a
+    # join-based diff (one fewer shuffle per round).
+    checksum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         neighbor = (
             edges.join(
                 labels.select(F.col("n").alias("v"), F.col("component")), "v"
             ).select(F.col("u").alias("n"), "component")
         )
-        refreshed = (
+        labels = (
             labels.union(neighbor)
             .groupBy("n")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            refreshed.join(labels.withColumnRenamed("component", "_old"), "n")
-            .where(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = refreshed
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == checksum:
             break
+        checksum = new_sum
     return labels
 
 

@@ -113,6 +113,73 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signal (Gopher-style quality rule):
+    the fraction of word-n-gram OCCURRENCES that are repeats of an
+    earlier n-gram in the same document (``1 - distinct/total``).
+    Boilerplate, looped generations, and template spam score high.
+
+    Pure per-row expression work — no shuffle, no UDF: one tokenization
+    feeding total and distinct n-gram counts."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
+        f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' '))"
+    )
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_grams"),
+        distinct.cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0) - distinct.cast("double") / total.cast("double")
+        ).alias("repetition_ratio"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one
+    word-n-gram with any eval-set document, with the shared-gram count —
+    the standard pre-training hygiene pass (n-gram collision flagging).
+
+    Inverted-index equi-join on the gram (never all-pairs text compare):
+    corpus explodes to per-doc-distinct (gram, doc) postings and the
+    EVAL side — tiny by definition — is broadcast, so the corpus never
+    shuffles raw text; the follow-up count is combiner-reduced on
+    doc_id.  Long n-grams are naturally rare, which bounds join fan-out;
+    against adversarial boilerplate add a corpus-df cut on the gram
+    (cf. ngram_jaccard_pairs' max_postings) before the join."""
+    def grams_of(d: DataFrame, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
+                        f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' '))"
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    eval_grams = grams_of(evalset, "eval_id").select("gram").distinct()
+    hits = grams_of(corpus, "doc_id").join(F.broadcast(eval_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= 1)
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), *lang_scores(text_col)).select(
         id_col,

@@ -3,8 +3,17 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.textops import fingerprint, language_id, quality_score, text_stats
+from ..operators.curation import hash_bucket
+from ..operators.textops import (
+    contamination_overlap,
+    fingerprint,
+    language_id,
+    quality_score,
+    repetition_stats,
+    text_stats,
+)
 from ..sources.readers import read_table
 
 
@@ -92,14 +101,69 @@ FROM n
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-3-gram fraction (Gopher-style repetition
+    quality rule)."""
+    return repetition_stats(read_table(spark, sf_dir, "documents"), n=3)
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) AS n_grams,
+         len(list_distinct(
+           list_transform(range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
+                          i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))
+         )) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS repetition_ratio
+FROM g
+"""
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hash-buckets 97-99 of documents play
+    the held-out eval set; flag remaining corpus docs sharing any word
+    5-gram with it."""
+    d = read_table(spark, sf_dir, "documents")
+    is_eval = hash_bucket("doc_id") >= 97
+    return contamination_overlap(d.where(~is_eval), d.where(is_eval), n=5)
+
+
+_TEXT_DECON_SQL = r"""
+WITH grams AS (
+  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 1) + 1),
+                          i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' '))
+         )) AS gram
+  FROM documents
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 97)
+SELECT g.doc_id, COUNT(*) AS n_shared_grams
+FROM grams g JOIN eval_grams e USING (gram)
+WHERE g.bucket < 97
+GROUP BY g.doc_id
+HAVING COUNT(*) >= 1
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_repetition": q_text_repetition,
+    "text_decontaminate": q_text_decontaminate,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
     "text_stats": _TEXT_STATS_SQL,
+    "text_repetition": _TEXT_REPETITION_SQL,
+    "text_decontaminate": _TEXT_DECON_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FP_SQL,

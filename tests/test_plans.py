@@ -99,6 +99,19 @@ def test_salted_distinct_is_two_level_hash_agg(spark):
     assert "Expand" not in plan, plan
 
 
+def test_curation_queries_prune_scans(spark):
+    """Sampling must scan only (doc_id, lang); repetition only
+    (doc_id, text) — a curation pass over 100 TB cannot afford decoding
+    unused columns."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import q_sample_hash
+    from durablefunctions_mapreduce_dotnet_spark.queries.text_q import q_text_repetition
+
+    assert_read_schema_only(q_sample_hash(spark, SF_DIR), "documents", {"doc_id", "lang"})
+    assert_read_schema_only(
+        q_text_repetition(spark, SF_DIR), "documents", {"doc_id", "text"}
+    )
+
+
 def test_window_distribution_has_no_single_partition_exchange(spark):
     """Global distribution functions must ride the range-partitioned
     two-pass rank — an `Exchange SinglePartition` means someone reverted
