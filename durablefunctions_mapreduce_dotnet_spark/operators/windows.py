@@ -20,36 +20,46 @@ def global_distribution_rank(
     single-partition window — the distributed form of ``OVER (ORDER BY
     …)`` distribution functions.
 
-    Classic two-pass range-partitioned rank:
+    Two-pass rank over DETERMINISTIC range buckets:
 
-    1. ``repartitionByRange`` on the order columns (sampled boundaries —
-       the same exchange a global ``orderBy`` uses), then a
-       per-partition sort + local ``row_number`` — all parallel.
-    2. The ranked pass is pinned with ``localCheckpoint`` (so the
-       sampled range boundaries can't re-randomize between jobs), then
-       per-partition counts (one tiny P-row collect) become broadcast
-       cumulative offsets: ``global_rn = offset[pid] + local_rn``.
+    1. Bucket boundaries come from ``approxQuantile`` on the leading
+       order column (a mergeable GK sketch — one scan, driver gets P-1
+       doubles).  ``_pid = #boundaries < value`` is then a PURE ROW
+       FUNCTION: monotone in the total order, identical on every
+       evaluation — so unlike ``repartitionByRange`` (sampled, per-job
+       randomized boundaries) no materialization/checkpoint is needed to
+       keep the two passes consistent, and nothing is pinned in executor
+       memory.
+    2. Pass one counts rows per bucket (combiner-reduced, tiny collect);
+       pass two ranks within buckets (parallel windows keyed on _pid)
+       and adds the broadcast cumulative offsets:
+       ``global_rn = offset[pid] + local_rn``.
 
     Distribution functions follow arithmetically from ``global_rn`` and
     the total count — exact, because ``order_cols`` must be a total
-    order (unique tie-break), which makes rank == row_number.  At
-    production scale swap ``localCheckpoint`` (executor memory) for
-    ``persist(DISK_ONLY)`` or a reliable checkpoint; the plan shape is
-    unchanged.  Adds columns: _rn, quartile (ntile_k-tile), pct_rank,
-    cume — no SinglePartition exchange anywhere (plan-asserted in
-    tests/test_plans.py).
+    order (unique tie-break), which makes rank == row_number.  Skew
+    bound: a bucket holds ~n/P rows plus all ties of its boundary value
+    (same bound range-partitioning has).  Adds columns: _rn, quartile
+    (ntile_k-tile), pct_rank, cume — no SinglePartition exchange
+    anywhere (plan-asserted in tests/test_plans.py).
     """
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    lead = order_cols[0]
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(lead) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint(eager=True)
+    local = bucketed.withColumn("_lrn", F.row_number().over(w))
 
+    # counts come from the pre-window frame so the counting job is a pure
+    # scan + combiner-reduced agg (no WindowExec executed twice)
     counts = {
         r["_pid"]: r["_c"]
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+        for r in bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
     }
     n = sum(counts.values())
     offsets, acc = [], 0

@@ -48,10 +48,60 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (rows-only: cell boundaries depend on the
-    deterministic seed centroids; recall vs brute force is pytest-checked)."""
+    """IVF approximate top-5 — FULL oracle parity: the deterministic
+    seed-centroid construction (16 lowest-id vectors), argmax cell
+    assignment, 4-probe candidate generation and exact scoring are all
+    mirrored in SQL, so the driver hash-checks the entire IVF pipeline.
+    FP margin: cell-assignment cosine gaps are ~1e-3 vs ~1e-16 gemm/
+    fold divergence, so the argmax decision set is stable."""
     e = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, _queries_subset(e), k=5)
+
+
+_ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv, nrm AS cn
+  FROM e ORDER BY vec_id LIMIT 16
+),
+assign AS (  -- every corpus vector -> its max-cosine cell (ties: lowest cell)
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+               / (e.nrm * c.cn) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+probes AS (  -- each query's 4 nearest cells
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+               / (q.qn * c.cn) DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS vid,
+         list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i]))
+           / (q.qn * e.nrm) AS cos
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN q ON q.qid = p.qid
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id != p.qid
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 QUERIES = {
@@ -61,4 +111,5 @@ QUERIES = {
 }
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
 }
