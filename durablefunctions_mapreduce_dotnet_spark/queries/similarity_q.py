@@ -41,10 +41,59 @@ QUALIFY rank <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only: the bucketing depends
-    on baked-in hyperplanes; recall vs brute force is pytest-checked)."""
+    """LSH-bucketed approximate top-5 — FULL oracle parity: the
+    hyperplanes are deterministic literals (make_planes seed=42), so the
+    oracle bakes the identical plane values into SQL and recomputes
+    sign-signatures, bucket joins, scoring and ranking end-to-end.
+    Sign-boundary FP margin: |dot| is O(1) vs ~1e-15 fold/gemm skew."""
     e = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, _queries_subset(e), k=5)
+
+
+def _lsh_oracle_sql(dim: int = 64, num_tables: int = 4, planes_per_table: int = 4, seed: int = 42) -> str:
+    from ..operators.similarity import make_planes
+
+    rows = []
+    for t in range(num_tables):
+        for p, plane in enumerate(make_planes(dim, planes_per_table, seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {2 ** p}, {vec}::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+planes(t, pow2, pv) AS (
+  VALUES
+    {values}
+),
+sig AS (  -- per-vector per-table sign-bucket id
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                          i -> v[i] * pv[i])) > 0 THEN pow2 ELSE 0 END) AS INTEGER) AS b
+  FROM e CROSS JOIN planes
+  GROUP BY vec_id, t
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+qsig AS (SELECT s.vec_id AS qid, s.t, s.b FROM sig s JOIN q ON q.qid = s.vec_id),
+cand AS (
+  SELECT DISTINCT qs.qid, s.vec_id AS vid
+  FROM qsig qs JOIN sig s ON qs.t = s.t AND qs.b = s.b
+  WHERE qs.qid != s.vec_id
+),
+scored AS (
+  SELECT c.qid, c.vid,
+         list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i]))
+           / (q.qn * e.nrm) AS cos
+  FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vid
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,4 +161,5 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_lsh_topk": _lsh_oracle_sql(),
 }

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from ..streaming.stream_ops import (
     streaming_daily_counts,
+    streaming_dedup,
     streaming_first_seen,
     streaming_flagship,
     streaming_session_windows,
@@ -78,8 +79,14 @@ SELECT user_id,
 FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
+# the doubled stream must collapse back to the original table's counts
+_STREAM_DEDUP_SQL = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
+    "streaming_dedup": streaming_dedup,
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_first_seen": streaming_first_seen,
@@ -87,6 +94,7 @@ QUERIES = {
 }
 ORACLES = {
     "streaming_daily_counts": _STREAM_DAILY_SQL,
+    "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_sliding_counts": _STREAM_SLIDING_SQL,
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,

@@ -142,6 +142,32 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per user, the rolling
+    sum of the trailing hour of events — frame bounds in integer
+    microseconds so the boundary comparison is exact."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("hour_sum"),
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min) per user — session count and event count."""
     e = read_table(spark, sf_dir, "events")
@@ -178,9 +204,11 @@ QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
     "window_distribution": q_window_distribution,
+    "window_range_frame": q_window_range_frame,
     "sessionization": q_sessionization,
 }
 ORACLES = {
+    "window_range_frame": _WINDOW_RANGE_SQL,
     "window_rank_topk": _WINDOW_RANK_SQL,
     "window_running_sum": _WINDOW_RUNNING_SQL,
     "window_lag_lead": _WINDOW_LAG_SQL,

@@ -130,6 +130,28 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the event stream is unioned with itself
+    (every record arrives twice — the at-least-once delivery case) and
+    ``dropDuplicates`` on the key keeps exactly the first arrival; the
+    per-user counts then match the batch answer over the ORIGINAL table,
+    proving the duplicates died in-stream.
+
+    State is O(|distinct keys|); production bounds it with
+    ``dropDuplicatesWithinWatermark`` (same plan, state expires past the
+    watermark) — unbounded here so the oracle equality is exact."""
+    doubled = _stream_events(spark, sf_dir).unionByName(
+        _stream_events(spark, sf_dir)
+    )
+    deduped = doubled.select("event_id", "user_id").dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship per-dow average as an incremental streaming agg
     (global-average semantics — streaming state keeps (sum, count) per
