@@ -64,5 +64,65 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-QUERIES = {"udaf_weighted_avg": q_udaf_weighted_avg}
-ORACLES = {"udaf_weighted_avg": _UDAF_WAVG_SQL}
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row fans out to N output
+    rows — here, sentence segmentation of documents, the canonical
+    text-pipeline explode.  Registered and invoked through the SQL
+    ``LATERAL`` path so the full UDTF machinery (not just ``explode``)
+    is exercised; the segmentation rule ('. ' boundaries, trailing
+    period stripped, blanks dropped) is deterministic and mirrored in
+    the oracle.
+
+    Scale note: UDTFs run row-at-a-time in Python workers — fine for
+    fan-out transforms off the hot path; pure-expression
+    ``explode(split(...))`` remains the codegen'd fast path (used by
+    the curation/text operators)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            idx = 0
+            for part in (text or "").split(". "):
+                s = part.strip().rstrip(".")
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+_UDTF_SENT_SQL = """
+WITH parts AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, '. '), 1) - 1 AS raw_idx,
+         unnest(string_split(text, '. ')) AS part
+  FROM documents WHERE doc_id < 200
+), cleaned AS (
+  SELECT doc_id, raw_idx, rtrim(trim(part), '.') AS sentence
+  FROM parts WHERE length(rtrim(trim(part), '.')) > 0
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS INTEGER) AS sentence_idx,
+       sentence
+FROM cleaned
+"""
+
+
+QUERIES = {
+    "udaf_weighted_avg": q_udaf_weighted_avg,
+    "udtf_sentence_split": q_udtf_sentences,
+}
+ORACLES = {
+    "udaf_weighted_avg": _UDAF_WAVG_SQL,
+    "udtf_sentence_split": _UDTF_SENT_SQL,
+}
