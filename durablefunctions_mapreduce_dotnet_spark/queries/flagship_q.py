@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.flagship import flagship_events, flagship_events_global, flagship_trips
 from ..sources.readers import read_table
@@ -112,13 +113,45 @@ SELECT dow,
 FROM densified GROUP BY dow ORDER BY dow
 """
 
+def q_flagship_result_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1, literally: the reference's one-row formatted result string
+    ``"Sun: …, Mon: …, …"`` (Sample.cs:226-234, README.md:185) as an
+    engine result.  3-dp values ride a DECIMAL cast so the double→string
+    rendering is engine-portable; ordered concat via array_sort over
+    (dow, line) structs — no collect_list order dependence."""
+    res = flagship_events(read_table(spark, sf_dir, "events"))
+    names = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+    day = F.element_at(F.array(*[F.lit(n) for n in names]), F.col("dow") + 1)
+    line = F.concat(
+        day, F.lit(": "),
+        F.col("avg_speed").cast("decimal(18,3)").cast("string"),
+    )
+    return res.select(F.struct(F.col("dow"), line.alias("line")).alias("s")).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["line"]), ", "
+        ).alias("result")
+    )
+
+
+_RESULT_STRING_SQL = f"""
+WITH res AS ({_FAITHFUL_SQL.replace(';', '')})
+SELECT string_agg(
+         ['Sun','Mon','Tue','Wed','Thu','Fri','Sat'][dow + 1]
+           || ': ' || CAST(CAST(avg_speed AS DECIMAL(18,3)) AS VARCHAR),
+         ', ' ORDER BY dow) AS result
+FROM res
+"""
+
+
 QUERIES = {
     "flagship_faithful": q_flagship_faithful,
     "flagship_global": q_flagship_global,
     "flagship_csv_faithful": q_flagship_csv_faithful,
+    "flagship_result_string": q_flagship_result_string,
 }
 ORACLES = {
     "flagship_faithful": _FAITHFUL_SQL,
     "flagship_global": _GLOBAL_SQL,
     "flagship_csv_faithful": _CSV_FAITHFUL_SQL,
+    "flagship_result_string": _RESULT_STRING_SQL,
 }

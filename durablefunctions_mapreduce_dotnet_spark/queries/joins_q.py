@@ -65,6 +65,28 @@ GROUP BY c_custkey, c_name ORDER BY c_custkey
 """
 
 
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: every customer preserved from the RIGHT side (same
+    answer as join_left_counts mirrored — locks the outer-side
+    preservation semantics for the right variant; note the build-side
+    rule: a right join can only broadcast its LEFT input)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_RIGHT_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
+"""
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one finalized order (left-semi: no row
     multiplication, right side only probed)."""
@@ -246,6 +268,7 @@ QUERIES = {
     "join_inner_revenue": q_join_revenue,
     "join_multiway_region": q_join_multiway,
     "join_left_counts": q_join_left,
+    "join_right_counts": q_join_right,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_full_outer": q_join_full,
@@ -256,6 +279,7 @@ ORACLES = {
     "join_inner_revenue": _JOIN_REVENUE_SQL,
     "join_multiway_region": _JOIN_MULTIWAY_SQL,
     "join_left_counts": _JOIN_LEFT_SQL,
+    "join_right_counts": _JOIN_RIGHT_SQL,
     "join_semi": _JOIN_SEMI_SQL,
     "join_anti": _JOIN_ANTI_SQL,
     "join_full_outer": _JOIN_FULL_SQL,

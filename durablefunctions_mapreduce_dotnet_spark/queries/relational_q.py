@@ -265,6 +265,33 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM ev
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int>, then
+    map_keys / element_at / map_concat with a literal map — the Spark
+    map-column toolbox over a real column."""
+    e = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    enriched = F.map_concat(m, F.create_map(F.lit("bonus"), F.lit(1)))
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys(enriched)), ",").alias("all_keys"),
+        F.element_at(enriched, "bonus").alias("bonus_val"),
+    )
+
+
+# synthetic props is a single-key JSON object {"k": int}
+_MAP_FUNCS_SQL = """
+SELECT event_id,
+       CAST(1 AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       'bonus,k' AS all_keys,
+       CAST(1 AS INTEGER) AS bonus_val
+FROM events
+"""
+
+
 # --- pivot ------------------------------------------------------------------
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +365,7 @@ QUERIES = {
     "scalar_string_funcs": q_scalar_string,
     "scalar_date_funcs": q_scalar_date,
     "json_extract": q_json_extract,
+    "map_funcs": q_map_funcs,
     "pivot_status": q_pivot,
 }
 ORACLES = {
@@ -353,6 +381,7 @@ ORACLES = {
     "scalar_string_funcs": _SCALAR_STRING_SQL,
     "scalar_date_funcs": _SCALAR_DATE_SQL,
     "json_extract": _JSON_SQL,
+    "map_funcs": _MAP_FUNCS_SQL,
     "pivot_status": _PIVOT_SQL,
     "unpivot_measures": _UNPIVOT_SQL,
 }
