@@ -45,3 +45,37 @@ def salted_distinct_count(
         .groupBy(*keys)
         .agg(F.sum("_nd").alias(alias))
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    spread_col: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact-fact equi-join with hot-key salting — for the regime where
+    NEITHER side fits broadcast and one key dominates, so a plain
+    shuffle join serializes the hot key into one straggler task.
+
+    The probe side's hot key is spread over ``n_salt`` sub-partitions by
+    hashing ``spread_col`` (any column that varies within a key — a line
+    number, an id); the build side replicates each row to all ``n_salt``
+    salt values.  Joining on (key, salt) yields exactly the plain-join
+    result (every (l, r) pair meets at precisely l's salt) while the hot
+    key's work fans out n_salt-wide.  Build-side cost: n_salt× row
+    replication — pick n_salt ≈ hot-key-share × tasks, and salt only
+    the keys AQE's skew stats flag when replication is the bottleneck
+    (AQE's own skew-join split handles sort-merge joins; this form also
+    covers shuffle-hash joins and pre-AQE planners).
+
+    The result is identical to ``left.join(right, key, how)`` — oracle-
+    checked (queries/joins_q.py: join_salted_skew).
+    """
+    salt = F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salt))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return l.join(r, [key, "_salt"], how).drop("_salt")

@@ -87,6 +87,40 @@ GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 """
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted fact-fact join (lineitem ⋈ orders on orderkey,
+    salt spread by line number), aggregated to revenue per order
+    priority — the oracle is the PLAIN join, proving salting changes
+    the distribution, never the answer."""
+    from ..operators.skew import salted_equi_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_equi_join(li, o, "l_orderkey", "l_linenumber", n_salt=8)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_SALTED_SQL = f"""
+SELECT o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one finalized order (left-semi: no row
     multiplication, right side only probed)."""
@@ -269,6 +303,7 @@ QUERIES = {
     "join_multiway_region": q_join_multiway,
     "join_left_counts": q_join_left,
     "join_right_counts": q_join_right,
+    "join_salted_skew": q_join_salted,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_full_outer": q_join_full,
@@ -280,6 +315,7 @@ ORACLES = {
     "join_multiway_region": _JOIN_MULTIWAY_SQL,
     "join_left_counts": _JOIN_LEFT_SQL,
     "join_right_counts": _JOIN_RIGHT_SQL,
+    "join_salted_skew": _JOIN_SALTED_SQL,
     "join_semi": _JOIN_SEMI_SQL,
     "join_anti": _JOIN_ANTI_SQL,
     "join_full_outer": _JOIN_FULL_SQL,
