@@ -10,8 +10,33 @@ classic case SURVEY.md §2.2 reserves for loops over DataFrames.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+CheckpointFn = Callable[[DataFrame], DataFrame]
+
+
+def local_checkpoint(df: DataFrame) -> DataFrame:
+    """Default lineage cut: executor-memory-pinned, NOT fault-tolerant.
+    Right for single-node / test harnesses; on a real cluster a lost
+    executor loses the blocks and the job dies."""
+    return df.localCheckpoint(eager=True)
+
+
+def reliable_checkpoint(checkpoint_dir: str) -> CheckpointFn:
+    """Cluster-grade lineage cut: HDFS/object-store ``df.checkpoint``.
+    Survives executor loss; this is the 100 TB setting.  Sets the
+    context checkpoint dir on first use."""
+
+    def cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+
+    return cut
 
 
 def connected_components(
@@ -19,52 +44,65 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """(node, component) where component = MIN node id reachable via the
     undirected pair relation — min-label propagation to fixpoint.
 
     Per iteration: one equi-join (neighbor labels) + one min-groupBy —
     two shuffles keyed on node id, both combiner-reduced; lineage is cut
-    with ``localCheckpoint`` so plans stay O(1) per round instead of
-    growing (swap for ``persist(DISK_ONLY)``/reliable checkpoint on a
-    cluster).  Converges in O(component diameter) rounds: near-dup
-    clusters are clique-ish (verified pairs), so diameter stays small
-    (2-4) no matter the corpus size — at 1000-executor scale iteration
-    count is corpus-independent; per-round cost is the two shuffles.
-    (The O(log n) alternative for adversarial long-path graphs is
+    per round with ``checkpoint`` so plans stay O(1) instead of growing.
+    Default is ``local_checkpoint`` (fast, single-node harness); pass
+    ``reliable_checkpoint(dir)`` on a cluster for fault-tolerant cuts.
+    Converges in O(component diameter) rounds: near-dup clusters are
+    clique-ish (verified pairs), so diameter stays small (2-4) no matter
+    the corpus size — at 1000-executor scale iteration count is
+    corpus-independent; per-round cost is the two shuffles.  (The
+    O(log n) alternative for adversarial long-path graphs is
     large-star/small-star contraction — same join/agg primitives.)
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    the fixpoint — unconverged labels are silently-wrong clusters, never
+    returned.
     """
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
+    edges = checkpoint(
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
-        "component", F.col("n")
-    ).localCheckpoint(eager=True)
+    labels = checkpoint(
+        edges.select(F.col("u").alias("n")).distinct().withColumn(
+            "component", F.col("n")
+        )
+    )
     # Convergence probe: labels are per-node MONOTONICALLY non-increasing,
     # so the total sum strictly decreases iff any label changed — a single
     # cheap aggregation on the already-checkpointed frame replaces a
-    # join-based diff (one fewer shuffle per round).
-    checksum = labels.agg(F.sum("component")).first()[0]
+    # join-based diff (one fewer shuffle per round).  Summed in
+    # decimal(38,0): a bigint sum could overflow on huge id spaces and
+    # alias "changed" to "equal".
+    probe = F.sum(F.col("component").cast("decimal(38,0)"))
+    checksum = labels.agg(probe).first()[0]
     for _ in range(max_iter):
         neighbor = (
             edges.join(
                 labels.select(F.col("n").alias("v"), F.col("component")), "v"
             ).select(F.col("u").alias("n"), "component")
         )
-        labels = (
+        labels = checkpoint(
             labels.union(neighbor)
             .groupBy("n")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("component")).first()[0]
+        new_sum = labels.agg(probe).first()[0]
         if new_sum == checksum:
-            break
+            return labels
         checksum = new_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after max_iter={max_iter} "
+        "rounds — labels would be unconverged; raise max_iter (diameter "
+        "of the pair graph exceeds it)"
+    )
 
 
 def canonicalize_clusters(
@@ -73,13 +111,14 @@ def canonicalize_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """Full dedup keep-list: every row of ``universe`` labeled with its
     near-dup cluster id (its own id when it has no duplicate) and a
     ``keep`` flag for the canonical (minimum-id) representative —
     the operator a training-data pipeline actually applies after pair
     generation."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, checkpoint=checkpoint)
     return (
         universe.select(id_col)
         .join(comp.withColumnRenamed("n", id_col), id_col, "left")

@@ -70,9 +70,21 @@ def salted_equi_join(
     (AQE's own skew-join split handles sort-merge joins; this form also
     covers shuffle-hash joins and pre-AQE planners).
 
-    The result is identical to ``left.join(right, key, how)`` — oracle-
-    checked (queries/joins_q.py: join_salted_skew).
+    The result is identical to ``left.join(right, key, how)`` for the
+    probe-side-preserving join types (oracle-checked for inner:
+    queries/joins_q.py: join_salted_skew).  ``right``/``full`` outer are
+    REJECTED: the build side is replicated n_salt×, so every unmatched
+    build row would be emitted n_salt times — use a plain join (with AQE
+    skew handling) or swap the sides for those.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} would duplicate unmatched "
+            f"build-side rows n_salt={n_salt} times; allowed: inner/left/"
+            "semi/anti (build side is replicated, probe side is not)"
+        )
     salt = F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salt))
     l = left.withColumn("_salt", salt)
     r = right.withColumn(

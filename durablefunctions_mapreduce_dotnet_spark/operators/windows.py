@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_distribution_rank(
@@ -39,18 +40,31 @@ def global_distribution_rank(
     the total count — exact, because ``order_cols`` must be a total
     order (unique tie-break), which makes rank == row_number.  Skew
     bound: a bucket holds ~n/P rows plus all ties of its boundary value
-    (same bound range-partitioning has).  Adds columns: _rn, quartile
-    (ntile_k-tile), pct_rank, cume — no SinglePartition exchange
-    anywhere (plan-asserted in tests/test_plans.py).
+    (same bound range-partitioning has).  NULLs in the lead column get
+    their own bucket (-1), ranked first — Spark's ``asc_nulls_first``
+    window order — instead of vanishing into a NULL ``_pid``.  Adds
+    columns: _rn, quartile (ntile_k-tile), pct_rank, cume — no
+    SinglePartition exchange anywhere (plan-asserted in
+    tests/test_plans.py).
+
+    The input (callers pass the already-projected frame) is pinned
+    MEMORY_AND_DISK for the three passes (quantile sketch, bucket
+    counts, rank) so parquet scan + projection run once, not thrice;
+    evictable, so nothing is hard-pinned in executor memory.
     """
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
     lead = order_cols[0]
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     probs = [i / p for i in range(1, p)]
     bounds = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
     pid = F.lit(0)
     for b in bounds:
         pid = pid + (F.col(lead) > F.lit(b)).cast("int")
+    # approxQuantile ignores NULLs, so no boundary covers them: bucket
+    # them explicitly at -1 (sorts before every data bucket => ranked
+    # first, matching OVER (ORDER BY ... ASC NULLS FIRST)).
+    pid = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(pid)
     bucketed = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = bucketed.withColumn("_lrn", F.row_number().over(w))
@@ -63,9 +77,9 @@ def global_distribution_rank(
     }
     n = sum(counts.values())
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for bucket in sorted(counts):
+        offsets.append((bucket, acc))
+        acc += counts[bucket]
     off = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint"))
     rn = (F.col("_off") + F.col("_lrn")).alias("_rn")
     base, rem = divmod(n, ntile_k) if n else (0, 0)
@@ -97,7 +111,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
-    id_col: str = "event_id",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Assign gap-based session ids per user: a new session starts when
     the time since the previous event exceeds ``gap_seconds``.
@@ -106,9 +120,18 @@ def sessionize(
     key, linear per-user work.  Gap arithmetic is done in integer
     microseconds (``unix_micros``) so it is exact.  ``id_col`` breaks
     timestamp ties so per-row session ids are deterministic (a total
-    order, not just ts order).
+    order, not just ts order); a missing ``id_col`` RAISES rather than
+    silently degrading to non-deterministic ts-only order.  Pass
+    ``id_col=None`` to explicitly accept ts-only ordering (only sound
+    when (user, ts) is known unique).
     """
-    order = [ts_col] + ([id_col] if id_col in events.columns else [])
+    if id_col is not None and id_col not in events.columns:
+        raise ValueError(
+            f"sessionize: tie-break column {id_col!r} not in input "
+            f"{events.columns}; pass id_col=None to explicitly accept "
+            "non-deterministic ts-only ordering"
+        )
+    order = [ts_col] + ([id_col] if id_col is not None else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = F.lit(gap_seconds * 1_000_000)
     prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)

@@ -124,3 +124,58 @@ def test_time_rollup_open_close_tie_stable(spark):
         .orderBy("day", "event_type")
     )
     assert got == base
+
+
+def test_salted_join_rejects_build_duplicating_how(spark):
+    """ADVICE r2: right/full outer would emit unmatched build rows
+    n_salt times — the operator must refuse, not silently duplicate."""
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.skew import (
+        salted_equi_join,
+    )
+
+    l = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("s"))
+    r = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_equi_join"):
+            salted_equi_join(l, r, "k", "s", n_salt=4, how=how)
+    # probe-preserving forms still work and match the plain join
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = _rows(salted_equi_join(l, r, "k", "s", n_salt=4, how=how))
+        want = _rows(l.join(r, "k", how))
+        assert got == want, how
+
+
+def test_sessionize_missing_tiebreak_raises(spark):
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.windows import (
+        sessionize,
+    )
+
+    e = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id bigint, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="tie-break"):
+        sessionize(e, id_col="event_id")
+    # explicit opt-out is allowed
+    assert sessionize(e, id_col=None).count() == 1
+
+
+def test_distribution_rank_keeps_null_lead_rows_first(spark):
+    """ADVICE r2: NULL lead-order values must be RANKED (nulls first,
+    Spark ASC default), not dropped via a NULL bucket id."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.windows import (
+        global_distribution_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (5.0, 2), (None, 3), (1.0, 4), (9.0, 5)],
+        "v double, id bigint",
+    )
+    got = global_distribution_rank(df, ["v", "id"], ntile_k=2)
+    rows = {r["id"]: r["_rn"] for r in got.collect()}
+    assert len(rows) == 5  # no row loss
+    # NULLs first by id tie-break, then values ascending
+    assert rows == {1: 1, 3: 2, 4: 3, 2: 4, 5: 5}
