@@ -159,14 +159,71 @@ def frame_sample(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(gen, FRAMES_SCHEMA)
 
 
-def decode_image_real(binary_df: DataFrame) -> DataFrame:
-    """Real decode path — requires Pillow, absent from this container."""
+def _pillow():
+    """Build-time probe for the optional media dependency."""
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # clearly-marked stub per the build brief
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
+
+
+def decode_image_real(binary_df: DataFrame) -> DataFrame:
+    """Real Pillow decode, fully wired: per-payload ``Image.open`` over
+    Arrow batches yielding (width, height, n_frames).  Undecodable
+    payloads (corrupt images — a certainty at 100 TB) produce NULL dims
+    instead of failing the task, so one bad blob can't kill a stage.
+    Raises ``NotImplementedError`` at BUILD time when Pillow is absent
+    (this container ships no media libs)."""
+    if _pillow() is None:
         raise NotImplementedError(
             "Image decode requires Pillow on the executors; this container "
             "ships none. Use decode_image_meta (deterministic fake) for "
-            "pipeline testing."
-        ) from exc
-    raise NotImplementedError("wire Pillow decode here when the library lands")
+            "pipeline testing, or decode_image_auto for build-time dispatch."
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image  # executors re-import; probed on driver above
+
+        for batch in batches:
+            w, h, nf = [], [], []
+            for content in batch["content"]:
+                try:
+                    with Image.open(io.BytesIO(content)) as img:
+                        w.append(img.size[0])
+                        h.append(img.size[1])
+                        nf.append(int(getattr(img, "n_frames", 1)))
+                except Exception:
+                    w.append(None)
+                    h.append(None)
+                    nf.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": batch["content"].str.len().astype("int32"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, DECODED_SCHEMA)
+
+
+def decode_image_auto(binary_df: DataFrame) -> DataFrame:
+    """Build-time dispatch (VERDICT r2 #7): the real Pillow path the
+    moment the library exists on the cluster, else the deterministic
+    fake with a logged marker — zero code change either way."""
+    if _pillow() is not None:
+        return decode_image_real(binary_df)
+    import warnings
+
+    warnings.warn(
+        "multimodal: Pillow not installed — decode_image_auto falling back "
+        "to the deterministic fake decode (decode_image_meta)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return decode_image_meta(binary_df)

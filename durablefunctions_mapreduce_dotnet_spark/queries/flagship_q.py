@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,13 +144,72 @@ FROM res
 """
 
 
+def dotnet_double_str(x: float) -> str:
+    """.NET Core ``double.ToString()`` rendering: shortest round-trip
+    digits, NO trailing ``.0`` on integral values, uppercase exponent
+    marker.  Python's ``repr`` is the same shortest-round-trip digit
+    string (Gay/Ryū produce the unique shortest correctly-rounded
+    decimal), so only the formatting differs."""
+    r = repr(float(x))
+    if r.endswith(".0"):
+        r = r[:-2]
+    return r.replace("e", "E") if "e" in r else r
+
+
+def q_flagship_result_string_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 byte-literal: the EXACT reference format string
+    ``"Sun: {0}, Mon: {1}, Tue : {2}, wed: {3}, Thu: {4}, Fri: {5},
+    Sat: {6}"`` (Sample.cs:225-233) — including the stray space in
+    ``Tue :``, the lowercase ``wed``, and full-precision doubles as
+    .NET's default ``ToString`` renders them.  The per-dow doubles are
+    bit-identical across engines (decimal-exact sums — the reason
+    flagship_faithful hash-matches), so a shared shortest-round-trip
+    stringification is deterministic; the UDF applies the .NET
+    formatting rules to those 7 doubles (Arrow-batched, 7 rows)."""
+
+    @F.pandas_udf("string")
+    def net_str(s: pd.Series) -> pd.Series:
+        return s.apply(dotnet_double_str)
+
+    res = flagship_events(read_table(spark, sf_dir, "events"))
+    labels = ["Sun: ", "Mon: ", "Tue : ", "wed: ", "Thu: ", "Fri: ", "Sat: "]
+    label = F.element_at(F.array(*[F.lit(s) for s in labels]), F.col("dow") + 1)
+    line = F.concat(label, net_str(F.col("avg_speed")))
+    return res.select(F.struct(F.col("dow"), line.alias("line")).alias("s")).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["line"]), ", "
+        ).alias("result")
+    )
+
+
+# DuckDB mirror of .NET double rendering: CAST double->VARCHAR is the
+# same shortest-round-trip digit string as Python repr; integral values
+# go through BIGINT to drop the ".0" .NET never prints.
+_NET_FMT = (
+    "CASE WHEN {v} = trunc({v}) AND abs({v}) < 1e15 "
+    "THEN CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+    "ELSE replace(CAST({v} AS VARCHAR), 'e', 'E') END"
+)
+
+_RESULT_STRING_FAITHFUL_SQL = f"""
+WITH res AS ({_FAITHFUL_SQL.replace(';', '')})
+SELECT string_agg(
+         ['Sun: ','Mon: ','Tue : ','wed: ','Thu: ','Fri: ','Sat: '][dow + 1]
+           || {_NET_FMT.format(v='avg_speed')},
+         ', ' ORDER BY dow) AS result
+FROM res
+"""
+
+
 QUERIES = {
     "flagship_faithful": q_flagship_faithful,
     "flagship_global": q_flagship_global,
     "flagship_csv_faithful": q_flagship_csv_faithful,
     "flagship_result_string": q_flagship_result_string,
+    "flagship_result_string_faithful": q_flagship_result_string_faithful,
 }
 ORACLES = {
+    "flagship_result_string_faithful": _RESULT_STRING_FAITHFUL_SQL,
     "flagship_faithful": _FAITHFUL_SQL,
     "flagship_global": _GLOBAL_SQL,
     "flagship_csv_faithful": _CSV_FAITHFUL_SQL,

@@ -104,3 +104,40 @@ def test_partition_invariance_of_faithful(spark, trips_dir):
     a = flagship_trips(trips).collect()
     b = flagship_trips(trips.repartition(13)).collect()
     assert [(r["dow"], r["avg_speed"]) for r in a] == [(r["dow"], r["avg_speed"]) for r in b]
+
+
+def test_result_string_faithful_is_byte_exact_dotnet_format(spark):
+    """VERDICT r2 #5: the faithful variant must render Sample.cs:225-233's
+    LITERAL template — stray space in "Tue :", lowercase "wed", full-
+    precision .NET double rendering — byte-for-byte."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.flagship import (
+        flagship_events,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.flagship_q import (
+        dotnet_double_str,
+        q_flagship_result_string_faithful,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+    from .conftest import SF_DIR
+
+    vals = {
+        r["dow"]: r["avg_speed"]
+        for r in flagship_events(read_table(spark, SF_DIR, "events")).collect()
+    }
+    # the reference's format string, verbatim (Sample.cs:225)
+    template = "Sun: {0}, Mon: {1}, Tue : {2}, wed: {3}, Thu: {4}, Fri: {5}, Sat: {6}"
+    expected = template.format(*[dotnet_double_str(vals[d]) for d in range(7)])
+    got = q_flagship_result_string_faithful(spark, SF_DIR).collect()[0]["result"]
+    assert got == expected
+
+
+def test_dotnet_double_str_rules():
+    from durablefunctions_mapreduce_dotnet_spark.queries.flagship_q import (
+        dotnet_double_str,
+    )
+
+    assert dotnet_double_str(23.0) == "23"          # no trailing .0
+    assert dotnet_double_str(0.0) == "0"
+    assert dotnet_double_str(12.3456) == "12.3456"  # shortest round-trip
+    assert dotnet_double_str(0.1 + 0.2) == "0.30000000000000004"
+    assert dotnet_double_str(1.5e-5) == "1.5E-05"   # uppercase exponent

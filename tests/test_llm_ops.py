@@ -133,3 +133,54 @@ def test_multimodal_real_decode_is_marked_stub(spark):
     docs = read_table(spark, SF_DIR, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         decode_image_real(attach_binary(docs))
+
+
+_HAS_PIL = True
+try:
+    import PIL  # noqa: F401
+except ImportError:
+    _HAS_PIL = False
+
+if _HAS_PIL:
+    # guard the stub-marker test: when Pillow exists the real path must RUN
+    del globals()["test_multimodal_real_decode_is_marked_stub"]
+
+
+def test_multimodal_auto_dispatch(spark):
+    """VERDICT r2 #7: build-time dispatch — fake with a logged marker
+    when Pillow is absent, real path lighting up when it exists."""
+    import warnings
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        decode_image_auto,
+    )
+
+    docs = attach_binary(read_table(spark, SF_DIR, "documents").limit(10))
+    if _HAS_PIL:
+        # utf-8 payloads are not valid images: real decode NULLs dims
+        # instead of failing the task
+        rows = decode_image_auto(docs).collect()
+        assert len(rows) == 10
+        assert all(r.width is None and r.n_bytes > 0 for r in rows)
+    else:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = decode_image_auto(docs)
+            assert any("falling back" in str(w.message) for w in caught)
+        assert out.count() == 10
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not in container")
+def test_multimodal_real_decode_with_pillow(spark):
+    """Real Pillow path: a genuine 1-px PNG decodes to its true dims."""
+    png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+        "0000000d49444154789c626001000000ffff03000006000557bfabd40000000049454e44ae426082"
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        decode_image_real,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id bigint, content binary")
+    r = decode_image_real(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (1, 1, 1)
