@@ -79,13 +79,15 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception:
         pass
-    # Best-of-2 per query: the host is a shared VM with bursty CPU
-    # contention (measured 10×+ spikes on trivial scans); the minimum is
-    # the faithful cost of the plan.
+    # Best-of-3 per query (r3+; r2 used best-of-2 — the only methodology
+    # change, made because r2 showed 1.5-3.9x contention swings on
+    # UNCHANGED code that two samples couldn't absorb): the host is a
+    # shared VM with bursty CPU contention; the minimum is the faithful
+    # cost of the plan.  Warmups above are frozen as of r2.
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_one(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
