@@ -134,10 +134,15 @@ def sessionize(
     order = [ts_col] + ([id_col] if id_col is not None else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = F.lit(gap_seconds * 1_000_000)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    is_new = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
-    ).otherwise(0)
+    # unix_micros rejects TIMESTAMP_NTZ; reinterpret NTZ in the session
+    # zone (pinned UTC by session.tune) — a monotone bijection there, so
+    # ordering and gap differences are exact.
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    micros = F.unix_micros(ts)
+    prev = F.lag(micros).over(w)
+    is_new = F.when(prev.isNull() | ((micros - prev) > gap_us), 1).otherwise(0)
     return events.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -48,24 +48,29 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from . import flagship_q
-
-    mods = [flagship_q]
+    # Order matters: the driver's correctness harness checks a PREFIX of
+    # the registry (50 rows in r01/r02).  Modules whose queries have
+    # never had a driver-green row go FIRST; the relational/join/window
+    # core — two identical green rounds (CORRECTNESS_r01/r02) — cedes
+    # its slots and rests on the local oracle mirror
+    # (tests/test_oracle_parity.py, same DuckDB check).
+    mods = []
     for name in (
-        "relational_q",
-        "joins_q",
-        "windows_q",
-        "subquery_q",
-        "arrays_q",
-        "aggregates_q",
+        "similarity_q",
         "dedup_q",
         "curation_q",
-        "similarity_q",
         "text_q",
         "multimodal_q",
         "streaming_q",
         "timeseries_q",
         "udf_q",
+        "flagship_q",
+        "windows_q",
+        "arrays_q",
+        "subquery_q",
+        "aggregates_q",
+        "joins_q",
+        "relational_q",
     ):
         mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
     return mods

@@ -30,6 +30,12 @@ RUNTIME_CONFS = {
     # parquet reader rejects outright; read as long and rebuild in
     # sources.readers (sub-microsecond parts are zero in the test data).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) surface as
+    # TIMESTAMP (session tz, pinned UTC above) rather than TIMESTAMP_NTZ,
+    # so time arithmetic (unix_micros, range joins, watermarks) sees one
+    # type regardless of how the writer flagged the column, and values
+    # line up with the tz-naive DuckDB oracle under UTC.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
