@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "kmeans_clusters",
     "text_stats",
     "curation_pack_sequences",
     "curation_vocab_topk",

@@ -153,13 +153,83 @@ QUALIFY rank <= 5
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means cluster assignment (k=8, 2 Lloyd updates) —
+    FULL oracle parity: deterministic lowest-id seeding, every Lloyd
+    iteration (argmax assign, normalized-sum centroid update) and the
+    final assignment are unrolled into SQL, so the driver hash-checks
+    the whole iterative pipeline.  FP margin: assignment gaps between
+    top-2 cells are O(1e-2) vs ~1e-14 cross-engine sum skew (same
+    argument as the IVF oracle above)."""
+    from ..operators.clustering import spherical_kmeans
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return spherical_kmeans(e, k=8, iters=2)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as a CTE chain mirroring
+    operators.clustering.spherical_kmeans step by step."""
+
+    def assign_body(cents: str) -> str:
+        return f"""
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1), i -> en.vn[i] * c.cv[i]))
+               DESC, c.cell ASC) AS rn
+    FROM en CROSS JOIN {cents} AS c
+  ) WHERE rn = 1"""
+
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)""",
+        """en AS (  -- unit-normalized corpus (zero vectors pass through)
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS vn
+  FROM e
+)""",
+        f"""c0 AS (  -- seeds: the k lowest-id vectors, already unit length
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vn AS cv
+  FROM en ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"a{t} AS ({assign_body(f'c{t - 1}')}\n)")
+        ctes.append(f"""s{t} AS (  -- per-cell per-dimension sums of member unit vectors
+  SELECT a.cell, t.i AS pos, SUM(en.vn[t.i]) AS s
+  FROM en JOIN a{t} AS a USING (vec_id) CROSS JOIN range(1, {dim} + 1) AS t(i)
+  GROUP BY a.cell, t.i
+)""")
+        ctes.append(f"""c{t} AS (  -- normalized sum = spherical centroid; empty/zero cells keep previous
+  SELECT c.cell,
+         CASE WHEN g.nrm IS NULL OR g.nrm = 0 THEN c.cv
+              ELSE list_transform(g.sv, x -> x / g.nrm) END AS cv
+  FROM c{t - 1} AS c LEFT JOIN (
+    SELECT cell, sv, sqrt(list_sum(list_transform(sv, y -> y * y))) AS nrm
+    FROM (SELECT cell, list(s ORDER BY pos) AS sv FROM s{t} GROUP BY cell)
+  ) AS g ON c.cell = g.cell
+)""")
+    ctes.append(f"fin AS ({assign_body(f'c{iters}')}\n)")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM fin
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_lsh_topk": _lsh_oracle_sql(),
+    "kmeans_clusters": _kmeans_oracle_sql(),
 }

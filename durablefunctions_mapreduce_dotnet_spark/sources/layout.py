@@ -1,0 +1,109 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional scan pruning.
+
+At 100 TB the scan is the dominant cost, and parquet pruning is only as
+good as the physical layout: a table sorted by one column prunes
+filters on that column alone, while a table CLUSTERED along a
+space-filling curve keeps *every* participating column's per-file
+min/max ranges narrow, so row-group/file skipping works for filters on
+any of them (the technique popularized by Delta/Iceberg ``ZORDER BY``;
+the reference has no layout control at all — its blobs are arrival-
+ordered, `Sample.cs:41-60`).
+
+Spark-first shape: everything is codegen'd column expressions —
+per-column rank buckets from mergeable ``approxQuantile`` sketches
+(same monotone pure-row-function trick as
+``operators.windows.global_distribution_rank``: deterministic, no
+materialization barrier), bit interleaving via ``shiftleft``/add, then
+``repartitionByRange(zcode).sortWithinPartitions(zcode)`` so each
+output file covers one compact curve segment.  One extra shuffle at
+write time buys every subsequent scan its pruning — the classic
+write-once/read-many trade.
+
+Two traps the implementation dodges (found the hard way):
+
+* Bucket ids are SCALED to the full bit width.  A low-cardinality
+  column (15 users -> buckets 0..14) would otherwise leave its high
+  Morton bits permanently zero and the interleave would degenerate to
+  a single-column sort on whichever column does fill its bits.
+* Bucket expressions are materialized as intermediate columns before
+  interleaving.  Inlined, each (2^bits - 1)-comparison rank expression
+  is repeated per extracted bit and whole-stage codegen exceeds the
+  JVM method limit — Spark silently drops to the interpreted path,
+  ~50x slower.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_code", "zorder_layout", "write_zordered"]
+
+
+def _scaled_bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
+    """Monotone bucket id stretched over the FULL [0, 2**bits) width for
+    ``col``, from approxQuantile boundaries — a pure row function
+    (identical on every evaluation), so repeated passes stay consistent
+    without caching.  NULLs map to bucket 0 (NULLS FIRST)."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    c = F.col(col)
+    numeric = c.cast("double")
+    bounds = sorted(
+        set(df.select(numeric.alias("_x")).stat.approxQuantile("_x", probs, 0.001))
+    )
+    m = len(bounds)
+    b = F.lit(0)
+    for v in bounds:
+        b = b + (numeric > F.lit(v)).cast("int")
+    if 0 < m < n - 1:  # low-cardinality column: stretch to fill the bit width
+        b = F.floor(b * F.lit(n - 1) / F.lit(m)).cast("int")
+    return F.when(c.isNull(), F.lit(0)).otherwise(b)
+
+
+def _interleave(bucket_cols: list[Column], bits: int) -> Column:
+    """Morton code, highest bit of every column first — shifts and adds
+    only, no UDF; tiny expression because inputs are plain columns."""
+    code = F.lit(0)
+    for bit in range(bits - 1, -1, -1):
+        for b in bucket_cols:
+            code = F.shiftleft(code, 1) + F.shiftright(b, bit).bitwiseAND(F.lit(1))
+    return code.cast("long")
+
+
+def zorder_code(df: DataFrame, cols: list[str], bits: int = 6) -> Column:
+    """Single-expression Morton code (for inspection/tests).  For the
+    write path prefer :func:`zorder_layout`, which materializes the
+    bucket sub-expressions so codegen stays within JVM method limits."""
+    return _interleave([_scaled_bucket_expr(df, c, bits) for c in cols], bits)
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], num_files: int, bits: int = 6
+) -> DataFrame:
+    """Rows arranged along the Z-curve: range-partitioned into
+    ``num_files`` curve segments, sorted within each.  The helper the
+    writer and the layout tests share."""
+    bnames = [f"_zb{i}" for i in range(len(cols))]
+    coded = df
+    for name, col in zip(bnames, cols):
+        coded = coded.withColumn(name, _scaled_bucket_expr(df, col, bits))
+    coded = coded.withColumn("_z", _interleave([F.col(n) for n in bnames], bits))
+    return (
+        coded.repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *bnames)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 32,
+    bits: int = 6,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of ``cols``.
+    Readers need no cooperation: pruning falls out of ordinary parquet
+    min/max stats + Catalyst filter pushdown."""
+    zorder_layout(df, cols, num_files, bits).write.mode("overwrite").parquet(path)

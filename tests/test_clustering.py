@@ -1,0 +1,67 @@
+"""Property tests for spherical k-means (operators.clustering): coverage,
+determinism across runs, monotone objective, and label coherence on the
+synthetic embeddings (which carry a latent ``label``).  Hash-level
+cross-engine parity is covered by test_oracle_parity / the driver via
+the unrolled SQL oracle (queries/similarity_q.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+    _lloyd_update,
+    _seed_centroids,
+    spherical_kmeans,
+)
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+from .conftest import SF_DIR
+
+
+def _objective(spark, sf_dir: str, cm) -> float:
+    """Mean max-cosine of every corpus vector to its centroid."""
+    pdf = read_table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1)[:, None]
+    return float((v @ cm.T).max(axis=1).mean())
+
+
+def test_kmeans_assigns_every_row_deterministically(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    a = spherical_kmeans(e, k=8, iters=2).toPandas().sort_values("vec_id")
+    b = spherical_kmeans(e, k=8, iters=2).toPandas().sort_values("vec_id")
+    assert len(a) == n
+    assert a["vec_id"].is_unique
+    assert set(a["cluster"]) <= set(range(8))
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_lloyd_updates_improve_cosine_objective(spark):
+    e = read_table(spark, SF_DIR, "embeddings")
+    cm = _seed_centroids(e, 8, "embedding", "vec_id")
+    o0 = _objective(spark, SF_DIR, cm)
+    cm = _lloyd_update(e, cm, "embedding")
+    o1 = _objective(spark, SF_DIR, cm)
+    cm = _lloyd_update(e, cm, "embedding")
+    o2 = _objective(spark, SF_DIR, cm)
+    # Lloyd monotonicity: each update weakly improves mean max-cosine
+    assert o1 >= o0 - 1e-12
+    assert o2 >= o1 - 1e-12
+    assert o2 > o0  # and strictly overall on non-degenerate data
+
+
+def test_kmeans_partition_is_nondegenerate(spark):
+    """All k clusters survive 2 Lloyd updates on the synthetic corpus
+    (no cluster collapse), and no cluster swallows the majority of it —
+    the shape cluster-balanced sampling depends on.  (The synthetic
+    ``label`` column is NOT geometrically separable — measured purity is
+    at the 1/n_labels chance line — so label-coherence is deliberately
+    not asserted here.)"""
+    e = read_table(spark, SF_DIR, "embeddings")
+    sizes = (
+        spherical_kmeans(e, k=8, iters=2).groupBy("cluster").count().toPandas()
+    )
+    n = int(sizes["count"].sum())
+    assert len(sizes) == 8
+    assert int(sizes["count"].max()) < n // 2

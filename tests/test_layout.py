@@ -1,0 +1,63 @@
+"""Z-order layout (sources.layout): per-file min/max ranges must tighten
+on EVERY clustered column simultaneously vs an arrival-ordered write —
+that tightening is precisely what parquet row-group/file pruning
+consumes, so it's the property worth locking (not a plan string)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from durablefunctions_mapreduce_dotnet_spark.sources.layout import (
+    write_zordered,
+    zorder_code,
+)
+from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+from .conftest import SF_DIR
+
+COLS = ["user_id", "value"]
+
+
+def _mean_span(path: str, col: str) -> float:
+    """Mean per-file (max-min) extent of ``col``, normalized by the
+    global extent — 1.0 means every file covers the whole range (no
+    pruning possible), ~1/sqrt(num_files) is ideal 2-dim clustering."""
+    spans, los, his = [], [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.read_metadata(f)
+        idx = meta.schema.to_arrow_schema().get_field_index(col)
+        lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        spans.append(hi - lo)
+        los.append(lo)
+        his.append(hi)
+    whole = max(his) - min(los)
+    return (sum(spans) / len(spans)) / whole
+
+
+def test_zorder_tightens_all_clustered_columns(spark, tmp_path):
+    e = read_table(spark, SF_DIR, "events").select("event_id", *COLS)
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zord")
+    # arrival-ordered baseline at the same file count
+    e.repartition(8).write.mode("overwrite").parquet(naive)
+    write_zordered(e, zord, COLS, num_files=8)
+
+    # same rows, just rearranged
+    assert spark.read.parquet(zord).count() == e.count()
+
+    for col in COLS:
+        n, z = _mean_span(naive, col), _mean_span(zord, col)
+        # each file should cover well under half the range on BOTH
+        # dimensions at once; the naive layout covers ~all of it
+        assert z < 0.6, f"{col}: z-ordered span {z:.2f}"
+        assert z < n * 0.7, f"{col}: z {z:.2f} not tighter than naive {n:.2f}"
+
+
+def test_zorder_code_is_deterministic_pure_expression(spark):
+    e = read_table(spark, SF_DIR, "events")
+    a = e.select(zorder_code(e, COLS).alias("z")).groupBy().sum("z").first()[0]
+    b = e.select(zorder_code(e, COLS).alias("z")).groupBy().sum("z").first()[0]
+    assert a == b
