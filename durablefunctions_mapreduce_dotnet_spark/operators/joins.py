@@ -94,3 +94,49 @@ def range_band_join(facts: DataFrame, bands: DataFrame, value_col: str, lo: str 
         (F.col(value_col) >= F.col(lo)) & (F.col(value_col) < F.col(hi)),
         "inner",
     )
+
+
+def range_bin_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    bin_width: float = 100.0,
+) -> DataFrame:
+    """The LARGE-band-table path :func:`range_band_join` points at:
+    ``facts.value IN [band.lo, band.hi)`` when the band side is far too
+    big to broadcast and a nested loop would be O(|facts| x |bands|).
+
+    Classic interval bucketization: pick a bin width, explode each band
+    to one row per bin its interval overlaps, tag each fact with its
+    single bin, EQUI-join on the bin id, then re-apply the exact range
+    predicate as a residual filter.  Catalyst gets an ordinary shuffled
+    equi-join (sort-merge / shuffle-hash, AQE-planned, skew-splittable)
+    instead of a BroadcastNestedLoopJoin — both sides scale out.
+
+    Cost model: band replication factor = interval_width / bin_width
+    (+1), candidate pairs per fact = bands overlapping its bin.  Pick
+    ``bin_width`` near the typical interval width; heavily-overlapping
+    hot bins are ordinary join skew, handled by AQE or operators.skew.
+
+    Duplicate-safe by construction: a (fact, band) pair meets in exactly
+    one bin — the fact's own — so no post-join dedup is needed.
+    """
+    v = F.col(value_col)
+    w = F.lit(bin_width)
+    b = bands.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor(F.col(hi) / w).cast("long"),
+            )
+        ),
+    )
+    f = facts.withColumn("_bin", F.floor(v / w).cast("long"))
+    return (
+        f.join(b, "_bin")
+        .where((v >= F.col(lo)) & (v < F.col(hi)))
+        .drop("_bin")
+    )

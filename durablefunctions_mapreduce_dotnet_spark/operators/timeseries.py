@@ -1,0 +1,101 @@
+"""Gap-filling / interpolation over regular time grids — the
+``time_bucket_gapfill`` + ``locf()`` + ``interpolate()`` surface of a
+hypertable engine, re-expressed on Spark windows.
+
+The reference has no time-series surface at all (its one time function
+is day-of-week extraction, ``Sample.cs:189``); this is the standard
+continuous-aggregate companion: densify each series onto a fixed-step
+grid, then fill holes by last-observation-carried-forward and by linear
+interpolation between the neighboring observations.
+
+Plan shape (100 TB posture):
+
+* Bucketing is a pure row expression (integer ``div`` on epoch micros).
+* The per-bucket representative value is a struct-extremum
+  (``max(struct(ts, id, value))``) riding the SAME hash aggregate as
+  the bucket groupBy — exact, tie-broken, no window pass.
+* The grid is ``sequence(min_bucket, max_bucket)`` exploded per series
+  — generated JVM-side from a k-row aggregate, never shuffled at grid
+  size; join back to observations is (series, bucket)-keyed.
+* Both fills are ONE window pass each direction over the densified
+  frame (``last(..., ignorenulls)`` backward state / ``first(...,
+  ignorenulls)`` forward), partitioned by series — state per partition
+  is O(1), late/skewed series never serialize on a single task beyond
+  their own rows.
+
+Determinism: fills copy exact observed doubles; linear interpolation is
+the literal expression ``pv + (nv - pv) * ((b - pb) / (nb - pb))``
+with integer bucket arithmetic, mirrored operation-for-operation in the
+SQL oracle so IEEE doubles agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Densified (series, bucket) grid with columns:
+
+    ``bucket``   epoch-second bucket start (bigint, step-aligned)
+    ``v_obs``    value of the LAST observation in the bucket (by
+                 (ts, id) — exact struct-extremum tie-break), NULL in gaps
+    ``v_locf``   v_obs carried forward (NULL before the first obs)
+    ``v_lin``    linear interpolation between neighboring observed
+                 buckets (NULL outside [first, last] obs)
+    """
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    step_us = step_seconds * 1_000_000
+    obs = (
+        df.select(
+            F.col(series_col).alias("series"),
+            # explicit floor: Spark's double->bigint cast truncates while
+            # DuckDB's rounds, so the oracle mirrors floor() verbatim
+            F.floor(F.unix_micros(ts) / F.lit(step_us)).cast("bigint").alias("bucket"),
+            F.struct(ts.alias("_t"), F.col(id_col).alias("_i"), F.col(value_col).alias("_v")).alias("_s"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.max("_s")["_v"].alias("v_obs"))
+    )
+    grid = (
+        obs.groupBy("series")
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select("series", F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    dense = grid.join(obs, ["series", "bucket"], "left")
+
+    back = Window.partitionBy("series").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("series").orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    packed = F.when(
+        F.col("v_obs").isNotNull(), F.struct(F.col("bucket").alias("b"), F.col("v_obs").alias("v"))
+    )
+    prev = F.last(packed, ignorenulls=True).over(back)
+    nxt = F.first(packed, ignorenulls=True).over(fwd)
+    lin = F.when(
+        F.col("v_obs").isNotNull(), F.col("v_obs")
+    ).otherwise(
+        prev["v"]
+        + (nxt["v"] - prev["v"])
+        * ((F.col("bucket") - prev["b"]) / (nxt["b"] - prev["b"]))
+    )
+    return dense.select(
+        "series",
+        (F.col("bucket") * F.lit(step_seconds)).alias("bucket"),
+        "v_obs",
+        prev["v"].alias("v_locf"),
+        lin.alias("v_lin"),
+    )

@@ -189,7 +189,95 @@ FROM src
 """
 
 
+def q_sample_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the operation the k-means operator
+    exists for: EQUAL COUNTS (40) from every spherical-k-means topic
+    cluster, chosen in deterministic portable-hash order so the subset
+    is stable across engines, partitionings and retries.  Composes
+    operators/clustering.spherical_kmeans with the curation hash
+    doctrine; the oracle nests the fully-unrolled Lloyd SQL and ranks
+    with the identical integer hash.
+
+    Scale note: the per-cluster window sorts one cluster per task —
+    fine while m << cluster size and k gives enough parallelism (at
+    100 TB you'd run k in the thousands, which also makes the clusters
+    tighter); the two-phase partial-top-m refinement drops in here
+    unchanged if a single cluster ever outgrows a task."""
+    from ..operators.clustering import spherical_kmeans
+    from ..operators.curation import _KNUTH, _M32
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    a = spherical_kmeans(e, k=8, iters=2)
+    h = (F.col("vec_id") * F.lit(_KNUTH)) % F.lit(_M32)
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        a.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 40)
+        .select("vec_id", "cluster")
+    )
+
+
+def _sample_clustered_sql() -> str:
+    from .similarity_q import _kmeans_oracle_sql
+
+    return f"""
+WITH km AS ({_kmeans_oracle_sql()}),
+ranked AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+  FROM km)
+SELECT vec_id, cluster FROM ranked WHERE rn <= 40
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling in ONE scan: row count, null count, exact
+    distinct count and min/max for several numeric columns at once —
+    the pre-ingest audit a pipeline runs before trusting a drop.  The
+    multi-column COUNT(DISTINCT) batch compiles to a single hash
+    aggregate over an Expand (rows x #columns internally, one pass over
+    the parquet, map-side partial for every stat); the wide single-row
+    result is then unpivoted JVM-side with ``stack``.  The oracle is a
+    per-column UNION ALL — same answer, DuckDB's planner's shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, vmin, vmax)"
+    )
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS vmin, MAX({c}) AS vmax
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
+    "curation_sample_clustered": q_sample_clustered,
+    "curation_profile_stats": q_profile_stats,
     "curation_sample_hash": q_sample_hash,
     "curation_sample_stratified": q_sample_stratified,
     "curation_split_counts": q_split_counts,
@@ -199,6 +287,8 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_sample_clustered": _sample_clustered_sql(),
+    "curation_profile_stats": _PROFILE_SQL,
     "curation_sample_hash": _SAMPLE_SQL,
     "curation_sample_stratified": _STRATIFIED_SQL,
     "curation_split_counts": _SPLIT_SQL,

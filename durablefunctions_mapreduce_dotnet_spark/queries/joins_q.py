@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.joins import asof_join_backward, range_band_join
+from ..operators.joins import asof_join_backward, range_band_join, range_bin_join
 from ..sources.readers import read_table
 from ._sql import dsum as sql_dsum
 
@@ -298,8 +298,41 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big range join via interval bucketization
+    (operators/joins.py range_bin_join): lineitem prices against
+    per-part [retail-5, retail+5) bands — 2000 bands is already past
+    sane nested-loop territory, and the binned plan is an ordinary
+    shuffled equi-join on the bin id that scales out on BOTH sides.
+    Oracle = the plain range predicate (bucketization is pair-exact,
+    so the SQL doesn't need to know about bins)."""
+    from ..functions.numeric import dsum
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 5).alias("lo"),
+        (F.col("p_retailprice") + 5).alias("hi"),
+    )
+    j = range_bin_join(li, bands, "l_extendedprice", bin_width=10.0)
+    return j.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        dsum("l_extendedprice", "band_revenue"),
+    )
+
+
+_JOIN_RANGE_BINNED_SQL = f"""
+SELECT p_partkey, COUNT(*) AS n_in_band,
+       {sql_dsum('l_extendedprice')} AS band_revenue
+FROM lineitem JOIN part
+  ON l_extendedprice >= p_retailprice - 5 AND l_extendedprice < p_retailprice + 5
+GROUP BY p_partkey
+"""
+
+
 QUERIES = {
     "join_inner_revenue": q_join_revenue,
+    "join_range_binned": q_join_range_binned,
     "join_multiway_region": q_join_multiway,
     "join_left_counts": q_join_left,
     "join_right_counts": q_join_right,
@@ -312,6 +345,7 @@ QUERIES = {
 }
 ORACLES = {
     "join_inner_revenue": _JOIN_REVENUE_SQL,
+    "join_range_binned": _JOIN_RANGE_BINNED_SQL,
     "join_multiway_region": _JOIN_MULTIWAY_SQL,
     "join_left_counts": _JOIN_LEFT_SQL,
     "join_right_counts": _JOIN_RIGHT_SQL,

@@ -87,11 +87,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute gap-filled grid per event type with LOCF and linear
+    interpolation (operators/timeseries.py) — the time_bucket_gapfill /
+    locf / interpolate surface.  FULL oracle parity: bucketing, the
+    struct-extremum per-bucket representative, grid densification and
+    both fills are mirrored operation-for-operation, so even the
+    interpolated IEEE doubles hash-match."""
+    from ..operators.timeseries import gap_fill
+
+    e = read_table(spark, sf_dir, "events")
+    return gap_fill(e, "event_type", "ts", "value", step_seconds=900)
+
+
+_TIME_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT series, bucket, MAX(CASE WHEN rn = 1 THEN value END) AS v_obs
+  FROM (
+    SELECT event_type AS series,
+           CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) AS bucket,
+           value,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type, CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  GROUP BY series, bucket
+),
+grid AS (
+  SELECT series, unnest(generate_series(mn, mx)) AS bucket
+  FROM (SELECT series, MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs GROUP BY series)
+),
+dense AS (
+  SELECT g.series, g.bucket, o.v_obs
+  FROM grid g LEFT JOIN obs o ON g.series = o.series AND g.bucket = o.bucket
+),
+w AS (
+  SELECT series, bucket, v_obs,
+    last_value(CASE WHEN v_obs IS NOT NULL THEN {'b': bucket, 'v': v_obs} END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+    first_value(CASE WHEN v_obs IS NOT NULL THEN {'b': bucket, 'v': v_obs} END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM dense
+)
+SELECT series, bucket * 900 AS bucket, v_obs,
+       prev.v AS v_locf,
+       CASE WHEN v_obs IS NOT NULL THEN v_obs
+            ELSE prev.v + (nxt.v - prev.v) * ((bucket - prev.b) / (nxt.b - prev.b))
+       END AS v_lin
+FROM w
+"""
+
+
 QUERIES = {
     "time_rollup_ohlc": q_time_rollup_ohlc,
     "distinct_users_salted": q_distinct_users_salted,
+    "time_gapfill_interpolate": q_time_gapfill,
 }
 ORACLES = {
     "time_rollup_ohlc": _TIME_ROLLUP_SQL,
     "distinct_users_salted": _DISTINCT_SALTED_SQL,
+    "time_gapfill_interpolate": _TIME_GAPFILL_SQL,
 }
