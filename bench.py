@@ -36,6 +36,9 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "kmeans_clusters",
+    "dedup_embedding",
+    "time_gapfill_interpolate",
+    "join_range_binned",
     "text_stats",
     "curation_pack_sequences",
     "curation_vocab_topk",

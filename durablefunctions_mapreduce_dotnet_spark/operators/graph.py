@@ -45,6 +45,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     checkpoint: CheckpointFn = local_checkpoint,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """(node, component) where component = MIN node id reachable via the
     undirected pair relation — min-label propagation to fixpoint.
@@ -57,9 +58,15 @@ def connected_components(
     Converges in O(component diameter) rounds: near-dup clusters are
     clique-ish (verified pairs), so diameter stays small (2-4) no matter
     the corpus size — at 1000-executor scale iteration count is
-    corpus-independent; per-round cost is the two shuffles.  (The
-    O(log n) alternative for adversarial long-path graphs is
-    large-star/small-star contraction — same join/agg primitives.)
+    corpus-independent; per-round cost is the two shuffles.
+
+    ``pointer_jumping=True`` adds one label-chasing join per round
+    (``component <- label(component)``, valid because labels are node
+    ids and monotonically non-increasing), collapsing convergence to
+    O(log diameter) — the path-compression move of large-star/small-star
+    contraction.  Turn it on for adversarial long-chain graphs (e.g.
+    sessions linked by shared IPs); for clique-ish dedup graphs the
+    extra shuffle per round costs more than it saves.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
     the fixpoint — unconverged labels are silently-wrong clusters, never
@@ -89,11 +96,17 @@ def connected_components(
                 labels.select(F.col("n").alias("v"), F.col("component")), "v"
             ).select(F.col("u").alias("n"), "component")
         )
-        labels = checkpoint(
-            labels.union(neighbor)
-            .groupBy("n")
-            .agg(F.min("component").alias("component"))
+        labels = labels.union(neighbor).groupBy("n").agg(
+            F.min("component").alias("component")
         )
+        if pointer_jumping:
+            chase = labels.select(
+                F.col("n").alias("component"), F.col("component").alias("_c2")
+            )
+            labels = labels.join(chase, "component", "left").select(
+                "n", F.coalesce("_c2", "component").alias("component")
+            )
+        labels = checkpoint(labels)
         new_sum = labels.agg(probe).first()[0]
         if new_sum == checksum:
             return labels

@@ -133,3 +133,23 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(pairs, max_iter=1)
+
+
+def test_pointer_jumping_collapses_long_chain(spark):
+    """A 48-node path has diameter 47: plain min-label propagation needs
+    ~47 rounds (more than max_iter=8 -> must raise), while pointer
+    jumping chases label-of-label each round and lands the fixpoint
+    within O(log n) rounds — same labels, exponentially fewer shuffles
+    on adversarial chain graphs."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(47)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["n"]: r["component"]
+        for r in connected_components(chain, max_iter=8, pointer_jumping=True).collect()
+    }
+    assert got == {i: 0 for i in range(48)}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=8)
