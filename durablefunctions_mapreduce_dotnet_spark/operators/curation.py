@@ -47,6 +47,33 @@ def sample_stratified(
     return df.where(hash_bucket(id_col) < rate)
 
 
+def sample_weighted(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement —
+    Efraimidis-Spirakis A-ES with the portable hash as the uniform
+    source: ``u = (hash(id) + 0.5) / 2^32`` in (0,1), rank key
+    ``ln(u) / w`` (the log-transformed ``u^(1/w)``, same order), keep
+    the k LARGEST keys.  Heavier rows win proportionally more often,
+    yet membership is a pure function of (id, weight): stable across
+    engines, partitionings and retries, and SQL-mirrorable.
+
+    The plan is a global top-k (``TakeOrderedAndProject``): map-side
+    partial top-k per task, k rows to the driver-side final — no full
+    sort, no single-partition shuffle.  FP note: selection compares
+    ln-key GAPS (~1e-3 on real corpora) against cross-libm ln skew
+    (≤1 ulp), so the chosen set is engine-stable; the key itself is
+    dropped from the output to keep the hash contract integer-clean.
+    """
+    h = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(_M32)
+    u = (h + F.lit(0.5)) / F.lit(float(_M32))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def train_val_test_split(
     df: DataFrame, id_col: str, val_percent: int = 5, test_percent: int = 5
 ) -> DataFrame:

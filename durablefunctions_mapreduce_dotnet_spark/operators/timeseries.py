@@ -67,6 +67,12 @@ def gap_fill(
         .groupBy("series", "bucket")
         .agg(F.max("_s")["_v"].alias("v_obs"))
     )
+    # obs feeds TWO consumers (grid bounds + the densifying join);
+    # pinned evictable so the scan + bucket aggregate runs once, not
+    # twice (same discipline as windows.global_distribution_rank)
+    from pyspark.storagelevel import StorageLevel
+
+    obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
     grid = (
         obs.groupBy("series")
         .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))

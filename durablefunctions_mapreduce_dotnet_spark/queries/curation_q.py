@@ -275,8 +275,30 @@ FROM lineitem"""
 )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling (64 docs, weight = n_chars) via
+    deterministic Efraimidis-Spirakis (operators/curation.py
+    sample_weighted) — longer documents proportionally likelier, yet the
+    chosen set is a pure function of ids so the oracle re-derives it
+    exactly."""
+    from ..operators.curation import sample_weighted
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sample_weighted(d, "doc_id", "n_chars", k=64)
+
+
+_SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0) / n_chars AS k
+  FROM documents)
+ORDER BY k DESC, doc_id LIMIT 64
+"""
+
+
 QUERIES = {
     "curation_sample_clustered": q_sample_clustered,
+    "curation_sample_weighted": q_sample_weighted,
     "curation_profile_stats": q_profile_stats,
     "curation_sample_hash": q_sample_hash,
     "curation_sample_stratified": q_sample_stratified,
@@ -288,6 +310,7 @@ QUERIES = {
 }
 ORACLES = {
     "curation_sample_clustered": _sample_clustered_sql(),
+    "curation_sample_weighted": _SAMPLE_WEIGHTED_SQL,
     "curation_profile_stats": _PROFILE_SQL,
     "curation_sample_hash": _SAMPLE_SQL,
     "curation_sample_stratified": _STRATIFIED_SQL,

@@ -131,3 +131,43 @@ def test_whole_stage_codegen_covers_agg(spark):
     df = flagship_events(read_table(spark, SF_DIR, "events"))
     plan = explain_str(df, mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_gapfill_single_window_pass(spark):
+    """Both fill directions (LOCF backward state, next-obs forward) must
+    ride ONE WindowExec — same partitioning and ordering — not two
+    sorts; and nothing may collapse to a single partition."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.timeseries_q import (
+        q_time_gapfill,
+    )
+
+    plan = explain_str(q_time_gapfill(spark, SF_DIR), "simple")
+    assert plan.count("Window [") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_range_binned_join_is_equi_join(spark):
+    """The binned range join exists precisely to avoid the nested loop:
+    the physical join must be a hash/merge EQUI-join on the bin id."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.joins_q import (
+        q_join_range_binned,
+    )
+
+    plan = explain_str(q_join_range_binned(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan
+
+
+def test_profile_stats_is_one_scan(spark):
+    """Multi-column profiling must batch through a single Expand
+    aggregate over ONE parquet scan — N separate scans is the plan this
+    operator exists to avoid."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_profile_stats,
+    )
+
+    plan = explain_str(q_profile_stats(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
