@@ -34,6 +34,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: ids from ``new_batch`` that survive
+    (a) within-batch exact dedup (min id per fingerprint) and (b) an
+    anti-join against the HISTORICAL corpus's fingerprints — the shape
+    every recurring crawl/ingest runs, where re-processing the whole
+    corpus per batch is not an option.
+
+    Scale contract: texts never shuffle — both sides reduce to 16-byte
+    md5 fingerprints before any exchange; the history side is exactly
+    the fingerprint store a production pipeline would persist (and with
+    a bucketed store, sources/bucketing.py makes the anti-join
+    exchange-free on the batch side only).
+    """
+    fp = F.md5(F.col(text_col))
+    b = (
+        new_batch.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    h = history.select(fp.alias("_fp")).distinct()
+    return b.join(h, "_fp", "left_anti").select(id_col)
+
+
 # --- shingling / MinHash ----------------------------------------------------
 
 

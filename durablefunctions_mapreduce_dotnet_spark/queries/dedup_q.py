@@ -162,8 +162,58 @@ ORDER BY d.doc_id
 """
 
 
+_BATCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py incremental_dedup):
+    sources src0-src4 play the incoming crawl batch — salted with
+    re-crawled copies of every 10th historical doc (shifted ids) and an
+    in-batch duplicate of every 25th batch doc — against the remaining
+    sources as the historical fingerprint store.  Survivors are batch
+    ids whose text is new both within the batch and vs history."""
+    from ..operators.dedup import incremental_dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    is_batch = F.col("source").isin(*_BATCH_SOURCES)
+    batch = d.where(is_batch).select("doc_id", "text")
+    history = d.where(~is_batch).select("doc_id", "text")
+    recrawled = history.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    in_batch_dup = batch.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    incoming = batch.union(recrawled).union(in_batch_dup)
+    return incremental_dedup(incoming, history).orderBy("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH batch AS (
+  SELECT doc_id, text FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+),
+history AS (
+  SELECT doc_id, text FROM documents
+  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+),
+incoming AS (
+  SELECT doc_id, text FROM batch
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM history WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM batch WHERE doc_id % 25 = 0
+),
+b AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM incoming GROUP BY md5(text))
+SELECT doc_id FROM b
+WHERE fp NOT IN (SELECT DISTINCT md5(text) FROM history)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
@@ -172,6 +222,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,

@@ -20,6 +20,7 @@ paths a 100 TB pipeline needs:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet_partitioned(
@@ -38,6 +39,45 @@ def write_parquet_partitioned(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def merge_upsert_partitioned(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE (upsert) into a hive-partitioned parquet table without a
+    table format: rows in ``updates`` replace target rows with the same
+    key; new keys are appended.  The 100 TB property is that ONLY the
+    partitions named by the updates are read or rewritten:
+
+    1. collect the updates' distinct partition values (driver-small by
+       contract — an incremental batch touches few partitions),
+    2. read the target pruned to those partitions (partition-filter,
+       never a full scan),
+    3. anti-join target-slice against update keys + union the updates,
+    4. write back with ``partitionOverwriteMode=dynamic``, so untouched
+       partition directories are never listed, read, or replaced.
+
+    Updates must carry the partition column, and a key must not move
+    between partitions (the slice wouldn't see its old row to retract —
+    the same constraint Hive/Spark dynamic overwrite itself has).
+    Atomicity is per-partition-directory (parquet committer), the
+    standard lakehouse-less contract.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path).where(F.col(partition_col).isin(parts))
+    keys = updates.select(*key_cols)
+    kept = target.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(updates.select(*kept.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

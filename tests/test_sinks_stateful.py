@@ -106,3 +106,37 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
         .select("user_id", F.col("ts").alias("first_ts"), F.col("event_id").alias("first_event_id"))
     )
     assert final.exceptAll(expect).count() == 0 and expect.exceptAll(final).count() == 0
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE without a table format: updated keys replaced, new keys
+    appended, and partitions the batch doesn't touch keep their exact
+    files on disk (dynamic partition overwrite, no full-table rewrite)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "id long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(path)
+    before_b = sorted(glob.glob(f"{path}/part=b/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "a", 50.0)], "id long, part string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["id"], "part")
+
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.parquet(path).select("id", "v").collect()
+    }
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    # partition b was never named by the batch: same files, byte-stable
+    assert sorted(glob.glob(f"{path}/part=b/*.parquet")) == before_b
