@@ -37,3 +37,67 @@ def test_gap_fill_locf_and_linear_on_interior_gaps(spark):
 
     assert set(k for k in out if k[0] == "b") == {("b", base)}
     assert out[("b", base)]["v_obs"] == 7.0  # (ts, id)-max representative
+
+def test_gap_fill_matches_pandas_reference_on_random_series(spark):
+    """Oracle-independent differential check: random series vs a
+    from-scratch pandas mirror (bucket floor-div, last-(ts,id)-wins
+    representative, ffill LOCF, index-interpolated linear)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in ("x", "y", "z"):
+        n = int(rng.integers(3, 40))
+        secs = np.sort(rng.choice(np.arange(0, 86_400, 7), size=n, replace=False))
+        for i, sec in enumerate(secs):
+            rows.append(
+                (
+                    s,
+                    dt.datetime(2024, 3, 1) + dt.timedelta(seconds=int(sec)),
+                    int(1000 * ord(s) + i),
+                    float(rng.normal()),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    step = 600
+    got = (
+        gap_fill(df, "event_type", "ts", "value", step_seconds=step)
+        .toPandas()
+        .sort_values(["series", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    pdf = pd.DataFrame(rows, columns=["series", "ts", "id", "v"])
+    epoch = dt.datetime(1970, 1, 1)
+    pdf["bucket"] = pdf["ts"].map(lambda t: int((t - epoch).total_seconds()) // step)
+    exp_parts = []
+    for s, g in pdf.groupby("series"):
+        obs = (
+            g.sort_values(["ts", "id"]).groupby("bucket").last()["v"]
+        )  # last (ts, id) wins
+        full = pd.RangeIndex(obs.index.min(), obs.index.max() + 1)
+        dense = obs.reindex(full)
+        lin = dense.copy()
+        lin.index = full  # interpolate on the bucket index (linear in bucket)
+        exp_parts.append(
+            pd.DataFrame(
+                {
+                    "series": s,
+                    "bucket": [b * step for b in full],
+                    "v_obs": dense.values,
+                    "v_locf": dense.ffill().values,
+                    "v_lin": lin.interpolate(method="index").values,
+                }
+            )
+        )
+    exp = pd.concat(exp_parts).sort_values(["series", "bucket"]).reset_index(drop=True)
+
+    assert got["series"].tolist() == exp["series"].tolist()
+    assert got["bucket"].tolist() == exp["bucket"].tolist()
+    for c in ("v_obs", "v_locf", "v_lin"):
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert (both_nan | np.isclose(a, b, rtol=1e-12, equal_nan=False)).all(), c
