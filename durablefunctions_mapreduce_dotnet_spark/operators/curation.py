@@ -22,12 +22,19 @@ _KNUTH = 2654435761
 _M32 = 4294967296
 
 
-def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
-    """Deterministic engine-portable bucket in [0, n_buckets): id large
-    enough to need care arrives as bigint; the product stays < 2^63 for
-    ids < ~3.4e9 (shard first beyond that)."""
+def portable_hash(id_col: Column | str) -> Column:
+    """THE portable hash, in one place: ``(id * Knuth) % 2^32`` — every
+    sampling/splitting/ranking operator and oracle derives from this
+    single definition.  Ids large enough to need care arrive as bigint;
+    the product stays < 2^63 for ids < ~3.4e9 (shard first beyond
+    that)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return ((c * F.lit(_KNUTH)) % F.lit(_M32)) % F.lit(n_buckets)
+    return (c * F.lit(_KNUTH)) % F.lit(_M32)
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets)."""
+    return portable_hash(id_col) % F.lit(n_buckets)
 
 
 def sample_fraction(df: DataFrame, id_col: str, percent: int) -> DataFrame:
@@ -62,12 +69,17 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: str, k: int) -> Data
     ln-key GAPS (~1e-3 on real corpora) against cross-libm ln skew
     (≤1 ulp), so the chosen set is engine-stable; the key itself is
     dropped from the output to keep the hash contract integer-clean.
+
+    Rows with non-positive weight are EXCLUDED (ln(u) < 0, so w < 0
+    would flip the key sign and deterministically beat every valid row,
+    and w = 0 yields a NULL key) — a corrupt upstream weight must not
+    poison the draw.
     """
-    h = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(_M32)
-    u = (h + F.lit(0.5)) / F.lit(float(_M32))
+    u = (portable_hash(id_col) + F.lit(0.5)) / F.lit(float(_M32))
     key = F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("_wkey", key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
         .orderBy(F.col("_wkey").desc(), F.col(id_col))
         .limit(k)
         .drop("_wkey")

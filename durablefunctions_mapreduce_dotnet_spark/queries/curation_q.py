@@ -204,13 +204,14 @@ def q_sample_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tighter); the two-phase partial-top-m refinement drops in here
     unchanged if a single cluster ever outgrows a task."""
     from ..operators.clustering import spherical_kmeans
-    from ..operators.curation import _KNUTH, _M32
+    from ..operators.curation import portable_hash
     from pyspark.sql import Window
 
     e = read_table(spark, sf_dir, "embeddings")
     a = spherical_kmeans(e, k=8, iters=2)
-    h = (F.col("vec_id") * F.lit(_KNUTH)) % F.lit(_M32)
-    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    w = Window.partitionBy("cluster").orderBy(
+        portable_hash("vec_id").asc(), F.col("vec_id").asc()
+    )
     return (
         a.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= 40)
@@ -291,7 +292,7 @@ _SAMPLE_WEIGHTED_SQL = """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0) / n_chars AS k
-  FROM documents)
+  FROM documents WHERE n_chars > 0)
 ORDER BY k DESC, doc_id LIMIT 64
 """
 

@@ -206,7 +206,7 @@ incoming AS (
 ),
 b AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM incoming GROUP BY md5(text))
 SELECT doc_id FROM b
-WHERE fp NOT IN (SELECT DISTINCT md5(text) FROM history)
+WHERE NOT EXISTS (SELECT 1 FROM history h WHERE md5(h.text) = b.fp)
 ORDER BY doc_id
 """
 

@@ -40,19 +40,31 @@ from pyspark.sql import functions as F
 __all__ = ["zorder_code", "zorder_layout", "write_zordered"]
 
 
-def _scaled_bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
-    """Monotone bucket id stretched over the FULL [0, 2**bits) width for
-    ``col``, from approxQuantile boundaries — a pure row function
-    (identical on every evaluation), so repeated passes stay consistent
-    without caching.  NULLs map to bucket 0 (NULLS FIRST)."""
+def _bucket_boundaries(df: DataFrame, cols: list[str], bits: int) -> list[list[float]]:
+    """Quantile boundaries for ALL clustered columns in ONE scan —
+    ``approxQuantile`` takes a column list and merges every column's GK
+    sketch in the same pass; per-column calls would cost len(cols) full
+    scans on the write path this module exists to optimize."""
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
+    names = [f"_x{i}" for i in range(len(cols))]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(a) for c, a in zip(cols, names)]
+    )
+    return [
+        sorted(set(b)) for b in casted.stat.approxQuantile(names, probs, 0.001)
+    ]
+
+
+def _scaled_bucket_expr(col: str, bounds: list[float], bits: int) -> Column:
+    """Monotone bucket id stretched over the FULL [0, 2**bits) width for
+    ``col`` from precomputed boundaries — a pure row function (identical
+    on every evaluation), so repeated passes stay consistent without
+    caching.  NULLs map to bucket 0 (NULLS FIRST)."""
+    n = 1 << bits
+    m = len(bounds)
     c = F.col(col)
     numeric = c.cast("double")
-    bounds = sorted(
-        set(df.select(numeric.alias("_x")).stat.approxQuantile("_x", probs, 0.001))
-    )
-    m = len(bounds)
     b = F.lit(0)
     for v in bounds:
         b = b + (numeric > F.lit(v)).cast("int")
@@ -63,19 +75,25 @@ def _scaled_bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
 
 def _interleave(bucket_cols: list[Column], bits: int) -> Column:
     """Morton code, highest bit of every column first — shifts and adds
-    only, no UDF; tiny expression because inputs are plain columns."""
-    code = F.lit(0)
+    only, no UDF; tiny expression because inputs are plain columns.
+    Accumulates in LONG from the start: bits x len(cols) > 31 would
+    wrap an int accumulator through the sign bit and silently destroy
+    the curve ordering (a cast at the end is too late)."""
+    code = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
         for b in bucket_cols:
             code = F.shiftleft(code, 1) + F.shiftright(b, bit).bitwiseAND(F.lit(1))
-    return code.cast("long")
+    return code
 
 
 def zorder_code(df: DataFrame, cols: list[str], bits: int = 6) -> Column:
     """Single-expression Morton code (for inspection/tests).  For the
     write path prefer :func:`zorder_layout`, which materializes the
     bucket sub-expressions so codegen stays within JVM method limits."""
-    return _interleave([_scaled_bucket_expr(df, c, bits) for c in cols], bits)
+    bounds = _bucket_boundaries(df, cols, bits)
+    return _interleave(
+        [_scaled_bucket_expr(c, b, bits) for c, b in zip(cols, bounds)], bits
+    )
 
 
 def zorder_layout(
@@ -84,10 +102,11 @@ def zorder_layout(
     """Rows arranged along the Z-curve: range-partitioned into
     ``num_files`` curve segments, sorted within each.  The helper the
     writer and the layout tests share."""
+    bounds = _bucket_boundaries(df, cols, bits)
     bnames = [f"_zb{i}" for i in range(len(cols))]
     coded = df
-    for name, col in zip(bnames, cols):
-        coded = coded.withColumn(name, _scaled_bucket_expr(df, col, bits))
+    for name, col, b in zip(bnames, cols, bounds):
+        coded = coded.withColumn(name, _scaled_bucket_expr(col, b, bits))
     coded = coded.withColumn("_z", _interleave([F.col(n) for n in bnames], bits))
     return (
         coded.repartitionByRange(num_files, "_z")

@@ -68,7 +68,15 @@ def merge_upsert_partitioned(
     standard lakehouse-less contract.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(target_path).where(F.col(partition_col).isin(parts))
+    # NULL partition values never match isin() (SQL NULL semantics) —
+    # without the explicit isNull branch the NULL-partition slice would
+    # be dropped from `kept` and dynamic overwrite would erase its
+    # untouched rows.
+    pc = F.col(partition_col)
+    pred = pc.isin([p for p in parts if p is not None])
+    if any(p is None for p in parts):
+        pred = pred | pc.isNull()
+    target = spark.read.parquet(target_path).where(pred)
     keys = updates.select(*key_cols)
     kept = target.join(keys, key_cols, "left_anti")
     merged = kept.unionByName(updates.select(*kept.columns))

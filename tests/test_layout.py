@@ -61,3 +61,15 @@ def test_zorder_code_is_deterministic_pure_expression(spark):
     a = e.select(zorder_code(e, COLS).alias("z")).groupBy().sum("z").first()[0]
     b = e.select(zorder_code(e, COLS).alias("z")).groupBy().sum("z").first()[0]
     assert a == b
+
+
+def test_zorder_code_stays_long_beyond_32_bits(spark):
+    """4 columns x 8 bits = 32 interleaved bits: an int32 accumulator
+    would wrap through the sign bit and order max-bucket rows FIRST."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF_DIR, "events")
+    z = zorder_code(e, ["user_id", "value", "event_id", "ts"], bits=8)
+    lo, hi = e.select(F.min(z), F.max(z)).first()
+    assert lo >= 0, f"negative Morton code {lo}: int32 wraparound"
+    assert hi >= (1 << 24)  # high interleaved bits actually populated

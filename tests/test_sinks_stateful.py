@@ -140,3 +140,21 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0}
     # partition b was never named by the batch: same files, byte-stable
     assert sorted(glob.glob(f"{path}/part=b/*.parquet")) == before_b
+
+
+def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """NULL partition values never match isin() — the upsert must still
+    read (and retain) the NULL-partition slice when the batch touches it."""
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (7, None, 70.0), (8, None, 80.0)],
+        "id long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame([(8, None, 99.0)], "id long, part string, v double")
+    merge_upsert_partitioned(spark, path, updates, ["id"], "part")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 7: 70.0, 8: 99.0}
