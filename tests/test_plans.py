@@ -171,3 +171,15 @@ def test_profile_stats_is_one_scan(spark):
     plan = explain_str(q_profile_stats(spark, SF_DIR), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """The k-means scale contract: the final assignment is scan ->
+    project -> MapInPandas with NO Exchange — the corpus streams through
+    the broadcast centroid gemm without ever shuffling.  (Iteration
+    passes have the same shape; only their k x dim partials exchange.)"""
+    from durablefunctions_mapreduce_dotnet_spark.queries.similarity_q import q_kmeans
+
+    plan = explain_str(q_kmeans(spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
