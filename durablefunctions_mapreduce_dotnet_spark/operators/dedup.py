@@ -76,18 +76,6 @@ def shingle_expr(text_col: str, k: int = 9) -> F.Column:
 _MERSENNE = 2147483647  # 2^31 - 1
 
 
-def _hash_family(num_hashes: int, seed: int = 42) -> tuple[str, str]:
-    """Deterministic universal-hash coefficients (a*h + b) mod p, baked in
-    as SQL array literals."""
-    import random
-
-    rng = random.Random(seed)
-    a = [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)]
-    b = [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)]
-    fmt = lambda xs: "array(" + ",".join(f"{x}L" for x in xs) + ")"  # noqa: E731
-    return fmt(a), fmt(b)
-
-
 def shingle_hashes_expr(shingles_col: str) -> F.Column:
     """31-bit base hash per shingle — the only string hashing in MinHash,
     done exactly once per shingle."""
@@ -99,11 +87,12 @@ def minhash_signature_udf(num_hashes: int = 63, seed: int = 42):
     broadcasted min per row.
 
     Spark's higher-order functions are interpreted (no whole-stage
-    codegen for lambda expressions), so the pure-expression form below
-    costs ~100 ns per (shingle, k) pair — measured 15 s for 5 000 docs
-    × 64 hashes.  The same arithmetic in numpy over Arrow batches is
-    ~20 µs per row (~50× faster end-to-end), which is why this one
-    stage breaks the built-ins-only rule."""
+    codegen for lambda expressions), so a pure-expression form of the
+    same (a·h + b) mod p family costs ~100 ns per (shingle, k) pair —
+    measured 15 s for 5 000 docs × 64 hashes.  The same arithmetic in
+    numpy over Arrow batches is ~20 µs per row (~50× faster
+    end-to-end), which is why this one stage breaks the
+    built-ins-only rule."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -135,19 +124,6 @@ def minhash_signature_udf(num_hashes: int = 63, seed: int = 42):
         return pd.Series(out)
 
     return pandas_udf("array<bigint>")(_sig)
-
-
-def minhash_signature_expr(hashes_col: str, num_hashes: int = 63) -> F.Column:
-    """MinHash signature via a universal hash family over precomputed
-    base hashes (``shingle_hashes_expr``): the k-th hash of a shingle is
-    (a_k·h + b_k) mod (2^31-1) — 64 cheap int ops instead of 64 string
-    hashes per shingle (~60× less CPU).  Operands stay below 2^62, so no
-    overflow under ANSI mode.  One pass per row, codegen'd, no shuffle."""
-    arr_a, arr_b = _hash_family(num_hashes)
-    return F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), k -> array_min(transform({hashes_col},"
-        f" h -> (element_at({arr_a}, k + 1) * h + element_at({arr_b}, k + 1)) % {_MERSENNE}L)))"
-    )
 
 
 def minhash_candidates(
@@ -381,28 +357,44 @@ def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit
-    chunks: two signatures within hamming distance 3 share at least one
-    of 4 chunks exactly (pigeonhole), so candidates come from equi-joins
-    on chunk values, never all-pairs.  ``max_hamming`` then filters
-    exactly via bit_count(xor)."""
+    """EXACT near-dup pairs by SimHash hamming distance: the 64-bit
+    signature is partitioned into ``max_hamming + 1`` disjoint chunks,
+    so any two signatures within ``max_hamming`` differing bits share at
+    least one chunk UNCHANGED (pigeonhole) — candidates come from
+    equi-joins on chunk values with guaranteed recall, never all-pairs;
+    ``bit_count(xor)`` then filters exactly.
+
+    The default 3 gives the classic 4 x 16-bit multi-index (Manku et
+    al.'s near-duplicate detection design).  Raising ``max_hamming``
+    keeps recall exact but narrows each chunk (64 / (h+1) bits), so
+    bucket collision rates — and candidate volume — grow fast: beyond
+    ~7 the chunks are byte-sized and a 100 TB corpus would pay
+    quadratic-ish candidates; prefer MinHash at that radius.
+    """
     src = df.select(F.col(id_col), F.col(text_col)).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
     sh = src.select(F.col(id_col), token_hashes_expr(text_col).alias("hs")).select(
         F.col(id_col), simhash_from_hashes_udf()(F.col("hs")).alias("simhash")
     )
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    pieces, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        # arithmetic shiftright sign-extends the top chunk; the mask
+        # truncates back to the w-bit field, so every chunk is exact.
+        # A full-width chunk (max_hamming=0) is the signature itself —
+        # and 2^64-1 wouldn't fit a long literal anyway.
+        v = F.col("simhash")
+        if w < 64:
+            v = F.shiftright(v, off).bitwiseAND(F.lit((1 << w) - 1))
+        pieces.append(F.struct(F.lit(i).alias("c"), v.alias("v")))
+        off += w
     chunked = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> named_struct("
-                "'c', c, 'v', shiftright(simhash, c * 16) & 65535))"
-            )
-        ).alias("chunk"),
+        id_col, "simhash", F.explode(F.array(*pieces)).alias("chunk")
     ).select(id_col, "simhash", F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))
     a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "v")
     b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "v")
@@ -430,11 +422,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_postings: int = 500,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard via an inverted index: explode distinct
+    """Word-n-gram Jaccard via an inverted index: explode distinct
     n-grams, self-join postings lists, count shared grams per pair, then
-    Jaccard from per-doc gram counts.  ``max_postings`` drops stop-grams
-    whose postings would explode quadratically (df-cut, standard IR
-    practice)."""
+    Jaccard from per-doc gram counts.
+
+    The df-cut makes this an APPROXIMATION, not exact Jaccard:
+    ``max_postings`` drops stop-grams whose postings would explode
+    quadratically (standard IR practice), and singleton grams (df=1)
+    can never produce a match — so intersections count only grams with
+    df in [2, max_postings] while the union denominator counts all
+    grams.  Scores are therefore systematically ≤ true Jaccard, and a
+    pair sharing ONLY ultra-common grams is not emitted at all.  The
+    SQL oracle mirrors the identical cut; for exact scores on known
+    pairs use ``jaccard_verify``."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = df.select(
         F.col(id_col),

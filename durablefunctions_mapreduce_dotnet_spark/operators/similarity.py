@@ -120,29 +120,6 @@ def brute_force_topk(
     return _topk_window(partial, k)
 
 
-def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
-    """Bucket id from sign bits of dot(v, plane_i) — pure expressions.
-
-    Kept for expression-only pipelines; the LSH operator below uses the
-    vectorized numpy signature instead (HOFs are interpreted)."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
-
-
 def make_planes(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-Gaussian hyperplanes (sum of uniforms), no
     numpy dependency in the plan — planes are baked in as literals."""

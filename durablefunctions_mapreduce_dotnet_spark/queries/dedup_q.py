@@ -94,8 +94,9 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-≤8 candidate pairs (rows-only: DuckDB lacks
-    xxhash64; properties are pytest-verified instead)."""
+    """SimHash hamming-≤8 pairs with EXACT recall (9 disjoint chunks by
+    pigeonhole; rows-only: DuckDB lacks xxhash64 — properties are
+    pytest-verified instead)."""
     d = read_table(spark, sf_dir, "documents")
     return simhash_candidates(d, max_hamming=8)
 

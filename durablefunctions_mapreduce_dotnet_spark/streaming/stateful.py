@@ -43,6 +43,10 @@ def first_seen_stateful(
         best_ts, best_id = state.get if state.exists else (None, None)
         improved = False
         for pdf in pdfs:
+            # NULL timestamps can never be "first": admitting one would
+            # set state to (NaT, id), and NaT comparisons are always
+            # False, so no real timestamp could ever displace it.
+            pdf = pdf[pdf[ts_col].notna()]
             if not len(pdf):
                 continue
             pdf = pdf.sort_values([ts_col, id_col])
@@ -59,10 +63,16 @@ def first_seen_stateful(
                 }
             )
 
+    # schemas derived from the input so non-default key/ts/id column
+    # types keep the declared Arrow structs truthful
+    dt = dict(events.dtypes)
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{key_col} bigint, first_ts timestamp, first_event_id bigint",
-        stateStructType="first_ts timestamp, first_event_id bigint",
+        outputStructType=(
+            f"{key_col} {dt[key_col]}, first_ts {dt[ts_col]},"
+            f" first_event_id {dt[id_col]}"
+        ),
+        stateStructType=f"first_ts {dt[ts_col]}, first_event_id {dt[id_col]}",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table.  Schema comes from a batch
@@ -47,7 +49,16 @@ def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return agg.sparkSession.table(name)
+    spark = agg.sparkSession
+    tbl = spark.table(name)
+    # copy out + drop the sink table: memory sinks pin the whole result
+    # in the driver catalog for the session lifetime, and harnesses
+    # (best-of-N bench, repeated driver checks) would accumulate one
+    # materialized copy per run.  Streaming aggregates are driver-small
+    # by the state-sizing contracts documented on each query.
+    out = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +74,7 @@ def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
     )
     out = run_to_memory(agg, "complete")
@@ -140,9 +151,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is O(|distinct keys|); production bounds it with
     ``dropDuplicatesWithinWatermark`` (same plan, state expires past the
     watermark) — unbounded here so the oracle equality is exact."""
-    doubled = _stream_events(spark, sf_dir).unionByName(
-        _stream_events(spark, sf_dir)
-    )
+    src = _stream_events(spark, sf_dir)
+    doubled = src.unionByName(src)  # one source probe; same doubled stream
     deduped = doubled.select("event_id", "user_id").dropDuplicates(["event_id"])
     out = run_to_memory(deduped, "append")
     return (

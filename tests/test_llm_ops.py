@@ -184,3 +184,35 @@ def test_multimodal_real_decode_with_pillow(spark):
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id bigint, content binary")
     r = decode_image_real(df).collect()[0]
     assert (r.width, r.height, r.n_frames) == (1, 1, 1)
+
+
+def test_simhash_candidates_recall_is_exact_vs_bruteforce(spark):
+    """Pigeonhole chunking must find EVERY pair within max_hamming — the
+    4x16 design only guarantees radius 3, so radius 8 derives 9 chunks.
+    Brute-force all-pairs bit_count over the real signatures is the
+    ground truth."""
+    import itertools
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        simhash_from_hashes_udf,
+        token_hashes_expr,
+    )
+
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sig = {
+        r["doc_id"]: r["s"]
+        for r in d.select(
+            "doc_id",
+            simhash_from_hashes_udf()(token_hashes_expr("text")).alias("s"),
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidates(d, max_hamming=8).collect()
+    }
+    assert got == want

@@ -158,3 +158,48 @@ def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
     merge_upsert_partitioned(spark, path, updates, ["id"], "part")
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 10.0, 7: 70.0, 8: 99.0}
+
+
+def test_stateful_first_seen_ignores_null_timestamps(spark, tmp_path):
+    """A batch of only-NULL timestamps must not poison state: NaT would
+    win every later comparison (NaT < x and x < NaT are both False), so
+    the real earliest event could never displace it."""
+    import datetime as dt
+
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stateful import (
+        first_seen_stateful,
+    )
+
+    src_dir = tmp_path / "nullts"
+    # file 1: null ts only; file 2: the real event — 2 micro-batches
+    spark.createDataFrame(
+        [(1, None, 42)], "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.parquet(str(src_dir))
+    spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 2), 42)],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    schema = "event_id long, ts timestamp, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        first_seen_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("fs_nullts")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM fs_nullts ORDER BY user_id"
+    ).collect()
+    spark.catalog.dropTempView("fs_nullts")
+    winners = {r["user_id"]: (r["first_ts"], r["first_event_id"]) for r in rows}
+    assert winners[42] == (dt.datetime(2024, 1, 2), 2)
