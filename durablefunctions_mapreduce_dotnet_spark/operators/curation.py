@@ -29,7 +29,11 @@ def portable_hash(id_col: Column | str) -> Column:
     the product stays < 2^63 for ids < ~3.4e9 (shard first beyond
     that)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c * F.lit(_KNUTH)) % F.lit(_M32)
+    # pmod, not %: Spark's % is a SIGNED remainder, so a negative id
+    # would hash negative — below every sampling threshold (rate bugs)
+    # and outside the documented [0, 2^32) contract.  The SQL oracles
+    # mirror with ((x % m) + m) % m.
+    return F.pmod(c * F.lit(_KNUTH), F.lit(_M32))
 
 
 def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:

@@ -46,7 +46,10 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring feature battery: lengths, token counts, ratios.
-    Ratios are integer/integer divisions — deterministic doubles.
+    Ratios are integer/integer divisions — deterministic doubles — via
+    ``try_divide``: a zero denominator (empty doc, no words) yields
+    NULL instead of aborting the job under ANSI mode (the oracle
+    mirrors with ``nullif``).
 
     Cost note: the five counters are independent single-pass codegen'd
     regex scans over the same string — no shuffle, no Python, fully
@@ -67,9 +70,9 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
-        (n_chars.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
-        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
-        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+        F.try_divide(n_chars.cast("double"), n_tokens.cast("double")).alias("avg_token_len"),
+        F.try_divide(n_punct.cast("double"), n_chars.cast("double")).alias("punct_ratio"),
+        F.try_divide(n_stop.cast("double"), n_words.cast("double")).alias("stopword_ratio"),
     )
 
 
@@ -96,9 +99,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     lowercase text (exact-dup key), xxhash64 (cheap 64-bit join key),
     and a Rabin-style polynomial rolling hash (base 131 mod 2³¹−1 folded
     left-to-right — the streaming-update form used by winnowing)."""
+    # collapse THEN trim: F.trim strips only ASCII spaces, so a leading
+    # tab/newline would otherwise survive as a leading space and split
+    # the exact-dup key for texts identical modulo edge whitespace
     df = df.select(
         F.col(id_col),
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias("_norm"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_norm"),
     )
     roll = F.expr(
         "aggregate(transform(sequence(1, length(_norm)),"
@@ -113,6 +119,24 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _word_tokens_sql(text_col: str) -> str:
+    """Lowercase whitespace tokens WITHOUT empty strings: ``split`` on
+    \\s+ keeps empty edge tokens for leading/trailing whitespace (limit
+    -1), silently inflating n-gram counts and desyncing gram strings
+    between docs that differ only in edge whitespace — extraction, not
+    splitting, is the correct tokenizer.  The single definition both
+    n-gram operators share (and the oracles mirror verbatim)."""
+    return f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
+
+
+def _word_grams_sql(text_col: str, n: int) -> str:
+    toks = _word_tokens_sql(text_col)
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -123,11 +147,8 @@ def repetition_stats(
 
     Pure per-row expression work — no shuffle, no UDF: one tokenization
     feeding total and distinct n-gram counts."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
-        f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' '))"
-    )
+    toks = F.expr(_word_tokens_sql(text_col))
+    grams = F.expr(_word_grams_sql(text_col, n))
     total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     distinct = F.size(F.array_distinct(grams))
     return df.select(
@@ -162,22 +183,14 @@ def contamination_overlap(
         return d.select(
             F.col(id_col).alias(out_id),
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
-                        f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' '))"
-                    )
-                )
+                F.array_distinct(F.expr(_word_grams_sql(text_col, n)))
             ).alias("gram"),
         )
 
     eval_grams = grams_of(evalset, "eval_id").select("gram").distinct()
     hits = grams_of(corpus, "doc_id").join(F.broadcast(eval_grams), "gram")
-    return (
-        hits.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-        .where(F.col("n_shared_grams") >= 1)
-    )
+    # every group the inner join produces has count >= 1 by construction
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared_grams"))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

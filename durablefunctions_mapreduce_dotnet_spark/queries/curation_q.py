@@ -23,7 +23,7 @@ from ..operators.curation import (
 )
 from ..sources.readers import read_table
 
-_BUCKET = "(((doc_id * 2654435761) % 4294967296) % 100)"
+_BUCKET = "((((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100)"
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +227,7 @@ WITH km AS ({_kmeans_oracle_sql()}),
 ranked AS (
   SELECT vec_id, cluster,
          ROW_NUMBER() OVER (PARTITION BY cluster
-           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+           ORDER BY ((vec_id * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS rn
   FROM km)
 SELECT vec_id, cluster FROM ranked WHERE rn <= 40
 """
@@ -291,7 +291,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_WEIGHTED_SQL = """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
-         ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0) / n_chars AS k
+         ln(((((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) + 0.5) / 4294967296.0) / n_chars AS k
   FROM documents WHERE n_chars > 0)
 ORDER BY k DESC, doc_id LIMIT 64
 """

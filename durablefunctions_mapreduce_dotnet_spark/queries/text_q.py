@@ -26,10 +26,10 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
-       CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS avg_token_len,
-       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(length(text) AS DOUBLE) / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
        CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
-         / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS stopword_ratio
+         / nullif(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE), 0) AS stopword_ratio
 FROM documents
 """
 
@@ -43,9 +43,9 @@ WITH s AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
-           / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS stopword_ratio,
+           / nullif(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE), 0) AS stopword_ratio,
          CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS punct_ratio
+           / nullif(CAST(length(text) AS DOUBLE), 0) AS punct_ratio
   FROM documents
 )
 SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
@@ -89,7 +89,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_FP_SQL = r"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
   FROM documents
 )
 SELECT doc_id, md5(norm) AS fp_md5,
@@ -110,10 +110,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_REPETITION_SQL = r"""
 WITH g AS (
   SELECT doc_id,
-         greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) AS n_grams,
+         greatest(len(regexp_extract_all(lower(text), '\S+')) - 2, 1) AS n_grams,
          len(list_distinct(
-           list_transform(range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1) + 1),
-                          i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))
+           list_transform(range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 2, 1) + 1),
+                          i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+2], ' '))
          )) AS n_distinct
   FROM documents
 )
@@ -136,10 +136,10 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_DECON_SQL = r"""
 WITH grams AS (
-  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+  SELECT doc_id, (((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100 AS bucket,
          unnest(list_distinct(
-           list_transform(range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 1) + 1),
-                          i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' '))
+           list_transform(range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 4, 1) + 1),
+                          i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+4], ' '))
          )) AS gram
   FROM documents
 ),

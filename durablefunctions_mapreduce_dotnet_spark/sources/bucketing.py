@@ -40,13 +40,16 @@ def write_bucketed(
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         # a crashed prior run can leave the managed location behind with
-        # no catalog entry; saveAsTable then refuses the name
+        # no catalog entry; saveAsTable then refuses the name.  Delete
+        # via the Hadoop FileSystem API so remote warehouses (hdfs://,
+        # s3a://, abfss://) work too, and resolve db-qualified names to
+        # their real <warehouse>/<db>.db/<tbl> directory.
         loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        import shutil
-        from urllib.parse import urlparse
-
-        path = urlparse(loc).path or loc
-        shutil.rmtree(f"{path.rstrip('/')}/{table.lower()}", ignore_errors=True)
+        db, _, tbl = table.lower().rpartition(".")
+        stale = f"{loc.rstrip('/')}/{db + '.db/' if db else ''}{tbl}"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(stale)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
     w = (
         df.repartition(n_buckets, key)
         .write.mode(mode)

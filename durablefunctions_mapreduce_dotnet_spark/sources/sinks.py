@@ -67,6 +67,15 @@ def merge_upsert_partitioned(
     Atomicity is per-partition-directory (parquet committer), the
     standard lakehouse-less contract.
     """
+    # first-ever batch: nothing to merge against — bootstrap the table
+    # (an upsert that cannot create its own target is unusable in a
+    # fresh environment)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    if not hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath):
+        updates.write.partitionBy(partition_col).parquet(target_path)
+        return
+
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     # NULL partition values never match isin() (SQL NULL semantics) —
     # without the explicit isNull branch the NULL-partition slice would

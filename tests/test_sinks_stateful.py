@@ -203,3 +203,19 @@ def test_stateful_first_seen_ignores_null_timestamps(spark, tmp_path):
     spark.catalog.dropTempView("fs_nullts")
     winners = {r["user_id"]: (r["first_ts"], r["first_event_id"]) for r in rows}
     assert winners[42] == (dt.datetime(2024, 1, 2), 2)
+
+
+def test_merge_upsert_bootstraps_missing_target(spark, tmp_path):
+    """The first batch against a not-yet-existing target must create the
+    table instead of crashing on the read."""
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, part string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["id"], "part")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 20.0}
