@@ -29,11 +29,9 @@ def trip_speed_mph(distance: Column | str, pickup: Column | str, dropoff: Column
     negative speeds and are NOT filtered (``Sample.cs:174-189``).
     """
     d = F.col(distance) if isinstance(distance, str) else distance
-    hours = (
-        F.col(dropoff).cast("double") - F.col(pickup).cast("double")
-        if isinstance(pickup, str)
-        else (dropoff.cast("double") - pickup.cast("double"))
-    ) / F.lit(3600.0)
+    pu = F.col(pickup) if isinstance(pickup, str) else pickup
+    do = F.col(dropoff) if isinstance(dropoff, str) else dropoff
+    hours = (do.cast("double") - pu.cast("double")) / F.lit(3600.0)
     # try_divide: zero-duration trips yield NULL instead of ANSI-mode
     # errors; filter F3 drops them just as the reference drops ±Infinity.
     return F.try_divide(d, hours)

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DECIMAL
 from ..functions.taxi import dotnet_dayofweek, finite, trip_speed_mph
 
 #: decimal scale for the speed sums — speeds are ratios, 9 fractional
@@ -110,9 +109,17 @@ def trips_records(trips: DataFrame) -> DataFrame:
     )
 
 
-def flagship_trips(trips: DataFrame) -> DataFrame:
-    """Reference query end-to-end on a trips source."""
-    return avg_of_file_averages(trips_records(trips), trips.select("file"))
+def flagship_trips(trips: DataFrame, files: DataFrame | None = None) -> DataFrame:
+    """Reference query end-to-end on a trips source.
+
+    ``files`` is the S1 listing universe; pass
+    ``sources.trips.list_csv_files`` so a file whose every row fails
+    validity still contributes its 7 zero buckets to the denominator
+    (``Sample.cs:119,196-199``).  The default — files seen in the
+    already-validated rows — silently drops such files, which only
+    matches the reference when every file has >= 1 valid row."""
+    universe = files if files is not None else trips.select("file")
+    return avg_of_file_averages(trips_records(trips), universe)
 
 
 def flagship_events(events: DataFrame) -> DataFrame:

@@ -62,18 +62,24 @@ def asof_join_backward(
         .orderBy(F.col("_ts"), F.col("_side"), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE packed struct carries matched_ts and every payload field
+    # together: per-column last(ignorenulls) would skip back to an OLDER
+    # right row whenever the matched row's payload value is NULL (and
+    # could blend fields across tied rows) — merge_asof/ASOF semantics
+    # return the matched row's values, NULLs included.
+    packed = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ts").alias("_mts"),
+            *[F.col(f"_p_{out}").alias(out) for out in payload.values()],
+        ),
+    )
+    m = F.last(packed, ignorenulls=True).over(w)
     matched = l.unionByName(r).select(
         *left.columns,
         F.col("_side").alias("_side"),
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("matched_ts"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(f"_p_{out}")), ignorenulls=True)
-            .over(w)
-            .alias(out)
-            for out in payload.values()
-        ],
+        m["_mts"].alias("matched_ts"),
+        *[m[out].alias(out) for out in payload.values()],
     )
     out = matched.where(F.col("_side") == 1).drop("_side")
     if inner:
@@ -125,15 +131,13 @@ def range_bin_join(
     """
     v = F.col(value_col)
     w = F.lit(bin_width)
-    b = bands.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / w).cast("long"),
-                F.floor(F.col(hi) / w).cast("long"),
-            )
-        ),
-    )
+    # [lo, hi) is half-open: when hi lands exactly on a bin boundary its
+    # bin holds nothing from this band — ceil(hi/w)-1 excludes it (one
+    # less dead replica per aligned band); greatest() keeps degenerate
+    # hi <= lo bands from producing a descending sequence.
+    lo_bin = F.floor(F.col(lo) / w).cast("long")
+    hi_bin = F.greatest(lo_bin, F.ceil(F.col(hi) / w).cast("long") - 1)
+    b = bands.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
     f = facts.withColumn("_bin", F.floor(v / w).cast("long"))
     return (
         f.join(b, "_bin")

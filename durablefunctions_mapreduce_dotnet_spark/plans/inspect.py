@@ -46,9 +46,27 @@ def assert_read_schema_only(df: DataFrame, table_marker: str, allowed: set[str])
         if table_marker in ln:
             in_marked_block = True
         if "ReadSchema" in ln and in_marked_block:
-            # ReadSchema: struct<a:int,b:string,...>
+            # ReadSchema: struct<a:int,b:struct<c:int,d:int>,...> —
+            # split on TOP-LEVEL commas only (naive splitting would
+            # surface nested struct fields as phantom columns), and
+            # refuse truncated lines (Spark elides long schemas with
+            # '... N more fields', hiding columns from the assertion).
+            assert "more fields" not in ln, (
+                "ReadSchema truncated — raise spark.sql.maxMetadataStringLength "
+                f"before asserting pruning; line: {ln}"
+            )
             inner = ln.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            cols = {c.split(":")[0].strip() for c in inner.split(",") if ":" in c}
+            cols, depth, start = set(), 0, 0
+            for i, ch in enumerate(inner + ","):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    field = inner[start:i]
+                    if ":" in field:
+                        cols.add(field.split(":", 1)[0].strip())
+                    start = i + 1
             extra = cols - allowed
             assert not extra, f"scan reads unexpected columns {extra}; line: {ln}"
             checked = True

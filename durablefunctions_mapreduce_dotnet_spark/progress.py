@@ -87,8 +87,12 @@ def run_with_progress(
         while not stop.is_set():
             try:
                 status.set("running", label=label, **_snapshot(spark))
-            except Exception:  # tracker gone during shutdown: stop quietly
-                return
+            except Exception:
+                # transient tracker/py4j hiccup (driver GC pause etc.):
+                # keep polling — exiting would freeze status at a stale
+                # sample for the rest of the job.  Shutdown is signalled
+                # by `stop`, not by errors.
+                pass
             stop.wait(poll_interval)
 
     status.set("started", label=label)

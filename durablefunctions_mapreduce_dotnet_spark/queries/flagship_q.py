@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.flagship import flagship_events, flagship_events_global, flagship_trips
 from ..sources.readers import read_table
-from ..sources.trips import read_trips_csv_faithful
+from ..sources.trips import list_csv_files, read_trips_csv_faithful
 
 #: committed trips-shaped CSV fixture (tests/fixtures/gen_trips_fixture.py)
 #: — the reference's REAL input shape (headered CSV blobs with dirt),
@@ -35,7 +35,10 @@ def q_flagship_csv_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end on real trip-shaped CSV).  The fixture is a committed
     repo path — scale-independent by design, like the reference's fixed
     blob container (Sample.cs:109); ``sf_dir`` is unused."""
-    return flagship_trips(read_trips_csv_faithful(spark, _TRIPS_GLOB))
+    return flagship_trips(
+        read_trips_csv_faithful(spark, _TRIPS_GLOB),
+        files=list_csv_files(spark, _TRIPS_GLOB),
+    )
 
 
 def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +106,7 @@ WITH raw AS (
   FROM kept GROUP BY file, dow
 ), scaffold AS (
   SELECT v.file, CAST(d.dow AS INTEGER) AS dow
-  FROM (SELECT DISTINCT file FROM valid) v
+  FROM (SELECT DISTINCT file FROM raw) v  -- S1 listing universe: pre-validity
   CROSS JOIN (SELECT unnest(range(7)) AS dow) d
 ), densified AS (
   SELECT sc.file, sc.dow, COALESCE(p.s / p.c, 0.0) AS file_avg

@@ -81,6 +81,16 @@ def read_trips_csv_faithful(spark: SparkSession, path: str) -> DataFrame:
     ).drop("_nfields")
 
 
+def list_csv_files(spark: SparkSession, path: str) -> DataFrame:
+    """The S1 listing universe (``Sample.cs:119``) as a one-column
+    ``file`` frame: every file with at least one LINE (header-only
+    included), independent of row validity — the denominator the
+    reference's avg-of-file-averages counts.  (A 0-byte blob yields no
+    text rows in Spark; list such sources with a filesystem glob
+    instead.)"""
+    return spark.read.text(path).select(F.input_file_name().alias("file")).distinct()
+
+
 def read_trips_csv_idiomatic(spark: SparkSession, path: str) -> DataFrame:
     """CSV datasource with explicit schema (vectorized, quote-aware)."""
     df = (

@@ -179,3 +179,51 @@ def test_distribution_rank_keeps_null_lead_rows_first(spark):
     assert len(rows) == 5  # no row loss
     # NULLs first by id tie-break, then values ascending
     assert rows == {1: 1, 3: 2, 4: 3, 2: 4, 5: 5}
+
+
+def test_asof_payload_is_atomic_with_matched_row(spark):
+    """merge_asof/ASOF semantics: the payload comes from THE matched
+    right row — a NULL payload there must surface as NULL, not be
+    backfilled from an older right row."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, None)], "k long, ts long, val string"
+    )
+    row = asof_join_backward(
+        left, right, "k", "ts", "ts", payload={"val": "r_val"}
+    ).first()
+    assert row["matched_ts"] == 2
+    assert row["r_val"] is None  # NOT "old"
+
+
+def test_flagship_counts_zero_valid_row_files_in_denominator(spark, tmp_path):
+    """A listed file whose every row fails validity still contributes 7
+    zero buckets (Sample.cs:119,196-199): one valid Sunday trip at speed
+    10 in a.csv + header-only b.csv must average (10+0)/2 = 5."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.flagship import (
+        flagship_trips,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.trips import (
+        list_csv_files,
+        read_trips_csv_faithful,
+    )
+
+    hdr = "VendorID," + ",".join(f"c{i}" for i in range(16))
+    (tmp_path / "a.csv").write_text(
+        hdr + "\n1,2017-01-01 00:00:00,2017-01-01 01:00:00,1,10.0"
+        + ",x" * 12 + "\n"
+    )
+    (tmp_path / "b.csv").write_text(hdr + "\n")
+    glob = str(tmp_path / "*.csv")
+    out = {
+        r["dow"]: r["avg_speed"]
+        for r in flagship_trips(
+            read_trips_csv_faithful(spark, glob), files=list_csv_files(spark, glob)
+        ).collect()
+    }
+    assert out[0] == 5.0  # Sunday: (10 + 0) / 2 files
+    assert out[1] == 0.0
