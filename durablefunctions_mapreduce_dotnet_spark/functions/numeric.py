@@ -39,12 +39,14 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided as double.
+    ``try_divide``: an all-NULL group (count 0) yields NULL instead of an
+    ANSI DIVIDE_BY_ZERO abort.
 
     DuckDB-oracle equivalent:
-    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)``
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / nullif(COUNT(x), 0)``
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL)).cast("double") / F.count(c)
+    out = F.try_divide(F.sum(c.cast(DECIMAL)).cast("double"), F.count(c))
     return out.alias(alias) if alias else out
 
 
@@ -102,14 +104,23 @@ def grouped_moments(
             # binary value in C++ engines, so the exact sums can differ
             # by an ulp on borderline rows — rounding absorbs that last
             # bit while keeping 6+ significant digits of the statistic.
-            F.round(F.col("_sxx") / (F.col("_n").cast("double") - F.lit(1.0)), 6).alias(
-                f"var_{x}"
-            ),
+            # try_divide: a single-row group (n-1 = 0) or zero-variance
+            # group (corr denominator 0) yields NULL — ANSI mode would
+            # otherwise abort the whole job on one degenerate group.
             F.round(
-                F.sqrt(F.col("_syy") / (F.col("_n").cast("double") - F.lit(1.0))), 6
+                F.try_divide(F.col("_sxx"), F.col("_n").cast("double") - F.lit(1.0)), 6
+            ).alias(f"var_{x}"),
+            F.round(
+                F.sqrt(
+                    F.try_divide(F.col("_syy"), F.col("_n").cast("double") - F.lit(1.0))
+                ),
+                6,
             ).alias(f"sd_{y}"),
             F.round(
-                F.col("_sxy") / (F.sqrt(F.col("_sxx")) * F.sqrt(F.col("_syy"))), 9
+                F.try_divide(
+                    F.col("_sxy"), F.sqrt(F.col("_sxx")) * F.sqrt(F.col("_syy"))
+                ),
+                9,
             ).alias("corr_xy"),
         )
     )

@@ -7,8 +7,9 @@ def dsum(x: str) -> str:
 
 
 def davg(x: str) -> str:
-    """Order-independent AVG — mirror of ``functions.numeric.davg``."""
-    return f"CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
+    """Order-independent AVG — mirror of ``functions.numeric.davg``
+    (nullif = Spark try_divide: all-NULL group -> NULL)."""
+    return f"CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / nullif(COUNT({x}), 0)"
 
 
 def moments_sql(table: str, group: str, x: str, y: str) -> str:
@@ -27,9 +28,9 @@ WITH means AS (
   FROM {table} t JOIN means USING ({group})
 )
 SELECT {group},
-       ROUND(CAST(SUM(_dxx) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) - 1.0), 6) AS var_{x},
-       ROUND(SQRT(CAST(SUM(_dyy) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS sd_{y},
+       ROUND(CAST(SUM(_dxx) AS DOUBLE) / nullif(CAST(COUNT(*) AS DOUBLE) - 1.0, 0), 6) AS var_{x},
+       ROUND(SQRT(CAST(SUM(_dyy) AS DOUBLE) / nullif(CAST(COUNT(*) AS DOUBLE) - 1.0, 0)), 6) AS sd_{y},
        ROUND(CAST(SUM(_dxy) AS DOUBLE)
-         / (SQRT(CAST(SUM(_dxx) AS DOUBLE)) * SQRT(CAST(SUM(_dyy) AS DOUBLE))), 9) AS corr_xy
+         / nullif(SQRT(CAST(SUM(_dxx) AS DOUBLE)) * SQRT(CAST(SUM(_dyy) AS DOUBLE)), 0), 9) AS corr_xy
 FROM centered GROUP BY {group}
 """

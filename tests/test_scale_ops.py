@@ -227,3 +227,19 @@ def test_flagship_counts_zero_valid_row_files_in_denominator(spark, tmp_path):
     }
     assert out[0] == 5.0  # Sunday: (10 + 0) / 2 files
     assert out[1] == 0.0
+
+
+def test_grouped_moments_degenerate_groups_yield_null(spark):
+    """A single-row group (n-1 = 0) or zero-variance group must produce
+    NULL statistics, not an ANSI DIVIDE_BY_ZERO job abort."""
+    from durablefunctions_mapreduce_dotnet_spark.functions.numeric import (
+        grouped_moments,
+    )
+
+    df = spark.createDataFrame(
+        [("one", 1.0, 2.0), ("flat", 3.0, 5.0), ("flat", 3.0, 5.0)],
+        "k string, x double, y double",
+    )
+    got = {r["k"]: r for r in grouped_moments(df, ["k"], "x", "y").collect()}
+    assert got["one"]["var_x"] is None and got["one"]["corr_xy"] is None
+    assert got["flat"]["var_x"] == 0.0 and got["flat"]["corr_xy"] is None
