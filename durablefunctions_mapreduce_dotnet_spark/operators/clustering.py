@@ -97,6 +97,11 @@ def _lloyd_update(corpus: DataFrame, cm, vec_col: str):
         .agg(F.sum("val").alias("s"))
         .collect()
     )
+    # the iteration's job is done: release the k x dim blocks now rather
+    # than accumulating one stale broadcast per round for the session
+    # lifetime (the FINAL assign's broadcast must outlive this function
+    # and is left to Spark's reference cleanup)
+    bc.destroy()
     new = cm.copy()
     acc = np.zeros((k, dim))
     seen = set()

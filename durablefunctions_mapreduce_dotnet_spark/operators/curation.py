@@ -174,7 +174,10 @@ def doc_top_distinctive_terms(
     then the per-doc top-k window keyed on doc id."""
     if max_doc_id is not None:
         df = df.where(F.col(id_col) <= max_doc_id)
-    n_docs = df.count()
+    # lazy corpus count: a 1-row aggregate broadcast into the plan —
+    # an eager df.count() here would launch a full scan at
+    # plan-CONSTRUCTION time and pay for the corpus twice
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = df.select(
         F.col(id_col),
         F.explode(
@@ -190,6 +193,7 @@ def doc_top_distinctive_terms(
         tf.join(dfreq, "term")
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
             "term",
@@ -197,7 +201,7 @@ def doc_top_distinctive_terms(
             "df",
             "rank",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )

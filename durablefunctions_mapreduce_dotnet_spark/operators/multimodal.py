@@ -23,18 +23,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def attach_binary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    origin_col: str = "source",
+) -> DataFrame:
     """Simulate a multimodal table: utf-8 payload bytes + typed metadata
-    struct.  In production this is ``spark.read.format('binaryFile')``
-    or parquet with a binary column."""
+    struct (``origin`` is NULL when ``origin_col`` is absent).  In
+    production this is ``spark.read.format('binaryFile')`` or parquet
+    with a binary column."""
     payload = F.encode(F.col(text_col), "utf-8")
+    origin = F.col(origin_col) if origin_col in df.columns else F.lit(None).cast("string")
     return df.select(
         F.col(id_col),
         payload.alias("content"),
         F.struct(
             F.lit("text/plain").alias("mime"),
             F.octet_length(payload).alias("n_bytes"),
-            F.col("source").alias("origin"),
+            origin.alias("origin"),
         ).alias("meta"),
     )
 
@@ -55,15 +62,26 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     not in this container.  Dimensions derive from payload bytes so the
     pipeline (schema, batching, partitioning) is fully exercised and
     reproducible."""
-    content = batch["content"]
-    n_bytes = content.str.len().astype("int32")
-    first = content.str[0].apply(lambda b: b if isinstance(b, int) else (b[0] if len(b) else 0))
+    # NULL payloads arrive as NaN/None through Arrow and b'' has no
+    # first byte — degrade both to zero-dims instead of killing the
+    # task (pandas .str accessors propagate NaN, which then crashes the
+    # int casts).
+    blobs = batch["content"].apply(
+        lambda b: bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+    )
+    n_bytes = blobs.str.len().astype("int32")
+    # FIRST CHARACTER CODEPOINT, not first UTF-8 byte: the SQL oracle's
+    # ascii(substr(text, 1, 1)) is codepoint-valued, and the two only
+    # coincide for ASCII leading characters.
+    first = blobs.apply(
+        lambda b: ord(b.decode("utf-8", "replace")[0]) if b else 0
+    ).astype("int64")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_bytes": n_bytes,
             "width": ((first % 64 + 1) * 16).astype("int32"),
-            "height": ((n_bytes % 64 + 1) * 16).astype("int32"),
+            "height": ((n_bytes.astype("int64") % 64 + 1) * 16).astype("int32"),
             "n_frames": pd.Series([1] * len(batch), dtype="int32"),
         }
     )
@@ -140,12 +158,16 @@ def frame_sample(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            n_bytes = batch["content"].str.len().astype("int64")
+            n_bytes = (
+                batch["content"]
+                .apply(lambda b: len(b) if isinstance(b, (bytes, bytearray)) else 0)
+                .astype("int64")
+            )
             n_frames = (n_bytes % 29 + 1).astype("int64")
             out_ids, out_idx, out_tag = [], [], []
             for doc_id, nf, nb in zip(batch["doc_id"], n_frames, n_bytes):
-                idxs = range(0, int(nf), every_n)
-                out_ids.extend([doc_id] * len(range(0, int(nf), every_n)))
+                idxs = list(range(0, int(nf), every_n))
+                out_ids.extend([doc_id] * len(idxs))
                 out_idx.extend(idxs)
                 out_tag.extend((int(nb) * 2654435761 + i) % 2147483647 for i in idxs)
             yield pd.DataFrame(
@@ -202,7 +224,12 @@ def decode_image_real(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
-                    "n_bytes": batch["content"].str.len().astype("int32"),
+                    # NULL payloads arrive as NaN: .str.len() would
+                    # propagate it and crash the int cast — the same
+                    # "one bad blob" the except above absorbs
+                    "n_bytes": batch["content"]
+                    .apply(lambda b: len(b) if isinstance(b, (bytes, bytearray)) else 0)
+                    .astype("int32"),
                     "width": pd.array(w, dtype="Int32"),
                     "height": pd.array(h, dtype="Int32"),
                     "n_frames": pd.array(nf, dtype="Int32"),

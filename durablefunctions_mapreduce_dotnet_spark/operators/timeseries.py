@@ -51,6 +51,11 @@ def gap_fill(
     ``v_locf``   v_obs carried forward (NULL before the first obs)
     ``v_lin``    linear interpolation between neighboring observed
                  buckets (NULL outside [first, last] obs)
+
+    TIMESTAMP_NTZ inputs are reinterpreted in the SESSION time zone
+    before epoch bucketing — run with ``spark.sql.session.timeZone=UTC``
+    (``session.tune`` pins it) or bucket labels shift by the zone offset
+    and, for steps not dividing that offset, bucket membership moves.
     """
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
@@ -73,10 +78,30 @@ def gap_fill(
     from pyspark.storagelevel import StorageLevel
 
     obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+    # grid size is data-dependent (span / step per series): one corrupt
+    # epoch-0 timestamp in a current-dated corpus would demand a
+    # billion-element sequence and OOM the executor — fail loudly with
+    # the offending series instead (assert_true keeps the check lazy,
+    # inside the same job).
+    max_buckets = 10_000_000
+    guarded_mx = F.when(
+        (F.col("_mx") - F.col("_mn")) < F.lit(max_buckets), F.col("_mx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("gap_fill: series "),
+                F.col("series").cast("string"),
+                F.lit(
+                    f" spans more than {max_buckets} buckets — outlier "
+                    "timestamp or step_seconds too small"
+                ),
+            )
+        ).cast("bigint")
+    )
     grid = (
         obs.groupBy("series")
         .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
-        .select("series", F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+        .select("series", F.explode(F.sequence("_mn", guarded_mx)).alias("bucket"))
     )
     dense = grid.join(obs, ["series", "bucket"], "left")
 

@@ -62,9 +62,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     going through double would lose precision above 2^53 ns).
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Scoped to the ONE table/column the nanos quirk applies to: a
+    # generic "any long column named ts is nanos" heuristic would
+    # silently divide epoch-micros or epoch-seconds columns by 1000.
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.typeName() == "long":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -57,6 +57,9 @@ _BNLJ_OK = {
     "join_range_band",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    # lazy corpus-count scalar: a broadcast 1-row build side (the
+    # crossJoin in operators/curation.doc_top_distinctive_terms)
+    "curation_doc_topterms",
 }
 
 
