@@ -84,7 +84,10 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):  # noqa: ANN001 - UDTF contract
             idx = 0
             for part in (text or "").split(". "):
-                s = part.strip().rstrip(".")
+                # strip(' ') not strip(): the oracle's trim() removes
+                # SPACES only, and Python's all-whitespace strip would
+                # diverge on text with tabs/newlines at sentence edges
+                s = part.strip(" ").rstrip(".")
                 if s:
                     yield idx, s
                     idx += 1

@@ -126,7 +126,13 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
     window: range-partitioned two-pass rank (operators.windows.
     global_distribution_rank) — same results as ``OVER (ORDER BY …)``,
-    plan-asserted SinglePartition-free in tests/test_plans.py."""
+    plan-asserted SinglePartition-free in tests/test_plans.py.
+
+    The operator's evictable MEMORY_AND_DISK pin on the 2-column
+    projection is deliberately NOT released here: the driver/bench
+    harness evaluates the returned frame after this function exits, and
+    the cached copy is LRU-evictable; loop callers needing deterministic
+    release pass ``pinned=[]`` per the operator docstring."""
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked = global_distribution_rank(o, ["o_totalprice", "o_orderkey"], ntile_k=4)
     return ranked.select("o_orderkey", "quartile", "pct_rank", "cume")
