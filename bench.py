@@ -50,6 +50,71 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: scaling-shape probe: flagship + the two slowest LLM queries, timed at
+#: sf0.1 AND a 10x replica (see _ensure_scale_dir) — the ratio column is
+#: the check that no plan grows super-linearly in the data.
+SCALE_PROBE = ["flagship_faithful", "dedup_clusters", "time_gapfill_interpolate"]
+SCALE_FACTOR = 10
+
+
+def _ensure_scale_dir(repo_dir: str) -> str:
+    """Build (once, cached, gitignored) a 10x-sf0.1 copy of the two
+    tables the probe queries read.  No sf1.0 exists in /root/testdata,
+    so the replica is derived from the driver's own sf0.1 parquet with
+    per-replica ISOMORPHIC transforms that preserve workload shape:
+
+    * events: ids offset, event_type suffixed per replica — 10x the
+      series/groups, identical per-series length and time span.
+    * documents: ids offset, text Caesar-rotated per replica — each
+      replica's near-dup cluster structure is isomorphic to sf0.1's,
+      while cross-replica shingle sets are disjoint.  (A naive text
+      copy would make every doc a 10-way near-dup and the dedup
+      workload quadratic BY CONSTRUCTION, which would measure the
+      generator, not the engine.)
+    """
+    out = os.path.join(repo_dir, ".bench_scale", f"sf1.0_v1_x{SCALE_FACTOR}")
+    ev, dc = os.path.join(out, "events.parquet"), os.path.join(out, "documents.parquet")
+    if os.path.exists(ev) and os.path.exists(dc):
+        return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + k * 1000000000 AS event_id,
+                 ts,
+                 user_id + k * 100000000 AS user_id,
+                 CASE WHEN k = 0 THEN event_type
+                      ELSE event_type || '_r' || k END AS event_type,
+                 value, props
+          FROM read_parquet('{src}/events.parquet'),
+               range({SCALE_FACTOR}) t(k)
+        ) TO '{ev}' (FORMAT PARQUET)
+        """
+    )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot = " ".join(
+        f"WHEN k = {k} THEN translate(text, '{alpha}', '{alpha[k:] + alpha[:k]}')"
+        for k in range(1, SCALE_FACTOR)
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + k * 100000000 AS doc_id,
+                 CASE WHEN k = 0 THEN text {rot} END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{src}/documents.parquet'),
+               range({SCALE_FACTOR}) t(k)
+        ) TO '{dc}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -96,17 +161,39 @@ def main() -> None:
             run_one(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    # Scale curve (only on the default sf0.1 run; skip for quick dev
+    # loops at other SFs or with SPARK_GRAFT_SCALE=0): best-of-2 at a
+    # 10x replica, ratio vs the sf0.1 best above.  Linear plans ride
+    # ratio <= ~10; a super-linear ratio is a scale regression.
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        try:
+            big_dir = _ensure_scale_dir(os.path.dirname(os.path.abspath(__file__)))
+        except Exception as exc:  # generation failure must not kill bench
+            print(f"scale probe skipped: {exc!r}", file=sys.stderr)
+            big_dir = None
+        if big_dir:
+            curve: dict[str, dict[str, float]] = {}
+            for name in SCALE_PROBE:
+                run_one(qs[name](spark, big_dir))  # warm (fresh file footers)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run_one(qs[name](spark, big_dir))
+                    best = min(best, time.perf_counter() - t0)
+                curve[name] = {
+                    "sf0.1": times[name],
+                    "sf1.0": round(best, 4),
+                    "ratio": round(best / times[name], 2),
+                }
+            result["scale_curve"] = {"data_factor": SCALE_FACTOR, "queries": curve}
+    print(json.dumps(result))
     spark.stop()
 
 

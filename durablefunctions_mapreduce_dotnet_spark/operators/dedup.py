@@ -20,6 +20,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .graph import CheckpointFn, local_checkpoint
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Raise occupancy for narrow inputs only: a tiny local parquet
+    arrives as 1-2 splits and would serialize the signature stage, so
+    fan it out to ``defaultParallelism``.  When the source is already at
+    least that wide (a 100 TB scan arrives with thousands of splits) the
+    exchange would be pure cost — skip it.  The partition probe plans
+    but never runs a job."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df if df.rdd.getNumPartitions() >= p else df.repartition(p)
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -134,6 +148,7 @@ def minhash_candidates(
     bands: int = 21,
     shingle_k: int = 9,
     max_bucket: int = 200,
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -149,24 +164,31 @@ def minhash_candidates(
     (e.g. boilerplate-heavy shingles) would otherwise produce a
     quadratic task.
     """
-    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k)
+    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k, checkpoint)
     return minhash_candidates_from_hashes(hs_tbl, id_col, num_hashes, bands, max_bucket)
 
 
 def shingle_hash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 9
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """(id, hs: array<long>) — one shingling+hashing pass over the corpus,
     eagerly checkpointed because BOTH candidate generation and Jaccard
     verification consume it (without pinning, the most expensive stage of
-    the pipeline would execute once per consumer branch)."""
-    src = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    return (
+    the pipeline would execute once per consumer branch).
+
+    ``checkpoint`` picks the lineage cut (same contract as
+    ``graph.connected_components``): the ``local_checkpoint`` default is
+    right single-node but dies with a lost executor — pass
+    ``graph.reliable_checkpoint(dir)`` (or a DISK_ONLY persist) on a
+    real cluster."""
+    src = _widen(df.select(F.col(id_col), F.col(text_col)))
+    return checkpoint(
         src.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
         .select(F.col(id_col), shingle_hashes_expr("sh").alias("hs"))
-        .localCheckpoint(eager=True)
     )
 
 
@@ -218,6 +240,7 @@ def jaccard_verify(
     shingle_k: int = 9,
     threshold: float = 0.6,
     hashes: DataFrame | None = None,
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (never all-pairs).
     Integer-ratio arithmetic → deterministic doubles.
@@ -234,8 +257,9 @@ def jaccard_verify(
     at scale candidates are a vanishing fraction of the corpus.
 
     ``pairs`` feeds multiple branches (ids-union + final join), so it is
-    pinned with an eager localCheckpoint — candidate-sized, tiny."""
-    pairs = pairs.localCheckpoint(eager=True)
+    pinned through ``checkpoint`` (default: eager localCheckpoint) —
+    candidate-sized, tiny."""
+    pairs = checkpoint(pairs)
     if hashes is None:
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
@@ -269,13 +293,17 @@ def minhash_near_dup_pairs(
     bands: int = 21,
     shingle_k: int = 9,
     max_bucket: int = 200,
+    checkpoint: CheckpointFn = local_checkpoint,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline sharing ONE shingling pass:
-    hash table → banded candidates → exact-Jaccard verification."""
-    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k)
+    hash table → banded candidates → exact-Jaccard verification.
+    ``checkpoint`` picks the lineage cut for the shared pass and the
+    candidate set (graph.reliable_checkpoint(dir) on a cluster)."""
+    hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k, checkpoint)
     cand = minhash_candidates_from_hashes(hs_tbl, id_col, num_hashes, bands, max_bucket)
     return jaccard_verify(
-        df, cand, text_col, id_col, shingle_k, threshold, hashes=hs_tbl
+        df, cand, text_col, id_col, shingle_k, threshold,
+        hashes=hs_tbl, checkpoint=checkpoint,
     )
 
 
@@ -372,10 +400,14 @@ def simhash_candidates(
     bucket collision rates — and candidate volume — grow fast: beyond
     ~7 the chunks are byte-sized and a 100 TB corpus would pay
     quadratic-ish candidates; prefer MinHash at that radius.
+
+    .. note:: the default ``max_hamming`` changed from 8 to 3 in round 3
+       (the Manku 4×16-bit design).  Recall stays exact at either value,
+       but callers relying on the old wide radius now get a much tighter
+       candidate set — pass ``max_hamming=8`` explicitly to keep the old
+       behavior.
     """
-    src = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    src = _widen(df.select(F.col(id_col), F.col(text_col)))
     sh = src.select(F.col(id_col), token_hashes_expr(text_col).alias("hs")).select(
         F.col(id_col), simhash_from_hashes_udf()(F.col("hs")).alias("simhash")
     )
@@ -435,7 +467,7 @@ def ngram_jaccard_pairs(
     pair sharing ONLY ultra-common grams is not emitted at all.  The
     SQL oracle mirrors the identical cut; for exact scores on known
     pairs use ``jaccard_verify``."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _widen(df)
     grams = df.select(
         F.col(id_col),
         F.explode(

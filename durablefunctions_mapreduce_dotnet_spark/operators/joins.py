@@ -20,6 +20,8 @@ def asof_join_backward(
     right_ts: str = "ts",
     payload: dict[str, str] | None = None,
     inner: bool = True,
+    skew_keys: list | None = None,
+    skew_bucket_seconds: float = 86_400.0,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` and the same key.
@@ -27,10 +29,16 @@ def asof_join_backward(
     Spark has no native as-of join; a naive range-join explodes to
     O(|L|·|R|) per key.  This implementation unions both sides and runs
     one ordered window per key — a single shuffle on ``key``, linear
-    work, no row explosion.  At 100 TB the hazard is key skew (one hot
-    key serializes into one task); mitigate by pre-filtering time ranges
-    or falling back to ``applyInPandas`` + ``pd.merge_asof`` per key
-    bucket.
+    work, no row explosion.  At 100 TB the hazard is key skew: one hot
+    key serializes into one window task.  Pass ``skew_keys`` (found by a
+    cheap ``groupBy(key).count()`` probe, or known a priori) to route
+    those keys through the time-bucketed path — partition the hot key's
+    timeline into ``skew_bucket_seconds`` buckets, compute each bucket's
+    carry-in (the winning right row from all earlier buckets) with a
+    per-(key, bucket) aggregate + a tiny per-key range-frame window over
+    bucket ids, then run the SAME ordered window per (key, bucket).  A
+    hot key then parallelizes across its time buckets; results are
+    bit-identical to the plain path (tests/test_joins_asof_skew.py).
 
     payload: mapping of right-column -> output-column carried from the
     matched right row. Ties on (key, ts): the right row sorts before the
@@ -41,24 +49,52 @@ def asof_join_backward(
     partition order.
     """
     payload = payload or {}
-    lcols = [F.col(c) for c in left.columns]
-    l = left.select(
-        *lcols,
+    l = _asof_tag_left(left, right, key, left_ts, payload)
+    r = _asof_tag_right(left, right, key, right_ts, payload)
+    if skew_keys:
+        hot = F.col("_k").isin(list(skew_keys))
+        # NULL keys: isin() is NULL-valued, so ~hot alone would drop
+        # them from BOTH branches — route them cold explicitly (the
+        # plain window groups NULL keys as their own partition).
+        is_cold = ~hot | F.col("_k").isNull()
+        cold = _asof_window(l.where(is_cold), r.where(is_cold), left.columns, payload, ["_k"])
+        hot_out = _asof_bucketed(
+            l.where(hot), r.where(hot), left.columns, payload, skew_bucket_seconds
+        )
+        out = cold.unionByName(hot_out)
+    else:
+        out = _asof_window(l, r, left.columns, payload, ["_k"])
+    if inner:
+        out = out.where(F.col("matched_ts").isNotNull())
+    return out
+
+
+def _asof_tag_left(left, right, key, left_ts, payload):
+    return left.select(
+        *[F.col(c) for c in left.columns],
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{out}") for src, out in payload.items()],
     )
-    r = right.select(
+
+
+def _asof_tag_right(left, right, key, right_ts, payload):
+    return right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.col(src).alias(f"_p_{out}") for src, out in payload.items()],
     )
+
+
+def _asof_window(l, r, left_cols, payload, part_cols):
+    """The union-both-sides ordered-window core, partitioned on
+    ``part_cols`` (plain path: [_k]; skew path: [_k, _bucket])."""
     tie = F.struct(*[F.col(f"_p_{out}") for out in payload.values()]) if payload else F.lit(0)
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_ts"), F.col("_side"), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -76,15 +112,67 @@ def asof_join_backward(
     )
     m = F.last(packed, ignorenulls=True).over(w)
     matched = l.unionByName(r).select(
-        *left.columns,
+        *left_cols,
         F.col("_side").alias("_side"),
         m["_mts"].alias("matched_ts"),
         *[m[out].alias(out) for out in payload.values()],
     )
-    out = matched.where(F.col("_side") == 1).drop("_side")
-    if inner:
-        out = out.where(F.col("matched_ts").isNotNull())
-    return out
+    return matched.where(F.col("_side") == 1).drop("_side")
+
+
+def _asof_bucketed(l, r, left_cols, payload, bucket_seconds):
+    """Hot-key as-of: shard each key's timeline into time buckets so the
+    per-key window becomes a per-(key, bucket) window.
+
+    Correctness hinges on the carry-in: a left row's match may live in an
+    earlier bucket, so each bucket is seeded with the WINNING right row
+    (max (ts, payload) struct — exactly the window path's tie-break) from
+    all strictly-earlier buckets.  That winner is computed from
+    per-(key, bucket) aggregates (combiner-reduced, ≤ one row per
+    (key, bucket)) and propagated with a range-frame window ordered by
+    bucket id — O(#buckets) rows per key, not O(data).  A carry-in row's
+    ts is strictly below its bucket's start, so it sorts before every
+    in-bucket row and can never steal a tie.  NULL-ts rows keep bucket
+    NULL and sort into their own shard, matching the plain path's
+    nulls-first grouping.
+    """
+    bucket = F.floor(F.col("_ts").cast("double") / F.lit(float(bucket_seconds))).cast("long")
+    lb = l.withColumn("_bucket", bucket)
+    rb = r.withColumn("_bucket", bucket)
+    win_struct = F.struct(
+        F.col("_ts").alias("_mts"),
+        *[F.col(f"_p_{out}").alias(out) for out in payload.values()],
+    )
+    ragg = rb.groupBy("_k", "_bucket").agg(F.max(win_struct).alias("_s"))
+    markers = (
+        lb.select("_k", "_bucket")
+        .distinct()
+        .withColumn("_s", F.lit(None).cast(ragg.schema["_s"].dataType))
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_bucket")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        ragg.select("_k", "_bucket", "_s")
+        .unionByName(markers)
+        .withColumn("_c", F.max("_s").over(wb))
+        # markers are exactly the NULL-_s rows (ragg structs are never
+        # NULL: F.struct of a non-empty group is non-null)
+        .where(F.col("_s").isNull() & F.col("_c").isNotNull())
+    )
+    carry_rows = carry.select(
+        *[F.lit(None).cast(lb.schema[c].dataType).alias(c) for c in left_cols],
+        F.col("_k"),
+        F.col("_c")["_mts"].alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col("_c")[out].alias(f"_p_{out}") for out in payload.values()],
+        F.col("_bucket"),
+    )
+    return _asof_window(
+        lb, rb.unionByName(carry_rows), left_cols, payload, ["_k", "_bucket"]
+    )
 
 
 def range_band_join(facts: DataFrame, bands: DataFrame, value_col: str, lo: str = "lo", hi: str = "hi") -> DataFrame:

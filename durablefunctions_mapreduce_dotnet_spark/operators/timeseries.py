@@ -42,6 +42,7 @@ def gap_fill(
     value_col: str,
     step_seconds: int,
     id_col: str = "event_id",
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Densified (series, bucket) grid with columns:
 
@@ -56,6 +57,13 @@ def gap_fill(
     before epoch bucketing — run with ``spark.sql.session.timeZone=UTC``
     (``session.tune`` pins it) or bucket labels shift by the zone offset
     and, for steps not dividing that offset, bucket membership moves.
+
+    The bucket aggregate is pinned MEMORY_AND_DISK for its two consumers
+    (grid bounds + densifying join); the pin cannot be released here
+    (the returned plan still reads it), so long-lived sessions calling
+    this in a loop should pass ``pinned=[]`` and ``unpersist()`` the
+    appended frame after consuming the result — the same contract as
+    ``windows.global_distribution_rank``.
     """
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
@@ -78,6 +86,8 @@ def gap_fill(
     from pyspark.storagelevel import StorageLevel
 
     obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+    if pinned is not None:
+        pinned.append(obs)
     # grid size is data-dependent (span / step per series): one corrupt
     # epoch-0 timestamp in a current-dated corpus would demand a
     # billion-element sequence and OOM the executor — fail loudly with

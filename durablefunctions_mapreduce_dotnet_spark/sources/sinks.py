@@ -66,6 +66,19 @@ def merge_upsert_partitioned(
     the same constraint Hive/Spark dynamic overwrite itself has).
     Atomicity is per-partition-directory (parquet committer), the
     standard lakehouse-less contract.
+
+    COMMITTER DEPENDENCY: the merge reads the target lazily while
+    overwriting the same path, which is safe only under a staged commit
+    protocol (the default FileOutputCommitter: tasks write to
+    ``_temporary`` and the old files survive until job commit).
+    Direct-write committers (S3A "magic"/directory committers without
+    staging) would let the overwrite clobber files the read side is
+    still scanning — materialize ``merged`` first (checkpoint, or write
+    to a side path and swap) under such committers.  A failure between
+    per-partition commits leaves touched partitions in a mixed old/new
+    state with no rollback: re-run the same batch (the merge is
+    idempotent per key) or move to a table format (Delta/Iceberg) when
+    multi-partition atomicity is required.
     """
     # first-ever batch: nothing to merge against — bootstrap the table
     # (an upsert that cannot create its own target is unusable in a

@@ -61,6 +61,48 @@ def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     return out
 
 
+def run_to_files(
+    agg: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    mode: str = "complete",
+) -> DataFrame:
+    """Production sink sibling of :func:`run_to_memory`: drain the
+    streaming query through ``foreachBatch`` into a parquet table and
+    return a batch frame reading it back.
+
+    ``foreachBatch`` is the standard production pattern for streaming
+    aggregations (the file sink proper only takes append mode, which
+    never emits a watermarked window until later data closes it):
+
+    * ``complete``/``update`` mode — each micro-batch REPLACES the table
+      with the current full state / appends the changed rows; the last
+      batch leaves the final answer on disk.
+    * ``append`` mode — each micro-batch appends its finalized rows.
+
+    State never transits the driver (unlike the memory sink): executors
+    write parquet directly, and ``checkpoint_dir`` gives exactly-once
+    restart semantics across runs.  Batch id and offsets live in the
+    checkpoint, so a re-run after failure resumes, not recomputes.
+    """
+    overwrite = mode == "complete"
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite" if overwrite else "append").parquet(path)
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.read.parquet(path)
+
+
 def streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day windows per event type with a 1-hour watermark:
     counts + exact decimal sums, incremental state per (window, type).

@@ -216,3 +216,35 @@ def test_simhash_candidates_recall_is_exact_vs_bruteforce(spark):
         for r in simhash_candidates(d, max_hamming=8).collect()
     }
     assert got == want
+
+
+def test_minhash_checkpoint_fn_is_pluggable(spark, tmp_path):
+    """shingle_hash_table / minhash_near_dup_pairs accept the same
+    lineage-cut hook as connected_components: a reliable checkpoint (the
+    100 TB setting) must produce the identical pair set as the default
+    localCheckpoint."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        reliable_checkpoint,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    base = sorted(
+        tuple(r) for r in minhash_near_dup_pairs(d, threshold=0.6)
+        .select("id_a", "id_b").collect()
+    )
+    calls = []
+
+    def counting_reliable(df):
+        calls.append(1)
+        return reliable_checkpoint(str(tmp_path / "ckpt"))(df)
+
+    got = sorted(
+        tuple(r) for r in minhash_near_dup_pairs(
+            d, threshold=0.6, checkpoint=counting_reliable
+        ).select("id_a", "id_b").collect()
+    )
+    assert got == base and len(base) > 0
+    assert len(calls) >= 2  # shared shingle pass + candidate pin both rode the hook

@@ -186,3 +186,22 @@ def test_kmeans_assignment_never_shuffles_corpus(spark):
     plan = explain_str(q_kmeans(spark, SF_DIR), "simple")
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_widen_skips_exchange_when_input_already_wide(spark):
+    """The dedup corpus fan-out must be conditional: an input already at
+    defaultParallelism partitions gets NO repartition exchange (at scale
+    the scan arrives with thousands of splits and the shuffle would be
+    pure cost); a narrow input still gets widened."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import _widen
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(p + 4).selectExpr(
+        "id AS doc_id", "cast(id as string) AS text"
+    )
+    assert _widen(wide) is wide  # literally untouched: no added exchange
+    narrow = spark.range(1000).coalesce(1).selectExpr(
+        "id AS doc_id", "cast(id as string) AS text"
+    )
+    assert _widen(narrow) is not narrow
+    assert _widen(narrow).rdd.getNumPartitions() == p

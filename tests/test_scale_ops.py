@@ -243,3 +243,70 @@ def test_grouped_moments_degenerate_groups_yield_null(spark):
     got = {r["k"]: r for r in grouped_moments(df, ["k"], "x", "y").collect()}
     assert got["one"]["var_x"] is None and got["one"]["corr_xy"] is None
     assert got["flat"]["var_x"] == 0.0 and got["flat"]["corr_xy"] is None
+
+
+def _asof_both_paths(spark, left_rows, right_rows, skew_keys, bucket_seconds, inner):
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(left_rows, "k long, ts long, lval long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, val string")
+    kw = dict(payload={"val": "r_val"}, inner=inner)
+
+    def rows(df):  # None-safe sort (NULL keys / NULL matches)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    plain = rows(asof_join_backward(left, right, "k", "ts", "ts", **kw))
+    skew = rows(
+        asof_join_backward(
+            left, right, "k", "ts", "ts",
+            skew_keys=skew_keys, skew_bucket_seconds=bucket_seconds, **kw,
+        )
+    )
+    return plain, skew
+
+
+def test_asof_skew_path_matches_window_path(spark):
+    """A deliberately hot key (100 rows both sides over many buckets,
+    matches reaching across bucket boundaries, ties at bucket starts)
+    must produce the window path's answer bit-for-bit, inner and outer."""
+    left_rows, right_rows = [], []
+    # hot key 1: left every 7s, right every 13s over [0, 700)
+    left_rows += [(1, t, t) for t in range(0, 700, 7)]
+    right_rows += [(1, t, f"h{t}") for t in range(0, 700, 13)]
+    # left rows far beyond the last right row: carry-in must reach over
+    # many EMPTY buckets
+    left_rows += [(1, 5000, 5000), (1, 9999, 9999)]
+    # left rows at exact bucket starts (bucket_seconds=50) tie semantics
+    left_rows += [(1, 50, 50), (1, 100, 100)]
+    right_rows += [(1, 100, "tie")]
+    # left row before any right row: NULL match (outer) / dropped (inner)
+    left_rows += [(1, -10, -10)]
+    # cold keys with their own data
+    left_rows += [(2, t, t) for t in range(0, 100, 11)]
+    right_rows += [(2, t, f"c{t}") for t in range(3, 100, 17)]
+    # key only on the left / only on the right
+    left_rows += [(3, 42, 42)]
+    right_rows += [(4, 42, "orphan")]
+    for inner in (True, False):
+        plain, skew = _asof_both_paths(
+            spark, left_rows, right_rows, skew_keys=[1], bucket_seconds=50, inner=inner
+        )
+        assert skew == plain, f"inner={inner}"
+        assert len(plain) > 0
+
+
+def test_asof_skew_path_keeps_null_keys_and_tie_breaks(spark):
+    """NULL keys must survive the hot/cold split (isin() is NULL-valued
+    for them), and the max-payload tie-break among same-(key, ts) right
+    rows must hold on the bucketed path too."""
+    left_rows = [(None, 10, 10), (1, 10, 10)]
+    right_rows = [(None, 5, "nullkey"), (1, 5, "a"), (1, 5, "z"), (1, 4, "m")]
+    plain, skew = _asof_both_paths(
+        spark, left_rows, right_rows, skew_keys=[1], bucket_seconds=3, inner=False
+    )
+    assert skew == plain
+    by_k = {r[0]: r for r in skew}
+    assert by_k[None][-1] == "nullkey"
+    assert by_k[1][-1] == "z"  # max payload wins the (k, ts) tie

@@ -219,3 +219,32 @@ def test_merge_upsert_bootstraps_missing_target(spark, tmp_path):
     merge_upsert_partitioned(spark, path, updates, ["id"], "part")
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 10.0, 2: 20.0}
+
+
+def test_streaming_file_sink_matches_memory_sink(spark, tmp_path):
+    """run_to_files (foreachBatch -> parquet, the production drain) must
+    land the same rows the memory-sink harness path returns for the
+    streaming flagship aggregation."""
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stream_ops import (
+        _stream_events,
+        run_to_files,
+        run_to_memory,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.functions.taxi import (
+        dotnet_dayofweek,
+        finite,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.functions.numeric import dsum
+
+    src = _stream_events(spark, SF_DIR)
+    agg = (
+        src.where((F.col("value") > 0) & finite(F.col("value")))
+        .groupBy(F.col("event_type").alias("file"), dotnet_dayofweek("ts").alias("dow"))
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("c"))
+    )
+    mem = sorted(tuple(r) for r in run_to_memory(agg, "complete").collect())
+    filed = run_to_files(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt"), mode="complete"
+    )
+    assert sorted(tuple(r) for r in filed.collect()) == mem
+    assert len(mem) > 0
