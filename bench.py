@@ -43,6 +43,13 @@ HEADLINE = [
     "curation_pack_sequences",
     "curation_vocab_topk",
     "curation_redact_pii",
+    # round-4 additions
+    "join_fuzzy_blocked",
+    "window_concurrency",
+    "funnel_steps",
+    "cohort_retention",
+    "dedup_embedding_lsh",
+    "text_tokens",
 ]
 
 

@@ -226,3 +226,36 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, width: float
+) -> DataFrame:
+    """Single-pass fixed-width histogram: bucket id, inclusive lower
+    edge, count, exact sum, min, max per bucket.
+
+    One map-side-combined hash aggregate over the scan — no sort, no
+    second pass for bounds (equi-depth/quantile histograms need the
+    two-pass ``approxQuantile`` route; this is the profiling/dashboard
+    staple that doesn't).  ``floor`` is written explicitly because
+    Spark's double→long cast truncates while DuckDB's rounds — floor is
+    the one both engines agree on (same guard as
+    ``timeseries.gap_fill``).  Buckets with no rows simply don't appear
+    (densify against ``sequence(min, max)`` downstream if a chart needs
+    zeros — that's presentation, not aggregation).
+    """
+    from ..functions.numeric import dsum
+
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(value_col, "sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * F.lit(width))
+        .select("bucket", "bucket_lo", "n_rows", "sum_value", "min_value", "max_value")
+        .orderBy("bucket")
+    )

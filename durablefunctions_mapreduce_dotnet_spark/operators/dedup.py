@@ -577,3 +577,59 @@ def embedding_near_dup_pairs(
         .cogroup(right.groupBy("_bi", "_bj"))
         .applyInPandas(score, "id_a bigint, id_b bigint")
     )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    dim: int = 64,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The SUB-QUADRATIC path :func:`embedding_near_dup_pairs` points at,
+    wired as a first-class operator: random-hyperplane LSH buckets both
+    sides, so candidate pairs come from an ordinary shuffled self
+    equi-join on (table, bucket) — O(Σ bucket²·L) instead of O(n²) —
+    then each candidate is scored with the vectorized cosine and cut at
+    the threshold.
+
+    Same deterministic plane family as ``similarity.lsh_topk``
+    (``make_planes``, pseudo-Gaussian literals), so the full pipeline —
+    signatures, bucket join, scoring, threshold — mirrors into the
+    DuckDB oracle verbatim.  Recall is the banding contract: a true pair
+    collides in ≥1 of L tables with probability 1-(1-(1-θ/π)^p)^L;
+    tune (p, L) up for higher-recall dedup, or fall back to the exact
+    block-gemm path for audits.  The default (p=4, L=8) gives ~0.8
+    collision probability at cos=0.45 (and -> 1 fast above it);
+    measured on the sf0.001 corpus: 5/7 exact pairs recovered at the
+    hardest-case threshold boundary (tests/test_analytics_linkage.py).
+
+    Shuffle discipline: vectors ride the bucket join once (to be
+    scored); the pair dedup across tables happens AFTER scoring and
+    thresholding on scalar (id_a, id_b) rows only, so the wide rows
+    never hit the distinct's exchange.
+    """
+    from .similarity import _signature_udf, cosine_pairs_udf, make_planes
+
+    tables = [
+        make_planes(dim, planes_per_table, seed + 1000 * t) for t in range(num_tables)
+    ]
+    sig = _signature_udf(tables)
+    s = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .select("_id", "_v", F.posexplode(sig(F.col("_v"))).alias("_t", "_b"))
+    )
+    a = s.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_t", "_b")
+    b = s.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_t", "_b")
+    cos = cosine_pairs_udf()
+    return (
+        a.join(b, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )

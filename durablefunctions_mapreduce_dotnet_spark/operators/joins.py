@@ -69,6 +69,38 @@ def asof_join_backward(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: dict[str, str] | None = None,
+    inner: bool = True,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    ``right.ts >= left.ts`` and the same key (DuckDB ``ASOF JOIN ... ON
+    l.ts <= r.ts`` / ``pd.merge_asof(direction='forward')`` semantics,
+    equal timestamps match).
+
+    Mirror of :func:`asof_join_backward`: same union-both-sides single
+    ordered window per key, scanned in DESCENDING time order so the
+    running ``last`` right row is the nearest at-or-after one.  Ties on
+    (key, ts) keep the identical winner as the backward path (max
+    payload struct).  Key skew mirrors too — the backward bucketed
+    fallback applies with bucket carry-in taken from LATER buckets; not
+    wired here, route hot keys through ``asof_join_backward``'s bucketed
+    path on negated integer timestamps if needed.
+    """
+    payload = payload or {}
+    l = _asof_tag_left(left, right, key, left_ts, payload)
+    r = _asof_tag_right(left, right, key, right_ts, payload)
+    out = _asof_window(l, r, left.columns, payload, ["_k"], descending=True)
+    if inner:
+        out = out.where(F.col("matched_ts").isNotNull())
+    return out
+
+
 def _asof_tag_left(left, right, key, left_ts, payload):
     return left.select(
         *[F.col(c) for c in left.columns],
@@ -89,13 +121,23 @@ def _asof_tag_right(left, right, key, right_ts, payload):
     )
 
 
-def _asof_window(l, r, left_cols, payload, part_cols):
+def _asof_window(l, r, left_cols, payload, part_cols, descending=False):
     """The union-both-sides ordered-window core, partitioned on
-    ``part_cols`` (plain path: [_k]; skew path: [_k, _bucket])."""
+    ``part_cols`` (plain path: [_k]; skew path: [_k, _bucket]).
+
+    ``descending=True`` flips the scan direction for the FORWARD as-of:
+    walking timestamps downward, the last right row seen at-or-above a
+    left row is the EARLIEST right row with ``right.ts >= left.ts``.
+    The tie-break stays ascending either way so the winning payload
+    among same-timestamp right rows is identical in both directions.
+    """
     tie = F.struct(*[F.col(f"_p_{out}") for out in payload.values()]) if payload else F.lit(0)
+    # nulls-first in BOTH directions: a NULL-ts row scans before
+    # everything, so it can never see (or be) a real match either way
+    ts_order = F.col("_ts").desc_nulls_first() if descending else F.col("_ts").asc_nulls_first()
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col("_ts"), F.col("_side"), tie.asc_nulls_first())
+        .orderBy(ts_order, F.col("_side"), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE packed struct carries matched_ts and every payload field

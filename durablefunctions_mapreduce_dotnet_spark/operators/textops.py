@@ -199,3 +199,32 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in LANG_PROBES],
         predicted_lang().alias("predicted_lang"),
     )
+
+
+#: GPT-2-style pre-tokenizer alternation, restricted to the syntax
+#: Java's regex (Spark) and RE2 (DuckDB) implement IDENTICALLY: both are
+#: leftmost-first on alternations, and the original's `\s+(?!\S)`
+#: lookahead (RE2 has none) is dropped — trailing-space merge only
+#: shifts token boundaries, not counts, for the space-joined corpus.
+BPE_ISH_RE = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under two tokenizers: whitespace words
+    and the BPE-ish pre-tokenizer regex above — the budget/packing
+    currencies of a training pipeline (fast proxy vs model-shaped).
+
+    Both are pure codegen'd row expressions over the scan (no UDF, no
+    shuffle); a real BPE merge table lives in the model stack, but the
+    PRE-tokenization — which determines token-count scaling — is
+    regex-faithful here.
+    """
+    ws = F.size(F.expr(_word_tokens_sql(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )

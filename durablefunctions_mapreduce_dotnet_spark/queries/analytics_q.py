@@ -1,0 +1,158 @@
+"""Event-analytics queries over the ``events`` table: interval
+concurrency (sweep-line), funnel conversion, cohort retention.
+
+All three mirror into plain ANSI SQL; timestamps that enter arithmetic
+do so as integer microseconds (``unix_micros`` / ``epoch_us``) so no
+engine-specific double rounding can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import cohort_retention, funnel_counts, interval_concurrency
+from ..sources.readers import read_table
+
+
+def q_window_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrently-open intervals per event type, where each event
+    opens an interval of ``value`` minutes.  The duration lands in
+    integer microseconds via an explicit ``floor`` (Spark's double→long
+    cast truncates, DuckDB's rounds — floor is the portable one)."""
+    e = read_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    start = F.unix_micros(F.col("ts"))
+    end = start + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")
+    return interval_concurrency(e, "event_type", start, end).orderBy("event_type")
+
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+  FROM events WHERE value > 0
+),
+deltas AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+),
+net AS (SELECT event_type, t, SUM(d) AS net FROM deltas GROUP BY 1, 2),
+run AS (
+  SELECT event_type, t,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+)
+SELECT event_type, CAST(conc AS BIGINT) AS peak_concurrency, t AS peak_at_us
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY conc DESC, t) AS rn FROM run)
+WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_window_concurrency_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL peak concurrency over one un-keyed timeline — the
+    two-pass range-bucketed sweep (no SinglePartition window,
+    plan-asserted); peak extraction is a TakeOrdered top-1."""
+    from ..operators.analytics import global_interval_concurrency
+
+    e = read_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    start = F.unix_micros(F.col("ts"))
+    end = start + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")
+    tl = global_interval_concurrency(e, start, end)
+    return (
+        tl.orderBy(F.desc("concurrency"), F.asc("t_us"))
+        .limit(1)
+        .select(
+            F.col("concurrency").alias("peak_concurrency"),
+            F.col("t_us").alias("peak_at_us"),
+        )
+    )
+
+
+_CONCURRENCY_GLOBAL_SQL = """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+  FROM events WHERE value > 0
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv
+),
+net AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t),
+run AS (
+  SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM net
+)
+SELECT CAST(conc AS BIGINT) AS peak_concurrency, t AS peak_at_us
+FROM run ORDER BY conc DESC, t LIMIT 1
+"""
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered-funnel user counts (step k counts
+    only users whose step-k event is at-or-after their step-(k-1)
+    timestamp)."""
+    e = read_table(spark, sf_dir, "events")
+    return funnel_counts(e, "user_id", "event_type", "ts", _FUNNEL_STEPS)
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+)
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'view',     (SELECT COUNT(*) FROM s1)),
+  (CAST(2 AS BIGINT), 'click',    (SELECT COUNT(*) FROM s2)),
+  (CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3))
+) AS v(step, step_name, n_users)
+ORDER BY step
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per (first-touch cohort day, day offset)."""
+    e = read_table(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts")
+
+
+_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.first_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.first_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "window_concurrency": q_window_concurrency,
+    "window_concurrency_global": q_window_concurrency_global,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+}
+ORACLES = {
+    "window_concurrency": _CONCURRENCY_SQL,
+    "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,
+    "funnel_steps": _FUNNEL_SQL,
+    "cohort_retention": _RETENTION_SQL,
+}

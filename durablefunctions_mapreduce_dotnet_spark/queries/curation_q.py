@@ -297,7 +297,30 @@ ORDER BY k DESC, doc_id LIMIT 64
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width order-value histogram (width 25 000) in ONE map-side
+    combined aggregate pass — the profiling staple beside
+    ``curation_profile_stats``."""
+    from ..operators.curation import fixed_width_histogram
+
+    o = read_table(spark, sf_dir, "orders")
+    return fixed_width_histogram(o, "o_totalprice", 25_000.0)
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "curation_histogram": q_histogram,
     "curation_sample_clustered": q_sample_clustered,
     "curation_sample_weighted": q_sample_weighted,
     "curation_profile_stats": q_profile_stats,
@@ -310,6 +333,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_histogram": _HISTOGRAM_SQL,
     "curation_sample_clustered": _sample_clustered_sql(),
     "curation_sample_weighted": _SAMPLE_WEIGHTED_SQL,
     "curation_profile_stats": _PROFILE_SQL,

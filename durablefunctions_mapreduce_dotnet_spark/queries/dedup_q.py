@@ -163,6 +163,62 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup: LSH bucket self-join candidates
+    + exact cosine ≥ 0.45 verify — FULL oracle parity: the deterministic
+    hyperplanes are baked into the SQL (same family as ``ann_lsh_topk``),
+    so signatures, bucket join, scoring and threshold are all mirrored.
+    Parity vs the exact ``dedup_embedding`` pairs also exposes the
+    banding recall honestly: any true pair missing here never collided."""
+    from ..operators.dedup import embedding_near_dup_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(e, threshold=0.45)
+
+
+def _embedding_lsh_oracle_sql(
+    dim: int = 64,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    threshold: float = 0.45,
+) -> str:
+    from ..operators.similarity import make_planes
+
+    rows = []
+    for t in range(num_tables):
+        for p, plane in enumerate(make_planes(dim, planes_per_table, seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {2 ** p}, {vec}::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+planes(t, pow2, pv) AS (
+  VALUES
+    {values}
+),
+sig AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                          i -> v[i] * pv[i])) > 0 THEN pow2 ELSE 0 END) AS INTEGER) AS b
+  FROM e CROSS JOIN planes
+  GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM sig sa JOIN sig sb ON sa.t = sb.t AND sa.b = sb.b AND sa.vec_id < sb.vec_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i]))
+        / (ea.nrm * eb.nrm) >= {threshold}
+"""
+
+
 _BATCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -220,8 +276,10 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }
 ORACLES = {
+    "dedup_embedding_lsh": _embedding_lsh_oracle_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -4,6 +4,7 @@ synchronous and deterministic (batch-equivalent results)."""
 from __future__ import annotations
 
 from ..streaming.stream_ops import (
+    streaming_click_attribution,
     streaming_daily_counts,
     streaming_dedup,
     streaming_first_seen,
@@ -79,6 +80,21 @@ SELECT user_id,
 FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
+# stream-stream interval join (views ⋈ clicks within 30 min, same user);
+# single-trigger file source => appended pairs equal the batch join
+_STREAM_ATTRIB_SQL = """
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT v.user_id, v.event_id AS view_id
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT view_id) AS n_attributed_views
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
 # the doubled stream must collapse back to the original table's counts
 _STREAM_DEDUP_SQL = """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id
@@ -91,8 +107,10 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_first_seen": streaming_first_seen,
     "streaming_flagship": streaming_flagship,
+    "streaming_click_attribution": streaming_click_attribution,
 }
 ORACLES = {
+    "streaming_click_attribution": _STREAM_ATTRIB_SQL,
     "streaming_daily_counts": _STREAM_DAILY_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_sliding_counts": _STREAM_SLIDING_SQL,

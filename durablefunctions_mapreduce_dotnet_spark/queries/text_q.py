@@ -152,7 +152,28 @@ HAVING COUNT(*) >= 1
 """
 
 
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per document (the
+    budget/packing currencies) — pure codegen'd expressions, regex
+    restricted to the Java/RE2-identical subset."""
+    from ..operators.textops import token_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    return token_counts(d).orderBy("doc_id")
+
+
+_TEXT_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
@@ -161,6 +182,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
     "text_decontaminate": _TEXT_DECON_SQL,

@@ -232,3 +232,59 @@ def streaming_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (view, click) pair by the same
+    user with the click inside 30 minutes after the view — the classic
+    streaming click-attribution shape.
+
+    Both sides are watermarked and the join carries a time-bound range
+    condition, so the state store can EVICT: a buffered view row dies
+    once the click watermark passes ``view_ts + 30 min``, a buffered
+    click dies once the view watermark passes ``click_ts`` — state is
+    O(events per watermark horizon), not O(stream).  An unbounded
+    stream-stream join (no time bound) would buffer both streams
+    forever; Spark requires exactly this watermark + range shape to run
+    an inner stream-stream join at all.
+
+    The file source delivers everything in one micro-batch here, so the
+    appended pairs equal the batch join and the oracle is plain SQL.
+    """
+    src = _stream_events(spark, sf_dir)
+    views = (
+        src.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("v_user", "view_id", "click_id")
+    out = run_to_memory(pairs, "append")
+    # fan-in batch-side on the drained pairs (driver-small: bounded by
+    # the 30-min pairing horizon per user)
+    return (
+        out.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("view_id").alias("n_attributed_views"),
+        )
+        .orderBy("user_id")
+    )

@@ -205,3 +205,48 @@ def test_widen_skips_exchange_when_input_already_wide(spark):
     )
     assert _widen(narrow) is not narrow
     assert _widen(narrow).rdd.getNumPartitions() == p
+
+
+def test_funnel_rides_one_user_exchange(spark):
+    """The funnel's three chained conditional-min windows and the
+    per-user aggregate must all ride ONE hashpartitioning(user) exchange
+    (the final count is a second, one-row SinglePartition fan-in)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import funnel_counts
+
+    e = read_table(spark, SF_DIR, "events")
+    plan = explain_str(
+        funnel_counts(e, "user_id", "event_type", "ts", ["view", "click", "purchase"]),
+        "simple",
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("+- Window ") == 3
+
+
+def test_fuzzy_join_is_equi_join_never_nested_loop(spark):
+    """Blocking must plan as a hash/merge EQUI join on the block keys;
+    an un-blocked fuzzy join would be a nested loop (the 100 TB
+    killer this operator exists to avoid)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.linkage import blocked_fuzzy_join
+
+    c = read_table(spark, SF_DIR, "customer")
+    left = c.select(F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname"), "c_nationkey")
+    right = c.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("rname"), "c_nationkey")
+    plan = explain_str(blocked_fuzzy_join(left, right, ["c_nationkey"], "lname", "rname", 1))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_global_concurrency_has_no_single_partition_window(spark):
+    """The global timeline sweep must never plan an un-partitioned
+    window (the driver-serializing OVER (ORDER BY t) shape)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import (
+        global_interval_concurrency,
+    )
+
+    e = read_table(spark, SF_DIR, "events").where(F.col("value") > 0)
+    start = F.unix_micros(F.col("ts"))
+    end = start + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")
+    tl = global_interval_concurrency(e, start, end)
+    plan = explain_str(tl, "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
