@@ -215,3 +215,45 @@ def global_interval_concurrency(
             (F.col("_off") + F.col("_run")).cast("long").alias("concurrency"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: per key, each VALUE CHANGE opens a validity interval
+    ``[valid_from, valid_to)``; repeated identical values collapse into
+    the open interval; the current value has ``valid_to`` NULL.
+
+    Two window passes over ONE (key)-keyed exchange (lag to drop
+    no-op updates, lead over survivors to close intervals) — the
+    standard warehouse dimension build, linear per key, deterministic
+    via the (ts, id) total order.  NULL-safe change test (``<=>``), so
+    NULL-valued states form intervals too.
+    """
+    w = Window.partitionBy("_k").orderBy("_ts", "_id")
+    log = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    # lag over a wrapped struct: NULL means "no previous row" (kept),
+    # while a previous NULL VALUE is a non-NULL struct holding NULL —
+    # so repeated NULL states collapse like any other repeated value
+    prev = F.lag(F.struct(F.col("_v").alias("v"))).over(w)
+    changed = log.withColumn(
+        "_same", prev.isNotNull() & prev["v"].eqNullSafe(F.col("_v"))
+    )
+    survivors = changed.where(~F.col("_same"))
+    w2 = Window.partitionBy("_k").orderBy("_ts", "_id")
+    return survivors.select(
+        F.col("_k").alias(key_col),
+        F.col("_v").alias(value_col),
+        F.col("_ts").alias("valid_from"),
+        F.lead("_ts").over(w2).alias("valid_to"),
+    )

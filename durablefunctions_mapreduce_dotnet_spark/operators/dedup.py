@@ -607,12 +607,23 @@ def embedding_near_dup_lsh(
     measured on the sf0.001 corpus: 5/7 exact pairs recovered at the
     hardest-case threshold boundary (tests/test_analytics_linkage.py).
 
-    Shuffle discipline: vectors ride the bucket join once (to be
-    scored); the pair dedup across tables happens AFTER scoring and
-    thresholding on scalar (id_a, id_b) rows only, so the wide rows
-    never hit the distinct's exchange.
+    Shuffle discipline: each vector rides the (table, bucket) exchange
+    once per table; scoring happens INSIDE the bucket as one BLAS gemm
+    per (table, bucket) group (``applyInPandas``), so candidate pairs
+    are never materialized as join rows — only the surviving
+    above-threshold (id_a, id_b) scalars leave the task, and the
+    cross-table pair dedup shuffles those scalars alone.  (A pair-row
+    self-join + per-row scorer computes the same thing ~6× slower:
+    measured 4.7 s -> 0.8 s at sf0.1 — join-row materialization and
+    per-row UDF dispatch dominate, not flops.)  Per-task memory is one
+    bucket's matrix + its score tile; the ``max_bucket``-style skew cap
+    of the MinHash path applies if a degenerate bucket ever forms
+    (hyperplane buckets are balanced by construction for centered data).
     """
-    from .similarity import _signature_udf, cosine_pairs_udf, make_planes
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _signature_udf, make_planes
 
     tables = [
         make_planes(dim, planes_per_table, seed + 1000 * t) for t in range(num_tables)
@@ -622,14 +633,21 @@ def embedding_near_dup_lsh(
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .select("_id", "_v", F.posexplode(sig(F.col("_v"))).alias("_t", "_b"))
     )
-    a = s.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_t", "_b")
-    b = s.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_t", "_b")
-    cos = cosine_pairs_udf()
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        keep = (m @ m.T) >= threshold
+        # upper triangle only, ordered by id (ids within a bucket are
+        # arbitrary-ordered rows: compare ids, not row positions)
+        ai, bj = np.nonzero(keep & (ids[None, :] > ids[:, None]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
+
     return (
-        a.join(b, ["_t", "_b"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos(F.col("_va"), F.col("_vb")).alias("_cos"))
-        .where(F.col("_cos") >= threshold)
-        .select("id_a", "id_b")
+        s.groupBy("_t", "_b")
+        .applyInPandas(score_bucket, "id_a bigint, id_b bigint")
         .dropDuplicates()
     )

@@ -77,28 +77,58 @@ def asof_join_forward(
     right_ts: str = "ts",
     payload: dict[str, str] | None = None,
     inner: bool = True,
+    skew_keys: list | None = None,
+    skew_bucket_seconds: float = 86_400.0,
 ) -> DataFrame:
     """Forward as-of join: for each left row, the EARLIEST right row with
     ``right.ts >= left.ts`` and the same key (DuckDB ``ASOF JOIN ... ON
     l.ts <= r.ts`` / ``pd.merge_asof(direction='forward')`` semantics,
     equal timestamps match).
 
-    Mirror of :func:`asof_join_backward`: same union-both-sides single
-    ordered window per key, scanned in DESCENDING time order so the
-    running ``last`` right row is the nearest at-or-after one.  Ties on
-    (key, ts) keep the identical winner as the backward path (max
-    payload struct).  Key skew mirrors too — the backward bucketed
-    fallback applies with bucket carry-in taken from LATER buckets; not
-    wired here, route hot keys through ``asof_join_backward``'s bucketed
-    path on negated integer timestamps if needed.
+    Implemented as :func:`asof_join_backward` on NEGATED integer
+    timestamps — time reversal maps "earliest at-or-after" onto "latest
+    at-or-before" exactly, ties included: the backward winner among
+    equal scan positions is ``max(struct(ts, payload))``, and on negated
+    micros equal negts reduce that to max payload, while distinct negts
+    pick max(-ts) = min real ts.  One battle-tested window core serves
+    both directions, and the hot-key bucketed fallback (``skew_keys``)
+    comes along for free: reversed-time buckets take their carry-in from
+    what is, in real time, the LATER buckets — which is precisely the
+    forward join's correctness requirement
+    (tests/test_analytics_linkage.py::test_asof_forward_skew_path).
+
+    ``matched_ts`` is returned in the right side's timestamp dtype;
+    NULL timestamps never match (NULL negates to NULL, preserving the
+    backward path's nulls-first no-match handling).
     """
-    payload = payload or {}
-    l = _asof_tag_left(left, right, key, left_ts, payload)
-    r = _asof_tag_right(left, right, key, right_ts, payload)
-    out = _asof_window(l, r, left.columns, payload, ["_k"], descending=True)
-    if inner:
-        out = out.where(F.col("matched_ts").isNotNull())
-    return out
+    t_l = dict(left.dtypes)[left_ts]
+    t_r = dict(right.dtypes)[right_ts]
+
+    def neg(df: DataFrame, col: str, dtype: str):
+        c = F.col(col)
+        if dtype in ("timestamp", "timestamp_ntz"):
+            c = F.unix_micros(c.cast("timestamp"))
+        return df.withColumn("_fwd_negts", (-c).cast("long"))
+
+    out = asof_join_backward(
+        neg(left, left_ts, t_l),
+        neg(right, right_ts, t_r),
+        key,
+        left_ts="_fwd_negts",
+        right_ts="_fwd_negts",
+        payload=payload,
+        inner=inner,
+        skew_keys=skew_keys,
+        # backward buckets on _ts.cast(double): negated MICROS here, so
+        # scale the seconds-denominated width to the micros grid
+        skew_bucket_seconds=skew_bucket_seconds * 1_000_000.0,
+    )
+    matched = -F.col("matched_ts")
+    if t_r in ("timestamp", "timestamp_ntz"):
+        matched = F.timestamp_micros(matched)
+    else:
+        matched = matched.cast(right.schema[right_ts].dataType)
+    return out.withColumn("matched_ts", matched).drop("_fwd_negts")
 
 
 def _asof_tag_left(left, right, key, left_ts, payload):
@@ -121,23 +151,15 @@ def _asof_tag_right(left, right, key, right_ts, payload):
     )
 
 
-def _asof_window(l, r, left_cols, payload, part_cols, descending=False):
+def _asof_window(l, r, left_cols, payload, part_cols):
     """The union-both-sides ordered-window core, partitioned on
     ``part_cols`` (plain path: [_k]; skew path: [_k, _bucket]).
-
-    ``descending=True`` flips the scan direction for the FORWARD as-of:
-    walking timestamps downward, the last right row seen at-or-above a
-    left row is the EARLIEST right row with ``right.ts >= left.ts``.
-    The tie-break stays ascending either way so the winning payload
-    among same-timestamp right rows is identical in both directions.
-    """
+    Serves BOTH directions: the forward join feeds it negated integer
+    timestamps, so the ascending scan is always correct here."""
     tie = F.struct(*[F.col(f"_p_{out}") for out in payload.values()]) if payload else F.lit(0)
-    # nulls-first in BOTH directions: a NULL-ts row scans before
-    # everything, so it can never see (or be) a real match either way
-    ts_order = F.col("_ts").desc_nulls_first() if descending else F.col("_ts").asc_nulls_first()
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(ts_order, F.col("_side"), tie.asc_nulls_first())
+        .orderBy(F.col("_ts"), F.col("_side"), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE packed struct carries matched_ts and every payload field

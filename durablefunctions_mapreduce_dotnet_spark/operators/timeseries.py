@@ -140,3 +140,48 @@ def gap_fill(
         prev["v"].alias("v_locf"),
         lin.alias("v_lin"),
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    threshold_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Missing-data detector — the inverse of :func:`gap_fill`: one row
+    per gap where a series goes silent longer than ``threshold_seconds``
+    (``gap_start`` = last observation before silence, ``gap_end`` = first
+    after, ``gap_seconds`` = integer delta).
+
+    ONE lag window per series (same single shuffle as sessionization —
+    a gap is exactly a session boundary read the other way), integer
+    epoch-second arithmetic so both engines agree exactly.  Emits only
+    gap rows, so output is O(gaps), not O(observations).
+    """
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    sec = F.unix_micros(ts)
+    w = Window.partitionBy("series").orderBy("t_us", "_id")
+    obs = df.select(
+        F.col(series_col).alias("series"),
+        sec.alias("t_us"),
+        F.col(id_col).alias("_id"),
+    )
+    prev = F.lag("t_us").over(w)
+    return (
+        obs.withColumn("_prev", prev)
+        .where((F.col("t_us") - F.col("_prev")) > threshold_seconds * 1_000_000)
+        .select(
+            "series",
+            F.col("_prev").alias("gap_start_us"),
+            F.col("t_us").alias("gap_end_us"),
+            # explicit floor: Spark's double->long cast truncates while
+            # DuckDB's rounds (same guard as gap_fill's bucketing)
+            F.floor((F.col("t_us") - F.col("_prev")) / F.lit(1_000_000.0))
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+        .orderBy("series", "gap_start_us")
+    )

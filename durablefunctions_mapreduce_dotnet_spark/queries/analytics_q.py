@@ -144,15 +144,52 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_window_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event log: per user, each
+    event-type CHANGE opens a validity interval; repeats collapse; the
+    latest state stays open (valid_to NULL)."""
+    from ..operators.analytics import scd2_intervals
+
+    e = read_table(spark, sf_dir, "events")
+    out = scd2_intervals(e, "user_id", "ts", "event_type", "event_id")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", ts_fmt).alias("valid_from"),
+        F.date_format("valid_to", ts_fmt).alias("valid_to"),
+    ).orderBy("user_id", "valid_from")
+
+
+_SCD2_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG({'v': event_type}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+surv AS (
+  SELECT user_id, event_type, ts, event_id FROM log
+  WHERE prev IS NULL OR NOT (prev.v IS NOT DISTINCT FROM event_type)
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+FROM surv ORDER BY user_id, valid_from
+"""
+
+
 QUERIES = {
     "window_concurrency": q_window_concurrency,
     "window_concurrency_global": q_window_concurrency_global,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "window_scd2": q_window_scd2,
 }
 ORACLES = {
     "window_concurrency": _CONCURRENCY_SQL,
     "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,
     "funnel_steps": _FUNNEL_SQL,
     "cohort_retention": _RETENTION_SQL,
+    "window_scd2": _SCD2_SQL,
 }

@@ -7,6 +7,7 @@ from ..streaming.stream_ops import (
     streaming_click_attribution,
     streaming_daily_counts,
     streaming_dedup,
+    streaming_enriched_counts,
     streaming_first_seen,
     streaming_flagship,
     streaming_session_windows,
@@ -95,6 +96,15 @@ SELECT user_id, COUNT(*) AS n_pairs,
 FROM p GROUP BY user_id ORDER BY user_id
 """
 
+# stream-static enrichment: the event stream joined to the customer
+# dimension (broadcast per micro-batch), per-segment running aggregates
+_STREAM_ENRICHED_SQL = f"""
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
 # the doubled stream must collapse back to the original table's counts
 _STREAM_DEDUP_SQL = """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id
@@ -108,9 +118,11 @@ QUERIES = {
     "streaming_first_seen": streaming_first_seen,
     "streaming_flagship": streaming_flagship,
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_enriched_counts": streaming_enriched_counts,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
+    "streaming_enriched_counts": _STREAM_ENRICHED_SQL,
     "streaming_daily_counts": _STREAM_DAILY_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_sliding_counts": _STREAM_SLIDING_SQL,

@@ -140,13 +140,41 @@ FROM w
 """
 
 
+def q_time_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data detection: per event type, every silence longer than
+    one hour (the inverse read of gap-fill; one lag window per series)."""
+    from ..operators.timeseries import detect_gaps
+
+    e = read_table(spark, sf_dir, "events")
+    return detect_gaps(e, "event_type", "ts", threshold_seconds=3600)
+
+
+_TIME_GAP_DETECT_SQL = """
+WITH o AS (
+  SELECT event_type AS series, epoch_us(ts) AS t_us, event_id AS id FROM events
+),
+l AS (
+  SELECT series, t_us,
+         LAG(t_us) OVER (PARTITION BY series ORDER BY t_us, id) AS prev
+  FROM o
+)
+SELECT series, prev AS gap_start_us, t_us AS gap_end_us,
+       CAST(floor((t_us - prev) / 1000000.0) AS BIGINT) AS gap_seconds
+FROM l
+WHERE (t_us - prev) > CAST(3600 AS BIGINT) * 1000000
+ORDER BY series, gap_start_us
+"""
+
+
 QUERIES = {
     "time_rollup_ohlc": q_time_rollup_ohlc,
     "distinct_users_salted": q_distinct_users_salted,
     "time_gapfill_interpolate": q_time_gapfill,
+    "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
     "time_rollup_ohlc": _TIME_ROLLUP_SQL,
     "distinct_users_salted": _DISTINCT_SALTED_SQL,
     "time_gapfill_interpolate": _TIME_GAPFILL_SQL,
+    "time_gap_detect": _TIME_GAP_DETECT_SQL,
 }

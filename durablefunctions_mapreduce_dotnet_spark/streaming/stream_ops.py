@@ -288,3 +288,29 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    STATIC dimension (customer segments) with per-segment incremental
+    aggregates — the canonical "enrich the stream with reference data"
+    shape.
+
+    The static side is an ordinary batch DataFrame broadcast into every
+    micro-batch (re-resolved per trigger, so a replaced dimension
+    parquet is picked up without restarting the query); no state is
+    kept for the join itself — only the downstream aggregate holds
+    (segment)-keyed running sums.  Stream-static inner joins need no
+    watermark at all, which is exactly why this is the preferred shape
+    over stream-stream whenever one side is slowly-changing.
+    """
+    from ..sources.readers import read_table
+
+    src = _stream_events(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    return run_to_memory(agg, "complete").orderBy("segment")

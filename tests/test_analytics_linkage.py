@@ -197,3 +197,76 @@ def test_global_concurrency_matches_single_window(spark):
     assert got == exp
     for df_ in pinned:
         df_.unpersist()
+
+
+def test_scd2_collapses_repeats_and_handles_nulls(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import scd2_intervals
+
+    rows = [
+        (1, 10, 100, "a"),
+        (1, 20, 101, "a"),   # repeat -> collapsed
+        (1, 30, 102, "b"),   # change
+        (1, 40, 103, None),  # change to NULL state
+        (1, 50, 104, None),  # repeated NULL -> collapsed
+        (1, 60, 105, "b"),   # change back
+        (2, 10, 200, "x"),   # second key independent
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, id long, v string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "id", "v"
+    )
+    out = scd2_intervals(df, "k", "ts", "v", "id").select(
+        "k", "v", F.unix_timestamp("valid_from").alias("f"),
+        F.unix_timestamp("valid_to").alias("to"),
+    ).collect()
+    got = sorted([(r.k, r.v, r.f, r.to) for r in out], key=lambda x: (x[0], x[2]))
+    assert got == [
+        (1, "a", 10, 30),
+        (1, "b", 30, 40),
+        (1, None, 40, 60),
+        (1, "b", 60, None),
+        (2, "x", 10, None),
+    ]
+
+
+def test_detect_gaps_hand_case(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import detect_gaps
+
+    # series s: points at 0, 100, 5000, 5100 seconds -> one gap 100->5000
+    rows = [("s", 0, 1), ("s", 100, 2), ("s", 5000, 3), ("s", 5100, 4),
+            ("u", 0, 5), ("u", 10000, 6)]
+    df = spark.createDataFrame(rows, "series string, t long, event_id long").select(
+        "series", F.timestamp_seconds("t").alias("ts"), "event_id"
+    )
+    out = [(r.series, r.gap_start_us, r.gap_end_us, r.gap_seconds)
+           for r in detect_gaps(df, "series", "ts", threshold_seconds=3600).collect()]
+    assert out == [
+        ("s", 100_000_000, 5_000_000_000, 4900),
+        ("u", 0, 10_000_000_000, 10000),
+    ]
+
+
+def test_asof_forward_skew_path_identical(spark):
+    """Hot-key bucketed forward as-of == plain forward as-of, including
+    carry-over matches whose right row lives in a LATER time bucket."""
+    import itertools
+
+    # key 7 is hot with a sparse right side so many left rows must reach
+    # into later buckets for their match
+    left_rows = [(i, 7 if i % 4 else 2, i * 137 % 100_000) for i in range(300)]
+    right_rows = [(7, t * 9973 % 100_000, float(t)) for t in range(40)]
+    right_rows += [(2, t * 31 % 100_000, float(t + 1000)) for t in range(50)]
+    l = spark.createDataFrame(left_rows, "id long, k long, t long").select(
+        "id", "k", F.timestamp_seconds("t").alias("ts")
+    )
+    r = spark.createDataFrame(right_rows, "k long, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    plain = asof_join_forward(l, r, key="k", payload={"v": "v"}, inner=False)
+    skew = asof_join_forward(
+        l, r, key="k", payload={"v": "v"}, inner=False,
+        skew_keys=[7], skew_bucket_seconds=600.0,
+    )
+    key = lambda rows: sorted(
+        (x.id, x.k, x.matched_ts, x.v) for x in rows
+    )
+    assert key(plain.collect()) == key(skew.collect())
