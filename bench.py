@@ -46,10 +46,14 @@ HEADLINE = [
     # round-4 additions
     "join_fuzzy_blocked",
     "window_concurrency",
+    "window_concurrency_global",
     "funnel_steps",
     "cohort_retention",
+    "window_scd2",
     "dedup_embedding_lsh",
     "text_tokens",
+    "time_gap_detect",
+    "curation_quality_audit",
 ]
 
 

@@ -22,8 +22,13 @@ as shuffle-minimal Spark plans:
   user counts.  Distinct-user state is bounded per (cohort, offset)
   group by the partial-aggregate split.
 
-All three are deterministic (min/sum over sets; no order-dependent
-folds) and mirror into plain ANSI SQL for the DuckDB oracle.
+Later additions follow the same discipline: a GLOBAL-timeline
+concurrency variant (``global_interval_concurrency``, two-pass
+deterministic-quantile buckets — no SinglePartition window) and an SCD
+type-2 dimension build (``scd2_intervals``, lag-drop + lead-close on
+one key exchange).  Everything here is deterministic (min/sum over
+sets; no order-dependent folds) and mirrors into plain ANSI SQL for
+the DuckDB oracle.
 """
 
 from __future__ import annotations

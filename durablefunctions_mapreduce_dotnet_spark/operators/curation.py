@@ -259,3 +259,74 @@ def fixed_width_histogram(
         .select("bucket", "bucket_lo", "n_rows", "sum_value", "min_value", "max_value")
         .orderBy("bucket")
     )
+
+
+def quality_audit(
+    df: DataFrame,
+    key_cols: list[str],
+    not_null: list[str] | None = None,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    reference: tuple[DataFrame, str, str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test shape): verify
+    key uniqueness, NULL-freedom, numeric bounds, and (optionally)
+    referential integrity, and emit one row per check:
+    ``(check string, metric bigint, passed boolean)`` where ``metric``
+    counts the violating rows (0 = clean).
+
+    ONE combiner-reduced scan computes every row-level check — the
+    violation counters are conditional counts riding a single hash
+    aggregate with the exact key-distinct (no per-check scans, the
+    N-scans-for-N-checks trap a naive audit falls into).  The optional
+    referential check is a broadcast-or-shuffled ANTI join against the
+    reference keys only (projected, so the reference's payload never
+    moves).  Counters use COUNT(CASE) not SUM(CASE): engines agree on
+    COUNT's BIGINT where SUM-of-int types diverge.
+    """
+    not_null = not_null or []
+    bounds = bounds or {}
+    key = F.struct(*[F.col(c) for c in key_cols])
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(key).alias("_kd"),
+    ]
+    for c in not_null:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"))
+    for c, (lo, hi) in bounds.items():
+        aggs.append(
+            F.count(
+                F.when((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)), 1)
+            ).alias(f"_ob_{c}")
+        )
+    a = df.agg(*aggs)
+    checks = [(f"key_unique:{','.join(key_cols)}", F.col("_n") - F.col("_kd"))]
+    checks += [(f"not_null:{c}", F.col(f"_nn_{c}")) for c in not_null]
+    checks += [(f"bounds:{c}", F.col(f"_ob_{c}")) for c, _ in bounds.items()]
+    rows = a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        m.cast("long").alias("metric"),
+                        (m == 0).alias("passed"),
+                    )
+                    for name, m in checks
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    if reference is not None:
+        ref_df, fk, pk = reference
+        orphans = (
+            df.select(F.col(fk))
+            .join(ref_df.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("metric"))
+            .select(
+                F.lit(f"fk_exists:{fk}").alias("check"),
+                F.col("metric").cast("long").alias("metric"),
+                (F.col("metric") == 0).alias("passed"),
+            )
+        )
+        rows = rows.unionByName(orphans)
+    return rows.orderBy("check")

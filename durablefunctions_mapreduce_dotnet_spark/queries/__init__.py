@@ -60,7 +60,7 @@ def all_oracles() -> dict[str, str]:
 #   HALF_A (relational core + flagship, 50 queries):
 #       joins_q, windows_q, aggregates_q, relational_q, subquery_q,
 #       arrays_q, flagship_q
-#   HALF_B (LLM-pipeline surface, 55 queries):
+#   HALF_B (LLM-pipeline surface, 57 queries):
 #       similarity_q, dedup_q, curation_q, text_q, multimodal_q,
 #       streaming_q, timeseries_q, udf_q, analytics_q, linkage_q
 #
@@ -68,8 +68,9 @@ def all_oracles() -> dict[str, str]:
 #   r01, r02: HALF_A-ish original order (relational core driver-green twice)
 #   r03:      HALF_B first (all 42 LLM queries driver-green)
 #   r04:      HALF_A first  <-- CURRENT STATE of _ROTATION below
-#             (13 queries NEW in r04 — dedup_embedding_lsh,
-#             curation_histogram, text_tokens,
+#             (15 queries NEW in r04 — dedup_embedding_lsh,
+#             curation_histogram, curation_histogram_equidepth,
+#             curation_quality_audit, text_tokens,
 #             streaming_click_attribution, streaming_enriched_counts,
 #             window_concurrency, window_concurrency_global,
 #             funnel_steps, cohort_retention, window_scd2,

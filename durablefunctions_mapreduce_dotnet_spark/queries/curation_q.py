@@ -319,7 +319,132 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-scan constraint audit over a deliberately salted
+    orders table (duplicated keys, NULLed dates, out-of-bounds prices,
+    orphaned customer keys — all derived deterministically so the oracle
+    builds the identical dirty table): key uniqueness + not-null +
+    bounds ride ONE hash aggregate; referential integrity is a
+    keys-only anti join."""
+    from ..operators.curation import quality_audit
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    m = F.col("o_orderkey") % 1000
+    dup = o.where(m == 0)
+    nulled = o.where(m == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    oob = o.where(m == 2).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        F.lit(-5.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    orphan = o.where(m == 3).select(
+        (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + 90_000_000).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    dirty = o.unionByName(dup).unionByName(nulled).unionByName(oob).unionByName(orphan)
+    return quality_audit(
+        dirty,
+        key_cols=["o_orderkey"],
+        not_null=["o_orderdate", "o_custkey"],
+        bounds={"o_totalprice": (0.0, 600_000.0)},
+        reference=(c, "o_custkey", "c_custkey"),
+    )
+
+
+_QUALITY_AUDIT_SQL = """
+WITH dirty AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_orderkey % 1000 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, CAST(NULL AS TIMESTAMP)
+  FROM orders WHERE o_orderkey % 1000 = 1
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_custkey, -5.0, o_orderdate
+  FROM orders WHERE o_orderkey % 1000 = 2
+  UNION ALL
+  SELECT o_orderkey + 30000000, o_custkey + 90000000, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 1000 = 3
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS kd,
+         COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nn_date,
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn_cust,
+         COUNT(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 600000.0 THEN 1 END) AS ob_price
+  FROM dirty
+),
+orph AS (
+  SELECT COUNT(*) AS c FROM dirty d
+  WHERE NOT EXISTS (SELECT 1 FROM customer x WHERE x.c_custkey = d.o_custkey)
+)
+SELECT * FROM (
+  SELECT 'key_unique:o_orderkey' AS "check", n - kd AS metric, (n - kd) = 0 AS passed FROM a
+  UNION ALL SELECT 'not_null:o_orderdate', nn_date, nn_date = 0 FROM a
+  UNION ALL SELECT 'not_null:o_custkey', nn_cust, nn_cust = 0 FROM a
+  UNION ALL SELECT 'bounds:o_totalprice', ob_price, ob_price = 0 FROM a
+  UNION ALL SELECT 'fk_exists:o_custkey', c, c = 0 FROM orph
+) ORDER BY "check"
+"""
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (decile) histogram — the two-pass companion of the
+    one-pass fixed-width histogram: global NTILE(10) tiles via the
+    range-partitioned distribution rank (no SinglePartition window),
+    then per-tile count/min/max/sum.  Composition of
+    ``windows.global_distribution_rank`` + a combiner aggregate; the
+    pin-release contract is the same as ``window_distribution``."""
+    from ..operators.windows import global_distribution_rank
+    from ..functions.numeric import dsum
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_distribution_rank(o, ["o_totalprice", "o_orderkey"], ntile_k=10)
+    return (
+        ranked.groupBy(F.col("quartile").cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+            dsum("o_totalprice", "sum_value"),
+        )
+        .orderBy("tile")
+    )
+
+
+_HISTOGRAM_EQUIDEPTH_SQL = """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+  FROM orders
+)
+SELECT tile, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM t GROUP BY tile ORDER BY tile
+"""
+
+
 QUERIES = {
+    "curation_quality_audit": q_quality_audit,
+    "curation_histogram_equidepth": q_histogram_equidepth,
     "curation_histogram": q_histogram,
     "curation_sample_clustered": q_sample_clustered,
     "curation_sample_weighted": q_sample_weighted,
@@ -333,6 +458,8 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_quality_audit": _QUALITY_AUDIT_SQL,
+    "curation_histogram_equidepth": _HISTOGRAM_EQUIDEPTH_SQL,
     "curation_histogram": _HISTOGRAM_SQL,
     "curation_sample_clustered": _sample_clustered_sql(),
     "curation_sample_weighted": _SAMPLE_WEIGHTED_SQL,

@@ -270,3 +270,47 @@ def test_asof_forward_skew_path_identical(spark):
         (x.id, x.k, x.matched_ts, x.v) for x in rows
     )
     assert key(plain.collect()) == key(skew.collect())
+
+
+def test_quality_audit_counts_violations(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import quality_audit
+
+    rows = [
+        (1, 10, 5.0), (1, 11, 7.0),        # dup key
+        (2, None, 50.0),                   # null fk
+        (3, 12, -1.0), (4, 13, 1000.0),    # one below, one above bounds
+    ]
+    df = spark.createDataFrame(rows, "k long, fk long, v double")
+    ref = spark.createDataFrame([(10,), (11,), (12,)], "pk long")
+    out = {r.check: (r.metric, r.passed) for r in quality_audit(
+        df, ["k"], not_null=["fk"], bounds={"v": (0.0, 100.0)},
+        reference=(ref, "fk", "pk"),
+    ).collect()}
+    assert out["key_unique:k"] == (1, False)
+    assert out["not_null:fk"] == (1, False)
+    assert out["bounds:v"] == (2, False)
+    # orphans: fk=13 missing from ref; NULL fk is also unmatched by the
+    # anti join (NULL never equals) -> 2
+    assert out["fk_exists:fk"] == (2, False)
+
+
+def test_fuzzy_join_multipass_blocking_recovers_cross_block_match(spark):
+    """Two blocking passes with independent keys, unioned — the
+    documented recipe for recall beyond one pass.  The (b-mismatched)
+    pair is invisible to pass 1 but caught by pass 2's key."""
+    left = spark.createDataFrame(
+        [(1, "b1", "Z9", "kitten")], "lid long, blk1 string, blk2 string, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "b2", "Z9", "kittens")], "rid long, blk1 string, blk2 string, rname string"
+    )
+    p1 = blocked_fuzzy_join(
+        left.drop("blk2"), right.drop("blk2"), ["blk1"], "lname", "rname", 1
+    )
+    p2 = blocked_fuzzy_join(
+        left.drop("blk1"), right.drop("blk1"), ["blk2"], "lname", "rname", 1
+    )
+    assert p1.count() == 0
+    cols = ["lid", "rid", "edit_dist"]
+    both = p1.select(cols).unionByName(p2.select(cols)).dropDuplicates(["lid", "rid"])
+    assert [(r.lid, r.rid, r.edit_dist) for r in both.collect()] == [(1, 10, 1)]
