@@ -141,3 +141,84 @@ def canonicalize_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint: CheckpointFn | None = None,
+) -> DataFrame:
+    """Edge-multiplicity-weighted PageRank with dangling-mass
+    redistribution, fixed ``iters`` power iterations — the crawl/domain
+    ranking primitive of a web-scale curation pipeline.
+
+    Per iteration (the standard shuffle shape — rank table joins edges
+    on src, contributions combiner-sum on dst):
+
+        contrib(dst) = Σ_{(src,dst) ∈ E} rank(src) / outdeg(src)
+        rank'(v)     = (1-d)/N + d · (contrib(v) + dangling_mass / N)
+
+    Determinism: contributions and the dangling mass are DECIMAL sums
+    (order-free), and every scalar step — the per-row rank/deg divide,
+    the (1-d)/N teleport, the d·(...) damping — is a single IEEE double
+    op mirrored operation-for-operation in the SQL oracle, so ranks
+    round-trip exactly at 9 dp.  The dangling total rides a broadcast
+    1-row cross join (the scalar-subquery shape, BNLJ-allowlisted).
+
+    ``iters`` is deliberately small and unrolled lazily; each extra
+    iteration doubles the self-referencing plan (ranks feeds both the
+    contribution join and the dangling sum), so for iterating to
+    convergence on a cluster pass ``checkpoint`` (same contract as
+    :func:`connected_components`) to cut lineage each round.  N (node
+    count) is a driver scalar by design — the one collect is one long.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = e.select(F.col("_s").alias("node")).union(
+        e.select(F.col("_d").alias("node"))
+    ).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.select(F.col("node").alias("_s"), "rank"), "_s")
+            .join(deg, "_s")
+            .select("_d", (F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        summed = contribs.groupBy("_d").agg(
+            F.sum(F.col("_c").cast("decimal(38,18)")).cast("double").alias("_sum")
+        )
+        dangling = (
+            ranks.join(deg, ranks.node == deg._s, "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("_dm")
+            )
+        )
+        ranks = (
+            nodes.join(summed, nodes.node == summed._d, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_sum"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint is not None:
+            ranks = checkpoint(ranks)
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")

@@ -296,3 +296,57 @@ def range_bin_join(
         .where((v >= F.col(lo)) & (v < F.col(hi)))
         .drop("_bin")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: dict[str, str] | None = None,
+    inner: bool = True,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row with the same
+    key whose timestamp is CLOSEST in either direction
+    (``pd.merge_asof(direction='nearest')``); equidistant candidates
+    resolve to the at-or-before row, matching pandas.
+
+    Composition, not a third window machine: run the backward pass,
+    thread its outputs through the forward pass as ordinary carried
+    columns (both are one ordered window per key, so Catalyst plans two
+    window passes over the SAME key exchange), then arbitrate per row on
+    integer-microsecond distances.  Output adds ``matched_ts`` +
+    payload columns exactly like the directional joins.
+    """
+    payload = payload or {}
+    b_payload = {src: f"_b_{out}" for src, out in payload.items()}
+    f_payload = {src: f"_f_{out}" for src, out in payload.items()}
+    back = asof_join_backward(
+        left, right, key, left_ts, right_ts, payload=b_payload, inner=False
+    ).withColumnRenamed("matched_ts", "_b_ts")
+    both = asof_join_forward(
+        back, right, key, left_ts, right_ts, payload=f_payload, inner=False
+    ).withColumnRenamed("matched_ts", "_f_ts")
+
+    def us(c):
+        col = F.col(c)
+        return F.unix_micros(col.cast("timestamp")) if dict(both.dtypes)[c] in (
+            "timestamp",
+            "timestamp_ntz",
+        ) else col.cast("long")
+
+    d_b = us(left_ts) - us("_b_ts")
+    d_f = us("_f_ts") - us(left_ts)
+    use_b = F.col("_b_ts").isNotNull() & (F.col("_f_ts").isNull() | (d_b <= d_f))
+    out = both.select(
+        *left.columns,
+        F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts")).alias("matched_ts"),
+        *[
+            F.when(use_b, F.col(f"_b_{o}")).otherwise(F.col(f"_f_{o}")).alias(o)
+            for o in payload.values()
+        ],
+    )
+    if inner:
+        out = out.where(F.col("matched_ts").isNotNull())
+    return out

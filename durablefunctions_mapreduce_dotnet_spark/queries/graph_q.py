@@ -1,0 +1,84 @@
+"""Graph-analytics queries: PageRank over a derived bipartite graph.
+
+The supplier→part edge list from ``lineitem`` (parts offset by 1e6 so
+the two id spaces never collide) gives a deterministic multigraph where
+every part node is dangling — exercising the dangling-mass
+redistribution path every iteration.
+
+Oracle parity: the power iteration is fully unrolled into CTEs (the
+``kmeans_clusters`` pattern).  FP literals are CAST to DOUBLE in the
+SQL — DuckDB parses ``0.85`` as DECIMAL(3,2) and decimal arithmetic
+would compute an exact 0.15 where Python/Spark's IEEE ``1.0 - 0.85``
+is 0.15000000000000002; casting first makes every scalar step the same
+IEEE double op on both engines.  Contribution/dangling sums are
+DECIMAL (order-free); ranks compare ROUNDed at 9 dp (ulp-level
+double→decimal cast divergence sits at ~1e-17, invisible there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..sources.readers import read_table
+
+_ITERS = 3
+_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    return pagerank(edges, iters=_ITERS, damping=_DAMPING)
+
+
+def _pagerank_oracle_sql(iters: int = _ITERS, damping: float = _DAMPING) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    tele = f"(CAST(1 AS DOUBLE) - {d}) / n"
+    its = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        its.append(f"""
+c{k} AS (
+  SELECT e.d AS node,
+         CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(38,18))) AS DOUBLE) AS csum
+  FROM e JOIN {p} r ON r.node = e.s JOIN deg ON deg.s = e.s
+  GROUP BY e.d
+),
+d{k} AS (
+  SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,18))) AS DOUBLE),
+                  CAST(0 AS DOUBLE)) AS dm
+  FROM {p} r WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r.node)
+),
+r{k} AS (
+  SELECT nodes.node,
+         {tele} + {d} * (COALESCE(c.csum, CAST(0 AS DOUBLE))
+                         + dd.dm / CAST(n AS DOUBLE)) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k} dd
+  LEFT JOIN c{k} c ON c.node = nodes.node
+)""")
+    body = ",".join(its)
+    return f"""
+WITH e AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s, l_partkey + 1000000 AS d FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),{body}
+SELECT node, ROUND(rank, 9) AS rank FROM r{iters} ORDER BY node
+"""
+
+
+QUERIES = {
+    "graph_pagerank": q_graph_pagerank,
+}
+ORACLES = {
+    "graph_pagerank": _pagerank_oracle_sql(),
+}

@@ -111,11 +111,63 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') s
 """
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the user's CLOSEST click in either time
+    direction (nearest as-of; equidistant resolves backward)."""
+    from ..operators.joins import asof_join_nearest
+
+    e = read_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join_nearest(
+        errors, clicks, key="user_id", payload={"value": "nearest_click_value"}, inner=True
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts_fmt).alias("ts"),
+        F.date_format("matched_ts", ts_fmt).alias("matched_ts"),
+        "nearest_click_value",
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, s.ts AS b_ts, s.value AS b_v
+  FROM p ASOF LEFT JOIN c s ON p.user_id = s.user_id AND p.ts >= s.ts
+),
+bf AS (
+  SELECT b.*, s2.ts AS f_ts, s2.value AS f_v
+  FROM b ASOF LEFT JOIN c s2 ON b.user_id = s2.user_id AND b.ts <= s2.ts
+),
+pick AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+              THEN b_ts ELSE f_ts END AS matched_ts,
+         CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+              THEN b_v ELSE f_v END AS nearest_click_value
+  FROM bf
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(matched_ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+       nearest_click_value
+FROM pick WHERE matched_ts IS NOT NULL
+"""
+
+
 QUERIES = {
     "join_fuzzy_blocked": q_join_fuzzy_blocked,
     "join_asof_forward": q_join_asof_forward,
+    "join_asof_nearest": q_join_asof_nearest,
 }
 ORACLES = {
     "join_fuzzy_blocked": _FUZZY_SQL,
     "join_asof_forward": _ASOF_FORWARD_SQL,
+    "join_asof_nearest": _ASOF_NEAREST_SQL,
 }

@@ -314,3 +314,67 @@ def test_fuzzy_join_multipass_blocking_recovers_cross_block_match(spark):
     cols = ["lid", "rid", "edit_dist"]
     both = p1.select(cols).unionByName(p2.select(cols)).dropDuplicates(["lid", "rid"])
     assert [(r.lid, r.rid, r.edit_dist) for r in both.collect()] == [(1, 10, 1)]
+
+
+def test_pagerank_mass_conservation_and_hand_graph(spark):
+    """Total rank mass stays 1 every iteration (dangling redistribution
+    included), and a 3-node hand graph gets the analytically-known
+    ordering: a node fed by everything outranks its feeders.  Deep
+    iteration counts REQUIRE the checkpoint hook — each un-cut round
+    doubles the self-referencing plan (the operator docstring's
+    contract), so this also exercises the convergence-loop path."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        local_checkpoint,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    # 30 iterations: the 1<->3 cycle oscillates with period 2 at decay
+    # 0.85/step, so the parity-dependent wobble (~0.4 * 0.85^30 ~ 3e-3)
+    # must fall below the stationary r3-r1 gap (~0.023) before the
+    # ordering assertion is meaningful
+    out = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=30, checkpoint=local_checkpoint).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # node 2 has no in-links: rank is exactly the teleport term
+    assert abs(out[2] - 0.15 / 3) < 1e-9
+    assert out[3] > out[1] > out[2]
+
+    # bipartite sinks (10, 11) are dangling: mass still sums to 1
+    bip = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], "src long, dst long")
+    out2 = {
+        r.node: r.rank
+        for r in pagerank(bip, iters=4, checkpoint=local_checkpoint).collect()
+    }
+    assert abs(sum(out2.values()) - 1.0) < 1e-6
+    assert out2[10] > out2[11]
+
+
+def test_asof_nearest_matches_pandas(spark):
+    import pandas as pd
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import asof_join_nearest
+
+    left = pd.DataFrame(
+        {"id": range(40), "k": [i % 3 for i in range(40)],
+         "lts": [float(i * 13 % 60) for i in range(40)]}
+    )
+    right = pd.DataFrame(
+        {"k": [i % 3 for i in range(25)], "rts": [float(i * 17 % 55) for i in range(25)],
+         "pay": [float(i) for i in range(25)]}
+    )
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="stable"),
+        right.sort_values("rts", kind="stable").rename(columns={"rts": "matched"}),
+        left_on="lts", right_on="matched", by="k", direction="nearest",
+    ).dropna(subset=["matched"]).sort_values("id")
+    l = spark.createDataFrame(left).select("id", "k", F.col("lts").cast("timestamp").alias("ts"))
+    r = spark.createDataFrame(right).select("k", F.col("rts").cast("timestamp").alias("ts"), "pay")
+    got = asof_join_nearest(l, r, key="k", payload={"pay": "pay"}, inner=True).select(
+        "id", F.unix_timestamp("matched_ts").cast("double").alias("matched")
+    ).toPandas().sort_values("id")
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["matched"].tolist() == pytest.approx(exp["matched"].tolist())

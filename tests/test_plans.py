@@ -60,6 +60,9 @@ _BNLJ_OK = {
     # lazy corpus-count scalar: a broadcast 1-row build side (the
     # crossJoin in operators/curation.doc_top_distinctive_terms)
     "curation_doc_topterms",
+    # dangling-mass scalar per power iteration: broadcast 1-row cross
+    # join (operators/graph.pagerank)
+    "graph_pagerank",
 }
 
 
