@@ -314,10 +314,12 @@ def asof_join_nearest(
 
     Composition, not a third window machine: run the backward pass,
     thread its outputs through the forward pass as ordinary carried
-    columns (both are one ordered window per key, so Catalyst plans two
-    window passes over the SAME key exchange), then arbitrate per row on
-    integer-microsecond distances.  Output adds ``matched_ts`` +
-    payload columns exactly like the directional joins.
+    columns, then arbitrate per row on integer-microsecond distances.
+    Cost is exactly two directional joins — two key exchanges, since
+    each pass unions a fresh copy of the right side (which breaks the
+    first pass's co-partitioning) — with no row explosion in either.
+    Output adds ``matched_ts`` + payload columns exactly like the
+    directional joins.
     """
     payload = payload or {}
     b_payload = {src: f"_b_{out}" for src, out in payload.items()}

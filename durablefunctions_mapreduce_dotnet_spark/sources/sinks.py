@@ -124,3 +124,35 @@ def write_single_text(df: DataFrame, path: str, mode: str = "overwrite") -> None
     results only."""
     assert len(df.columns) == 1, "text sink takes exactly one string column"
     df.coalesce(1).write.mode(mode).text(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance primitive every
+    long-lived ingest pipeline needs: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer cost comes to
+    dominate scans (the classic "small files problem").
+
+    Sizes the output from the SOURCE BYTES (Hadoop FS content summary —
+    metadata only, no data read), not row counts, so compressed width
+    per row doesn't skew file sizing; rewrites with
+    ``repartition(ceil(bytes / target))`` — a full shuffle, which is the
+    point: round-robin repartition rebalances skewed input files into
+    equal-size outputs.  Writes to ``out_path`` (swap is the caller's
+    atomic-rename/production-committer concern — compaction must never
+    rewrite in place over its own input).  Returns the output partition
+    count.
+    """
+    import math
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

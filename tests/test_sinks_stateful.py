@@ -248,3 +248,24 @@ def test_streaming_file_sink_matches_memory_sink(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in filed.collect()) == mem
     assert len(mem) > 0
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files (one per partition)
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import glob
+
+    n_before = len(glob.glob(f"{src}/part-*"))
+    assert n_before == 64
+    n = compact_parquet(spark, src, out, target_file_bytes=10 * 1024 * 1024)
+    n_after = len(glob.glob(f"{out}/part-*"))
+    assert n == 1 and n_after == 1  # ~80 KB of data -> one file
+    # identical contents
+    assert (
+        spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0]
+        == spark.range(10_000).agg({"id": "sum"}).collect()[0][0]
+    )
