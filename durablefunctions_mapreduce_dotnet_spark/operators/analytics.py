@@ -262,3 +262,43 @@ def scd2_intervals(
         F.col("_ts").alias("valid_from"),
         F.lead("_ts").over(w2).alias("valid_to"),
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change log (ops ``I``/``U``/``D`` per key, ordered by
+    ``(ts, id)``) down to final table state: the last operation per key
+    wins; keys whose last operation is a delete are absent.
+
+    The complement of ``sinks.merge_upsert_partitioned`` (which has no
+    delete path — upsert-only) and ``scd2_intervals`` (which keeps the
+    full history): this is the "replay the binlog into a snapshot"
+    primitive.  One ``max(struct(ts, id, op, payload...))`` hash
+    aggregate per key — combiner-reduced, no window, no sort; the
+    struct extremum IS the last-writer-wins rule, deterministic via the
+    (ts, id) total order.
+    """
+    payload_cols = payload_cols or []
+    last = F.max(
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        )
+    ).alias("_last")
+    out = changes.groupBy(F.col(key_col).alias(key_col)).agg(last)
+    return (
+        out.where(F.col("_last._op") != "D")
+        .select(
+            key_col,
+            F.col("_last._ts").alias("last_ts"),
+            *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+        )
+    )

@@ -179,7 +179,51 @@ FROM surv ORDER BY user_id, valid_from
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a CDC change log into final state: events become ops per
+    user (signup→I, error→D, else U); the last op by (ts, event_id)
+    wins, deleted keys vanish.  One argmax-struct hash aggregate —
+    no window, no sort."""
+    from ..operators.analytics import cdc_apply
+
+    e = read_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    out = cdc_apply(log, "user_id", "ts", "event_id", payload_cols=["value"])
+    return out.select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        "value",
+    ).orderBy("user_id")
+
+
+_CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, value
+FROM log WHERE rn = 1 AND op != 'D'
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "cdc_apply": q_cdc_apply,
     "window_concurrency": q_window_concurrency,
     "window_concurrency_global": q_window_concurrency_global,
     "funnel_steps": q_funnel_steps,
@@ -187,6 +231,7 @@ QUERIES = {
     "window_scd2": q_window_scd2,
 }
 ORACLES = {
+    "cdc_apply": _CDC_APPLY_SQL,
     "window_concurrency": _CONCURRENCY_SQL,
     "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,
     "funnel_steps": _FUNNEL_SQL,

@@ -378,3 +378,24 @@ def test_asof_nearest_matches_pandas(spark):
     ).toPandas().sort_values("id")
     assert got["id"].tolist() == exp["id"].tolist()
     assert got["matched"].tolist() == pytest.approx(exp["matched"].tolist())
+
+
+def test_cdc_apply_last_writer_wins_and_deletes(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import cdc_apply
+
+    rows = [
+        (1, 10, 100, "I", 1.0),
+        (1, 20, 101, "U", 2.0),   # last for key 1 -> value 2.0
+        (2, 10, 200, "I", 5.0),
+        (2, 30, 201, "D", 0.0),   # deleted -> absent
+        (3, 10, 300, "I", 7.0),
+        (3, 10, 301, "U", 8.0),   # same ts: higher id wins
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, id long, op string, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "id", "op", "v"
+    )
+    out = {r.k: (r.v, r.last_ts) for r in cdc_apply(
+        df, "k", "ts", "id", payload_cols=["v"]
+    ).collect()}
+    assert set(out) == {1, 3}
+    assert out[1][0] == 2.0 and out[3][0] == 8.0

@@ -253,3 +253,51 @@ def test_global_concurrency_has_no_single_partition_window(spark):
     plan = explain_str(tl, "simple")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_reduces_shuffled_fact_join(spark):
+    """Spark's runtime bloom-filter semi-join reduction (on by default)
+    injects a might_contain filter on the FACT side of a selective
+    shuffled join — at 100 TB this prunes fact rows before the shuffle.
+    The size thresholds gate it out at test scale, so lower them here
+    just to prove the engine config leaves the capability armed."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders").where("o_totalprice > 400000")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_scd2_shares_one_key_exchange(spark):
+    """Both SCD2 window passes (lag-drop, lead-close) order by the same
+    (key, ts, id), so Catalyst must plan them over ONE key exchange."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import scd2_intervals
+
+    e = read_table(spark, SF_DIR, "events")
+    plan = explain_str(
+        scd2_intervals(e, "user_id", "ts", "event_type", "event_id"), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_detect_gaps_is_one_window_pass(spark):
+    """Gap detection = one lag window per series: exactly one exchange
+    and one WindowExec (plus a trailing output sort)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import detect_gaps
+
+    e = read_table(spark, SF_DIR, "events")
+    plan = explain_str(detect_gaps(e, "event_type", "ts", 3600), "simple")
+    assert plan.count("+- Window ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
