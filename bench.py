@@ -52,8 +52,13 @@ HEADLINE = [
     "window_scd2",
     "dedup_embedding_lsh",
     "text_tokens",
+    "text_entropy",
     "time_gap_detect",
     "curation_quality_audit",
+    "curation_histogram_equidepth",
+    "cdc_apply",
+    "join_asof_nearest",
+    "graph_pagerank",
 ]
 
 

@@ -118,12 +118,21 @@ def funnel_counts(
     counts = per_user.agg(
         *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(steps))]
     )
-    stack = ", ".join(
-        f"{i + 1}L, '{s}', _n{i}" for i, s in enumerate(steps)
+    # explode-of-structs, not a selectExpr stack: step names are caller
+    # input and must never be spliced into SQL text
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).cast("long").alias("step"),
+                    F.lit(s).alias("step_name"),
+                    F.col(f"_n{i}").alias("n_users"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
     )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
-    ).orderBy("step")
+    return counts.select(rows.alias("_r")).select("_r.*").orderBy("step")
 
 
 def cohort_retention(

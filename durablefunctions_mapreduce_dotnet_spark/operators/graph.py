@@ -175,15 +175,22 @@ def pagerank(
     :func:`connected_components`) to cut lineage each round.  N (node
     count) is a driver scalar by design — the one collect is one long.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    from pyspark.storagelevel import StorageLevel
+
+    # edges feed 2 joins per iteration and degrees 2 more (contrib +
+    # dangling anti) — pin both evictable so the source scans once, not
+    # O(iters) times; nodes likewise (N-count + per-iteration densify)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = e.select(F.col("_s").alias("node")).union(
         e.select(F.col("_d").alias("node"))
     ).distinct()
-    from pyspark.storagelevel import StorageLevel
-
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(iters):

@@ -228,3 +228,42 @@ def token_counts(
         ws.cast("long").alias("n_ws_tokens"),
         bpe.cast("long").alias("n_bpe_tokens"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon character entropy (bits) per document — the classic
+    cheap gibberish / binary-junk / mojibake signal: natural language
+    sits ~3.5-4.5 bits, base64 blobs and repeated-char spam far outside.
+
+    Plan: explode to (doc, char) rows, combiner-reduced counts, join the
+    doc length back, then sum ``-p·log2(p)`` per doc.  The per-term
+    double→DECIMAL cast makes the entropy sum ORDER-FREE (FP addition
+    isn't associative and the char-group order differs between engines);
+    the oracle mirrors every step, so entropies hash-match at 9 dp.
+    Empty documents get entropy 0 via the left join, not dropped.
+    """
+    # length > 0 guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty like DuckDB's range), which would fabricate
+    # phantom chars for empty docs — and its position-0 substring
+    chars = df.where(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))"
+            )
+        ).alias("_ch"),
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_cnt"))
+    lens = df.select(F.col(id_col), F.length(text_col).cast("bigint").alias("_n"))
+    p = F.col("_cnt") / F.col("_n")
+    term = (-(p) * F.log2(p)).cast("decimal(38,18)")
+    ent = (
+        counts.join(lens, id_col)
+        .groupBy(id_col)
+        .agg(F.sum(term).cast("double").alias("_e"))
+    )
+    return lens.join(ent, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce("_e", F.lit(0.0)), 9).alias("entropy_bits"),
+        F.col("_n").alias("n_chars_exact"),
+    )

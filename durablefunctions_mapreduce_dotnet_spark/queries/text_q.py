@@ -172,7 +172,42 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (gibberish/junk signal) with
+    an order-free decimal-summed fold — exact 9 dp parity."""
+    from ..operators.textops import char_entropy
+
+    d = read_table(spark, sf_dir, "documents")
+    return char_entropy(d).orderBy("doc_id")
+
+
+_TEXT_ENTROPY_SQL = """
+WITH lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                       i -> substr(text, i, 1))) AS ch
+  FROM documents
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch),
+ent AS (
+  SELECT c.doc_id,
+         CAST(SUM(CAST(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,18))) AS DOUBLE) AS e
+  FROM counts c JOIN lens USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT l.doc_id,
+       ROUND(COALESCE(e, CAST(0 AS DOUBLE)), 9) AS entropy_bits,
+       l.n AS n_chars_exact
+FROM lens l LEFT JOIN ent USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_entropy": q_text_entropy,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_repetition": q_text_repetition,
@@ -182,6 +217,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_entropy": _TEXT_ENTROPY_SQL,
     "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,

@@ -399,3 +399,19 @@ def test_cdc_apply_last_writer_wins_and_deletes(spark):
     ).collect()}
     assert set(out) == {1, 3}
     assert out[1][0] == 2.0 and out[3][0] == 8.0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+    assert out[1] == 0.0                       # single symbol
+    assert out[2] == pytest.approx(1.0)        # two equiprobable symbols
+    assert out[3] == pytest.approx(2.0)        # four equiprobable symbols
+    assert out[4] == 0.0                       # empty doc present, not dropped
+    assert math.isfinite(out[3])

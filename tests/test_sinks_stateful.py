@@ -269,3 +269,31 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0]
         == spark.range(10_000).agg({"id": "sum"}).collect()[0][0]
     )
+
+
+def test_streaming_file_sink_restart_is_idempotent(spark, tmp_path):
+    """Exactly-once restart semantics: re-running the same streaming
+    query with the SAME checkpoint and an unchanged source produces no
+    new micro-batch — the on-disk result is byte-identical, not doubled.
+    (This is the checkpoint contract run_to_files documents.)"""
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stream_ops import (
+        _stream_events,
+        run_to_files,
+    )
+    from .conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def agg():
+        src = _stream_events(spark, SF_DIR)
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    first = {(r.event_type, r.n) for r in run_to_files(agg(), out, ckpt).collect()}
+    again = {(r.event_type, r.n) for r in run_to_files(agg(), out, ckpt).collect()}
+    assert first == again and len(first) > 0
