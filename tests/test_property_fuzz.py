@@ -1,0 +1,134 @@
+"""Hypothesis differential tests: randomized inputs vs independent
+reference implementations (pandas merge_asof, a python sweep-line).
+
+SURVEY.md §5.2.4 prescribes property tests beside the oracle mirror;
+these target the operators whose edge cases are combinatorial —
+duplicate timestamps, keys present on one side only, zero-length
+intervals — where hand fixtures undercover.  Example counts are kept
+small (Spark round-trip per example); derandomized so CI is stable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_FUZZ = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, ts) pairs from tiny domains so duplicates and one-sided keys are
+# FREQUENT, not rare
+_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=25
+)
+
+
+@given(left=_rows, right=_rows)
+@_FUZZ
+def test_asof_backward_fuzz_vs_pandas(spark, left, right):
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    lp = pd.DataFrame(
+        {"id": range(len(left)), "k": [k for k, _ in left], "t": [float(t) for _, t in left]}
+    )
+    # unique (k, t) on the right so pandas' duplicate-pick rule (last
+    # occurrence) can't diverge from our max-payload tie-break
+    rp = (
+        pd.DataFrame({"k": [k for k, _ in right], "t": [float(t) for _, t in right]})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    rp["pay"] = rp["k"] * 100.0 + rp["t"]
+    if len(lp) == 0 or len(rp) == 0:
+        return
+    exp = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("t", kind="stable").rename(columns={"t": "m"}),
+        left_on="t", right_on="m", by="k", direction="backward",
+    ).dropna(subset=["m"]).sort_values("id")
+    l = spark.createDataFrame(lp).select("id", "k", F.timestamp_seconds("t").alias("ts"))
+    r = spark.createDataFrame(rp).select("k", F.timestamp_seconds("t").alias("ts"), "pay")
+    got = (
+        asof_join_backward(l, r, key="k", payload={"pay": "pay"}, inner=True)
+        .select("id", F.unix_timestamp("matched_ts").cast("double").alias("m"), "pay")
+        .toPandas()
+        .sort_values("id")
+    )
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["m"].tolist() == pytest.approx(exp["m"].tolist())
+    assert got["pay"].tolist() == pytest.approx(exp["pay"].tolist())
+
+
+@given(left=_rows, right=_rows)
+@_FUZZ
+def test_asof_nearest_fuzz_vs_pandas(spark, left, right):
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    lp = pd.DataFrame(
+        {"id": range(len(left)), "k": [k for k, _ in left], "t": [float(t) for _, t in left]}
+    )
+    rp = (
+        pd.DataFrame({"k": [k for k, _ in right], "t": [float(t) for _, t in right]})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    if len(lp) == 0 or len(rp) == 0:
+        return
+    exp = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("t", kind="stable").rename(columns={"t": "m"}),
+        left_on="t", right_on="m", by="k", direction="nearest",
+    ).dropna(subset=["m"]).sort_values("id")
+    l = spark.createDataFrame(lp).select("id", "k", F.timestamp_seconds("t").alias("ts"))
+    r = spark.createDataFrame(rp).select("k", F.timestamp_seconds("t").alias("ts"))
+    got = (
+        asof_join_nearest(l, r, key="k", inner=True)
+        .select("id", F.unix_timestamp("matched_ts").cast("double").alias("m"))
+        .toPandas()
+        .sort_values("id")
+    )
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["m"].tolist() == pytest.approx(exp["m"].tolist())
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 10)), min_size=1, max_size=30
+    )
+)
+@_FUZZ
+def test_concurrency_fuzz_vs_python_sweep(spark, iv):
+    """Random intervals (INCLUDING zero-length: start == end nets to
+    nothing under half-open semantics) vs an independent python sweep."""
+    from collections import Counter
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import (
+        interval_concurrency,
+    )
+
+    rows = [("k", s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "part string, s long, e long")
+    got = interval_concurrency(df, "part", F.col("s"), F.col("e")).collect()
+
+    net = Counter()
+    for _, s, e in rows:
+        net[s] += 1
+        net[e] -= 1
+    acc, best, best_t = 0, None, None
+    for t in sorted(net):
+        acc += net[t]
+        if best is None or acc > best:
+            best, best_t = acc, t
+    assert len(got) == 1
+    assert got[0].peak_concurrency == best and got[0].peak_at_us == best_t
