@@ -301,3 +301,20 @@ def test_detect_gaps_is_one_window_pass(spark):
     plan = explain_str(detect_gaps(e, "event_type", "ts", 3600), "simple")
     assert plan.count("+- Window ") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quality_audit_row_checks_are_one_scan(spark):
+    """Every row-level audit check (key-unique + not-nulls + bounds)
+    must batch through ONE scan of the input — the Expand-based
+    multi-aggregate — not one scan per check."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import quality_audit
+
+    o = read_table(spark, SF_DIR, "orders")
+    audit = quality_audit(
+        o,
+        key_cols=["o_orderkey"],
+        not_null=["o_orderdate", "o_custkey"],
+        bounds={"o_totalprice": (0.0, 600_000.0)},
+    )
+    plan = explain_str(audit, "simple")
+    assert plan.count("Scan parquet") == 1, plan
