@@ -166,13 +166,52 @@ ORDER BY series, gap_start_us
 """
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from
+    their type's MEDIAN by more than 5× the median absolute deviation —
+    the estimator that, unlike mean/stddev z-scores, outliers cannot
+    drag toward themselves.
+
+    Two exact grouped percentiles (bit-equal across engines, same
+    linear-interpolation definition — see ``agg_percentiles``) with the
+    per-type medians/MADs broadcast back onto the stream; at 100 TB the
+    exact percentile swaps for ``approx_percentile`` t-digests and the
+    rest of the plan is unchanged."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > F.lit(5.0) * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    )
+
+
+_ANOMALY_MAD_SQL = """
+WITH e AS (SELECT event_id, event_type, value FROM events),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+dev AS (SELECT e.*, med, abs(value - med) AS dev FROM e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT event_id, dev.event_type, value, med, mad.mad
+FROM dev JOIN mad USING (event_type)
+WHERE dev > CAST(5 AS DOUBLE) * mad.mad
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "anomaly_mad": q_anomaly_mad,
     "time_rollup_ohlc": q_time_rollup_ohlc,
     "distinct_users_salted": q_distinct_users_salted,
     "time_gapfill_interpolate": q_time_gapfill,
     "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
+    "anomaly_mad": _ANOMALY_MAD_SQL,
     "time_rollup_ohlc": _TIME_ROLLUP_SQL,
     "distinct_users_salted": _DISTINCT_SALTED_SQL,
     "time_gapfill_interpolate": _TIME_GAPFILL_SQL,
