@@ -318,3 +318,27 @@ def test_quality_audit_row_checks_are_one_scan(spark):
     )
     plan = explain_str(audit, "simple")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_window_topk_gets_group_limit_pushdown(spark):
+    """rank<=k filters must plan WindowGroupLimit — Spark's partial
+    top-k: each map task keeps only k rows per group BEFORE the window
+    shuffle, the two-phase refinement large groups need at 100 TB."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.windows_q import q_window_rank
+
+    plan = explain_str(q_window_rank(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_asof_backward_is_single_exchange(spark):
+    """The as-of join's union-both-sides window must cost exactly ONE
+    key exchange — the property that makes it beat a range join."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.joins import asof_join_backward
+
+    e = read_table(spark, SF_DIR, "events")
+    l = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = e.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    plan = explain_str(
+        asof_join_backward(l, r, key="user_id", payload={"value": "v"}), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
