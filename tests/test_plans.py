@@ -342,3 +342,43 @@ def test_asof_backward_is_single_exchange(spark):
         asof_join_backward(l, r, key="user_id", payload={"value": "v"}), "simple"
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """End-to-end proof the claimed AQE skew posture is armed: a join
+    with one hot key (80% of rows) must come back from execution with
+    SortMergeJoin(skew=true) + AQEShuffleRead skewed — the runtime
+    split that keeps one hot key from serializing a 100 TB join.
+    Thresholds are lowered to test scale; note the aggregate must
+    actually CONSUME the wide payload, or column pruning drops it
+    before the exchange and the 'hot' partition is a few KB of keys."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = F.concat(
+            F.md5(F.col("id").cast("string")), F.md5((F.col("id") + 7).cast("string"))
+        )
+        left = spark.range(250_000).select(
+            F.when(F.col("id") < 200_000, 0).otherwise((F.col("id") % 50) + 1).alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(5_100).select(
+            (F.col("id") % 51).alias("k"), F.col("id").alias("r_payload")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum(F.length("pad")).alias("n"))
+        j.collect()  # AQE replans on materialized shuffle stats
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
