@@ -132,3 +132,65 @@ def test_concurrency_fuzz_vs_python_sweep(spark, iv):
             best, best_t = acc, t
     assert len(got) == 1
     assert got[0].peak_concurrency == best and got[0].peak_at_us == best_t
+
+
+_changes = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 12), st.sampled_from(["a", "b", None])),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_changes)
+@_FUZZ
+def test_scd2_fuzz_vs_python_reference(spark, rows):
+    """SCD2 vs a direct python replay: per key, ordered by (ts, id),
+    collapse repeats (NULL-safe), close each interval with the next
+    change, leave the last open."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import scd2_intervals
+
+    data = [(k, t, i, v) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, t long, id long, v string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "id", "v"
+    )
+    got = sorted(
+        (
+            (r.k, r.v, r.f, r.to)
+            for r in scd2_intervals(df, "k", "ts", "v", "id")
+            .select("k", "v", F.unix_timestamp("valid_from").alias("f"),
+                    F.unix_timestamp("valid_to").alias("to"))
+            .collect()
+        ),
+        key=repr,  # None-bearing tuples don't order natively
+    )
+    exp = []
+    bykey: dict = {}
+    for k, t, i, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        bykey.setdefault(k, []).append((t, v))
+    for k, seq in bykey.items():
+        surv = []
+        for t, v in seq:
+            if not surv or surv[-1][1] != v:
+                surv.append((t, v))
+        for j, (t, v) in enumerate(surv):
+            to = surv[j + 1][0] if j + 1 < len(surv) else None
+            exp.append((k, v, t, to))
+    assert got == sorted(exp, key=repr)
+
+
+@given(rows=_changes)
+@_FUZZ
+def test_cdc_apply_fuzz_vs_python_reference(spark, rows):
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import cdc_apply
+
+    ops = ["I", "U", "D"]
+    data = [(k, t, i, ops[i % 3], float(t)) for i, (k, t, _) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, t long, id long, op string, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "id", "op", "v")
+    got = sorted((r.k, r.v) for r in cdc_apply(df, "k", "ts", "id", payload_cols=["v"]).collect())
+    last: dict = {}
+    for k, t, i, op, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        last[k] = (op, v)
+    exp = sorted((k, v) for k, (op, v) in last.items() if op != "D")
+    assert got == exp
