@@ -330,3 +330,66 @@ def quality_audit(
         )
         rows = rows.unionByName(orphans)
     return rows.orderBy("check")
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing (the training-mixture staple):
+    resample so source shares follow ``sqrt(n_s)`` instead of raw counts
+    — big sources are down-weighted, small sources up-weighted, total
+    draw ≈ ``target_fraction`` of the corpus.
+
+    Per-source keep rate ``r_s = (√n_s / Σ√n) · N / n_s`` (clamped to
+    1); each doc keeps iff its portable multiplicative hash falls below
+    ``floor(r_s · 2³²)`` — exact integer comparison, deterministic and
+    engine-portable.  The exponent is FIXED at 0.5 because IEEE
+    requires ``sqrt`` correctly rounded — both engines produce the same
+    bits — while ``pow(n, α)`` for general α may differ by an ulp
+    across libms and flip boundary hashes.  Source stats are a
+    combiner-reduced aggregate broadcast back; text never shuffles.
+
+    Returns per-source totals: (source, n_docs, n_kept).
+    """
+    stats = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # Σ√n through DECIMAL: sqrt itself is IEEE correctly-rounded on
+    # both engines, but a plain double SUM is order-dependent and the
+    # engines fold in different orders — the same discipline as dsum
+    tot = stats.agg(
+        F.sum(F.sqrt(F.col("_n").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("_sw"),
+        F.sum("_n").alias("_total"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "_src",
+        "_n",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("_n").cast("double")) / F.col("_sw"))
+            * (F.col("_total").cast("double") * F.lit(target_fraction))
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    cut = F.floor(F.col("_rate") * F.lit(4294967296.0)).cast("long")
+    kept = (
+        df.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src"))
+        .join(F.broadcast(rates), "_src")
+        .where(portable_hash("_id") < cut)
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "_src", "left")
+        .select(
+            F.col("_src").alias(source_col),
+            F.col("_n").alias("n_docs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy(source_col)
+    )

@@ -267,3 +267,63 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(F.coalesce("_e", F.lit(0.0)), 9).alias("entropy_bits"),
         F.col("_n").alias("n_chars_exact"),
     )
+
+
+def lm_bigram_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-bigram language-model quality score — the CCNet-style
+    statistical filter: score each document by the average add-one-
+    smoothed log-probability of its bigrams under a reference corpus.
+    Natural text scores near the reference's entropy; gibberish, wrong
+    scripts, and template spam fall far below.
+
+    Plan: the reference's bigram table is vocabulary-sized (alphabet²)
+    → counts broadcast onto the corpus's exploded bigram stream, one
+    combiner aggregate per doc.  Determinism: log-probs derive from
+    INTEGER counts through identical IEEE ops in both engines, and the
+    per-doc sum goes through a per-term DECIMAL cast (order-free, the
+    ``char_entropy`` discipline), so scores mirror exactly at 9 dp.
+    Docs with <2 chars score NULL (no bigrams), kept via left join.
+    """
+
+    def bigrams(df: DataFrame, *extra):
+        return df.where(F.length(text_col) >= 2).select(
+            *extra,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 1),"
+                    f" i -> substring({text_col}, i, 2))"
+                )
+            ).alias("_bg"),
+        )
+
+    ref_counts = bigrams(reference).groupBy("_bg").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    totals = ref_counts.agg(
+        F.sum("_cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    # add-one smoothing: p(bg) = (cnt+1)/(total+V); unseen bigrams get
+    # 1/(total+V) via the left join's NULL -> coalesce(cnt, 0)
+    doc_bg = bigrams(corpus, F.col(id_col))
+    scored = (
+        doc_bg.join(F.broadcast(ref_counts), "_bg", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_total") + F.col("_v")).cast("double")
+            ).cast("decimal(38,18)").alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        (F.sum("_lp").cast("double") / F.count(F.lit(1))).alias("_s")
+    )
+    return corpus.select(id_col).join(agg, id_col, "left").select(
+        id_col, F.round("_s", 9).alias("lm_score")
+    )

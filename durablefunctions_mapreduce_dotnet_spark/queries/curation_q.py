@@ -442,7 +442,47 @@ FROM t GROUP BY tile ORDER BY tile
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: per-source keep counts under
+    sqrt-temperature weights at a 50% total draw (the GPT-3-style
+    domain-mixing primitive; sqrt keeps the exponent IEEE-exact
+    cross-engine)."""
+    from ..operators.curation import temperature_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    return temperature_mix(d, "doc_id", "source", target_fraction=0.5)
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH stats AS (SELECT source AS src, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sw,
+         SUM(n) AS total
+  FROM stats
+),
+rates AS (
+  SELECT src, n,
+         LEAST(CAST(1 AS DOUBLE),
+               (sqrt(CAST(n AS DOUBLE)) / sw)
+               * (CAST(total AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS rate
+  FROM stats CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source AS src, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.src
+  WHERE ((d.doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296
+        < CAST(floor(rate * CAST(4294967296 AS DOUBLE)) AS BIGINT)
+  GROUP BY 1
+)
+SELECT r.src AS source, r.n AS n_docs, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (src)
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "curation_temperature_mix": q_temperature_mix,
     "curation_quality_audit": q_quality_audit,
     "curation_histogram_equidepth": q_histogram_equidepth,
     "curation_histogram": q_histogram,
@@ -458,6 +498,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_temperature_mix": _TEMPERATURE_MIX_SQL,
     "curation_quality_audit": _QUALITY_AUDIT_SQL,
     "curation_histogram_equidepth": _HISTOGRAM_EQUIDEPTH_SQL,
     "curation_histogram": _HISTOGRAM_SQL,

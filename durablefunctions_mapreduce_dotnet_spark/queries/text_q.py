@@ -206,7 +206,48 @@ ORDER BY doc_id
 """
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality filter: average add-one-smoothed
+    char-bigram log-probability under a held-out reference slice
+    (every 10th doc)."""
+    from ..operators.textops import lm_bigram_score
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 10 == 0)
+    return lm_bigram_score(d, ref).orderBy("doc_id")
+
+
+_TEXT_LM_SQL = """
+WITH ref AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 2
+),
+rbg AS (
+  SELECT unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+  FROM ref
+),
+rc AS (SELECT bg, COUNT(*) AS cnt FROM rbg GROUP BY bg),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM rc),
+dbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+  FROM documents WHERE length(text) >= 2
+),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+                          / CAST(total + v AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+           / COUNT(*) AS s
+  FROM dbg LEFT JOIN rc USING (bg) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id, ROUND(s, 9) AS lm_score
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "text_lm_score": q_text_lm_score,
     "text_entropy": q_text_entropy,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
@@ -217,6 +258,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_lm_score": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,
     "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,

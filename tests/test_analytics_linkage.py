@@ -415,3 +415,38 @@ def test_char_entropy_known_values(spark):
     assert out[3] == pytest.approx(2.0)        # four equiprobable symbols
     assert out[4] == 0.0                       # empty doc present, not dropped
     assert math.isfinite(out[3])
+
+
+def test_lm_score_ranks_natural_above_gibberish(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import lm_bigram_score
+
+    ref_rows = [(100 + i, "the quick brown fox jumps over the lazy dog " * 3)
+                for i in range(5)]
+    docs = ref_rows + [
+        (1, "the quick brown fox jumps high"),   # in-distribution
+        (2, "zxqj vvkw qqzx jjjj wwww zzzz"),    # gibberish bigrams
+        (3, "a"),                                 # too short: NULL
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    ref = d.where(F.col("doc_id") >= 100)
+    out = {r.doc_id: r.lm_score for r in lm_bigram_score(d, ref).collect()}
+    assert out[1] > out[2]          # natural text scores higher
+    assert out[3] is None           # no bigrams -> NULL, doc kept
+    assert out[100] > out[2]
+
+
+def test_temperature_mix_flattens_shares(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(3000)] + [(10_000 + i, "small") for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: (r.n_docs, r.n_kept) for r in temperature_mix(
+        d, "doc_id", "source", target_fraction=0.5
+    ).collect()}
+    big_rate = out["big"][1] / out["big"][0]
+    small_rate = out["small"][1] / out["small"][0]
+    # temperature sampling keeps a HIGHER fraction of the small source
+    assert small_rate > big_rate
+    total_kept = out["big"][1] + out["small"][1]
+    # total draw lands near the 50% target (hash is uniform)
+    assert 0.40 < total_kept / 3120 < 0.60

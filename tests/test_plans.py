@@ -63,6 +63,10 @@ _BNLJ_OK = {
     # dangling-mass scalar per power iteration: broadcast 1-row cross
     # join (operators/graph.pagerank)
     "graph_pagerank",
+    # reference-total / source-total scalars: broadcast 1-row cross
+    # joins (textops.lm_bigram_score, curation.temperature_mix)
+    "text_lm_score",
+    "curation_temperature_mix",
 }
 
 
