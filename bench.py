@@ -60,6 +60,8 @@ HEADLINE = [
     "join_asof_nearest",
     "graph_pagerank",
     "anomaly_mad",
+    "text_lm_score",
+    "curation_temperature_mix",
 ]
 
 
