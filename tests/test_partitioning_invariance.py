@@ -1,0 +1,90 @@
+"""Partitioning invariance: the engine's determinism contract says any
+operator's result is IDENTICAL under any physical partitioning of the
+input (the reference itself fails this — its reducer races,
+``Sample.cs:218-224``).  Run each round-4 operator over the same rows
+split 1 way and 17 ways and require equal results, exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _both_layouts(df):
+    return df.repartition(1), df.repartition(17)
+
+
+def _rows(df, *cols):
+    return sorted([tuple(r) for r in df.select(*cols).collect()], key=repr)
+
+
+def test_temperature_mix_partitioning_invariant(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import temperature_mix
+
+    base = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(4000)], "doc_id long, source string"
+    )
+    a, b = _both_layouts(base)
+    ra = _rows(temperature_mix(a, "doc_id", "source"), "source", "n_docs", "n_kept")
+    rb = _rows(temperature_mix(b, "doc_id", "source"), "source", "n_docs", "n_kept")
+    assert ra == rb
+
+
+def test_funnel_and_scd2_partitioning_invariant(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import (
+        funnel_counts,
+        scd2_intervals,
+    )
+
+    types = ["view", "click", "purchase", "error"]
+    base = spark.createDataFrame(
+        [(i % 37, (i * 7919) % 100_000, i, types[(i * 13) % 4]) for i in range(2000)],
+        "u long, t long, id long, ty string",
+    ).select("u", F.timestamp_seconds("t").alias("ts"), "id", "ty")
+    a, b = _both_layouts(base)
+    fa = _rows(funnel_counts(a, "u", "ty", "ts", ["view", "click", "purchase"]),
+               "step", "step_name", "n_users")
+    fb = _rows(funnel_counts(b, "u", "ty", "ts", ["view", "click", "purchase"]),
+               "step", "step_name", "n_users")
+    assert fa == fb
+    sa = _rows(scd2_intervals(a, "u", "ts", "ty", "id"), "u", "ty", "valid_from", "valid_to")
+    sb = _rows(scd2_intervals(b, "u", "ts", "ty", "id"), "u", "ty", "valid_from", "valid_to")
+    assert sa == sb
+
+
+def test_lm_score_and_entropy_partitioning_invariant(spark):
+    """The decimal-summed folds must make even FP-bearing text scores
+    bit-identical across partitionings (a raw double SUM would not be)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        char_entropy,
+        lm_bigram_score,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = spark.createDataFrame(
+        [(i, " ".join(words[(i + j) % 6] for j in range(30))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    a, b = _both_layouts(base)
+    ref_a, ref_b = a.where(F.col("doc_id") % 5 == 0), b.where(F.col("doc_id") % 5 == 0)
+    la = _rows(lm_bigram_score(a, ref_a), "doc_id", "lm_score")
+    lb = _rows(lm_bigram_score(b, ref_b), "doc_id", "lm_score")
+    assert la == lb  # exact equality, not approx — decimal sums are order-free
+    ea = _rows(char_entropy(a), "doc_id", "entropy_bits")
+    eb = _rows(char_entropy(b), "doc_id", "entropy_bits")
+    assert ea == eb
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        local_checkpoint,
+        pagerank,
+    )
+
+    base = spark.createDataFrame(
+        [((i * 31) % 50, (i * 17) % 50) for i in range(1500)], "src long, dst long"
+    )
+    a, b = _both_layouts(base)
+    ra = _rows(pagerank(a, iters=3, checkpoint=local_checkpoint), "node", "rank")
+    rb = _rows(pagerank(b, iters=3, checkpoint=local_checkpoint), "node", "rank")
+    assert ra == rb
