@@ -651,3 +651,104 @@ def embedding_near_dup_lsh(
         .applyInPandas(score_bucket, "id_a bigint, id_b bigint")
         .dropDuplicates()
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): per document, hash every k-gram with the portable
+    polynomial rolling hash, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive k-gram hashes.  The winnowed set is
+    a ~2/(w+1)-density local fingerprint: two documents sharing ANY
+    sufficiently long substring (>= k + w - 1 chars) are GUARANTEED to
+    share a fingerprint — the partial-overlap detector whole-document
+    MinHash cannot be (MinHash needs global set similarity; winnowing
+    catches one copied paragraph inside an otherwise-unrelated doc).
+
+    Hashing is an Arrow-vectorized numpy kernel for the same reason the
+    MinHash signature is (``minhash_signature_udf``): the expression
+    form — a nested aggregate over substrings per position — is
+    interpreted at ~40 µs per k-gram (measured: 6 s for 150k k-grams at
+    sf0.001); the numpy sliding-window dot product is ~1000× cheaper.
+    Integer-identical to the SQL oracle's closed-form polynomial:
+    codepoints via ord() (not UTF-8 bytes — matches ascii()), powers
+    reduced mod 2^31-1 so products never overflow int64, and
+    (sum of c·(131^e mod m)) mod m == the stepwise-mod fold's residue.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m = 2147483647
+    pows = np.array(
+        [pow(131, k - 1 - d, m) for d in range(k)], dtype=np.int64
+    )
+
+    def _winnow(texts):
+        out = []
+        swv = np.lib.stride_tricks.sliding_window_view
+        for t in texts:
+            t = t.lower()
+            if t is None or len(t) < k + window - 1:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            codes = np.array([ord(c) for c in t], dtype=np.int64)
+            kg = swv(codes, k)                      # (n-k+1, k) view
+            h = (kg * pows[None, :] % m).sum(axis=1) % m
+            mins = swv(h, window).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    _winnow.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fp = pandas_udf("array<bigint>")(_winnow)
+    return (
+        df.where(F.length(F.col(text_col)) >= k + window - 1)
+        .select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_postings: int = 200,
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    partial-overlap candidates (copied passages, boilerplate blocks).
+
+    Inverted-index equi-join on the fingerprint with a df-cut at
+    ``max_postings`` (the ``ngram_jaccard_pairs`` discipline): ubiquitous
+    fingerprints — the quadratic boilerplate hazard — are dropped before
+    the join, so candidates stay linear; only (id, hash) scalars
+    shuffle, never text.
+    """
+    fps = checkpoint(
+        _widen(winnow_fingerprints(df, text_col, id_col, k, window)).select(
+            F.col(id_col), F.explode("fingerprints").alias("fp")
+        )
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df").between(2, max_postings))
+        .select("fp")
+    )
+    g = fps.join(hot, "fp")
+    a = g.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = g.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -51,7 +51,7 @@ def all_oracles() -> dict[str, str]:
 # Driver-window rotation contract
 # ---------------------------------------------------------------------------
 # The external correctness harness hashes a PREFIX of this registry
-# (50 rows per round).  The registry holds 114 queries, so the modules are
+# (50 rows per round).  The registry holds 115 queries, so the modules are
 # split into two halves that alternate facing the driver; whichever half
 # is NOT in the window rests on the local oracle mirror
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
@@ -60,7 +60,7 @@ def all_oracles() -> dict[str, str]:
 #   HALF_A (relational core + flagship, 50 queries):
 #       joins_q, windows_q, aggregates_q, relational_q, subquery_q,
 #       arrays_q, flagship_q
-#   HALF_B (LLM-pipeline surface, 64 queries):
+#   HALF_B (LLM-pipeline surface, 65 queries):
 #       similarity_q, dedup_q, curation_q, text_q, multimodal_q,
 #       streaming_q, timeseries_q, udf_q, analytics_q, linkage_q,
 #       graph_q
@@ -69,7 +69,8 @@ def all_oracles() -> dict[str, str]:
 #   r01, r02: HALF_A-ish original order (relational core driver-green twice)
 #   r03:      HALF_B first (all 42 LLM queries driver-green)
 #   r04:      HALF_A first  <-- CURRENT STATE of _ROTATION below
-#             (22 queries NEW in r04 — graph_pagerank, dedup_embedding_lsh,
+#             (23 queries NEW in r04 — graph_pagerank, dedup_embedding_lsh,
+#             dedup_winnowing,
 #             curation_histogram, curation_histogram_equidepth,
 #             curation_quality_audit, curation_temperature_mix,
 #             text_tokens, text_entropy, text_lm_score,

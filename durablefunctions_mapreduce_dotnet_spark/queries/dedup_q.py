@@ -219,6 +219,51 @@ WHERE list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i]))
 """
 
 
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) partial-overlap pairs: documents sharing ≥ 20
+    winnowed k-gram fingerprints — the LOCAL-similarity detector that
+    catches a copied passage inside otherwise-unrelated documents,
+    which whole-document MinHash structurally cannot."""
+    from ..operators.dedup import winnowing_overlap_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(d, k=8, window=4, min_shared=20, max_postings=200)
+
+
+def _winnowing_oracle_sql(
+    k: int = 8, window: int = 4, min_shared: int = 20, max_postings: int = 200
+) -> str:
+    # closed-form polynomial: same residue as Spark's stepwise fold
+    # (terms stay < 2^63, so one final % equals mod-at-each-step)
+    pows = [131 ** (k - 1 - d) for d in range(k)]
+    poly = " + ".join(
+        f"CAST(ascii(substr(s, p + {d}, 1)) AS BIGINT) * {w}" for d, w in enumerate(pows)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= {k + window - 1}
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(s) - {k - 1}, 1) + 1),
+                        p -> ({poly}) % 2147483647) AS hs
+  FROM docs
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(hs) - {window - 1}, 1) + 1),
+                          p -> list_min(hs[p:p+{window - 1}])))) AS fp
+  FROM hashes
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {max_postings})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN hot USING (fp) JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
 _BATCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -277,9 +322,11 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_winnowing": q_dedup_winnowing,
 }
 ORACLES = {
     "dedup_embedding_lsh": _embedding_lsh_oracle_sql(),
+    "dedup_winnowing": _winnowing_oracle_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

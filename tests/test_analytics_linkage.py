@@ -450,3 +450,23 @@ def test_temperature_mix_flattens_shares(spark):
     total_kept = out["big"][1] + out["small"][1]
     # total draw lands near the 50% target (hash is uniform)
     assert 0.40 < total_kept / 3120 < 0.60
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_long_overlap(spark):
+    """The winnowing theorem: any shared substring of length >= k+w-1
+    yields at least one shared fingerprint — even when the documents are
+    otherwise COMPLETELY different (the case whole-doc MinHash misses)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    passage = "the stolen paragraph that appears verbatim in both docs"
+    a = "completely unrelated preamble zzz " + passage + " and an unrelated tail qqq"
+    b = "different opening entirely 12345 " + passage + " closing words here instead"
+    c = "no shared content with anybody at all just its own words forever"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    assert fps[1] & fps[2]                # guaranteed shared fingerprint
+    pairs = winnowing_overlap_pairs(df, k=8, window=4, min_shared=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
