@@ -1,18 +1,25 @@
 """Deduplication operators for large-scale text pipelines.
 
-Four families, all expressed as DataFrame plans (SURVEY.md §7.2 phase 3;
+Seven families, all expressed as DataFrame plans (SURVEY.md §7.2 phase 3;
 north-star scope in BASELINE.json):
 
-* exact       — hash-groupBy on a text fingerprint
-* MinHash+LSH — shingle → signature → banded bucket join → verify
-* SimHash     — 64-bit sign-aggregated token hashes, hamming candidates
+* exact          — hash-groupBy on a text fingerprint (+ the incremental
+                   ingest-vs-history variant)
+* MinHash+LSH    — shingle → signature → banded bucket join → verify
+* SimHash        — 64-bit sign-aggregated token hashes, hamming candidates
 * n-gram Jaccard — inverted-index self-join with exact set overlap
+* embedding      — exact distributed block-gemm pairs AND the
+                   sub-quadratic hyperplane-LSH bucket path
+* winnowing      — MOSS local fingerprints for PARTIAL-overlap detection
+                   (copied passages, not whole-document similarity)
 
-Scale posture: signatures are computed per-row with higher-order
-functions (no explode, no shuffle, no Python); candidate generation only
-ever joins on band/bucket keys (never all-pairs); verification touches
-candidate pairs only.  Buckets are capped to keep a degenerate key from
-serializing a task (the classic LSH skew hazard).
+Scale posture: signatures are computed per-row (higher-order functions
+or Arrow-vectorized numpy where the interpreted form measured 50-1000×
+slower — each such case carries its measurement); candidate generation
+only ever joins on band/bucket/fingerprint keys (never all-pairs);
+verification touches candidate pairs only.  Buckets and posting lists
+are capped so a degenerate key cannot serialize a task (the classic
+LSH/boilerplate skew hazard).
 """
 
 from __future__ import annotations
