@@ -29,7 +29,12 @@ assumes of any source.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _KNUTH = 2654435761
 _MOD = 4294967296
@@ -64,6 +69,15 @@ class SyntheticTripsDataSource(DataSource):
             int(self.options.get("rows_per_partition", 1000)),
         )
 
+    def simpleStreamReader(self, schema) -> "SyntheticTripsStreamReader":
+        """The STREAMING face of the same connector: deterministic
+        micro-batches with replayable offsets (``spark.readStream
+        .format("synthetic_trips")``)."""
+        return SyntheticTripsStreamReader(
+            int(self.options.get("rows_per_batch", 200)),
+            int(self.options.get("max_batches", 3)),
+        )
+
 
 class SyntheticTripsReader(DataSourceReader):
     def __init__(self, n_partitions: int, rows_per_partition: int) -> None:
@@ -91,3 +105,55 @@ class SyntheticTripsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration: ``spark.dataSource.register``."""
     spark.dataSource.register(SyntheticTripsDataSource)
+
+
+class SyntheticTripsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader for the same synthetic trips: each trigger
+    emits one deterministic batch (offset = batch index) until
+    ``max_batches``, then reports no new data — so a synchronous
+    ``processAllAvailable()`` drain terminates.
+
+    Offsets are the engine's exactly-once contract: the checkpoint
+    stores the dict we return, and a restarted query re-enters ``read``
+    at the committed offset — because (batch, row) → record is a pure
+    function, replays regenerate identical data (the same property a
+    Kafka offset or file position gives a real connector).
+    """
+
+    def __init__(self, rows_per_batch: int, max_batches: int) -> None:
+        self._rows = rows_per_batch
+        self._max = max_batches
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self._max:
+            return iter([]), {"batch": b}
+        # a LIST-backed iterator, not a generator: the engine's
+        # prefetch cache copies the returned iterator for offset
+        # replay, and generators can't be copied — list iterators can
+        # (batches are small by contract: one trigger's worth)
+        return iter(list(self._gen(b))), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: regenerate [start, end)
+        for b in range(start["batch"], end["batch"]):
+            yield from self._gen(b)
+
+    def _gen(self, b: int):
+        import datetime as dt
+
+        base = dt.datetime(2017, 1, 1)
+        for i in range(self._rows):
+            g = _h(b * 1_000_003 + i)
+            pickup = base + dt.timedelta(minutes=(g % 525_600))
+            duration_s = 60 + (g >> 8) % 5400
+            yield (
+                1 + (g % 2),
+                pickup,
+                pickup + dt.timedelta(seconds=duration_s),
+                round(0.1 + ((g >> 4) % 3000) / 100.0, 2),
+                b,
+            )

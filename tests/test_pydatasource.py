@@ -58,3 +58,43 @@ def test_flagship_pipeline_runs_on_custom_source(spark):
     )
     assert [r.dow for r in rows] == list(range(7))
     assert all(r.avg_speed > 0 for r in rows)
+
+
+def _drain_stream(spark, rows_per_batch=150, max_batches=3):
+    import uuid
+
+    register(spark)
+    src = (
+        spark.readStream.format("synthetic_trips")
+        .option("rows_per_batch", rows_per_batch)
+        .option("max_batches", max_batches)
+        .load()
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = src.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    tbl = spark.table(name)
+    out = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def test_streaming_connector_micro_batches(spark):
+    """The same connector's STREAMING face: offset-tracked micro-batches
+    (file_id = batch index), bounded so processAllAvailable terminates."""
+    df = _drain_stream(spark)
+    assert df.count() == 450
+    per = {r.file_id: r["count"] for r in df.groupBy("file_id").count().collect()}
+    assert per == {0: 150, 1: 150, 2: 150}
+
+
+def test_streaming_connector_is_replay_deterministic(spark):
+    """(batch, row) -> record is pure, so two independent runs produce
+    byte-identical streams — the property checkpoint replay assumes."""
+    cols = ["file_id", "pickup_ts", "trip_distance"]
+    a = _drain_stream(spark).orderBy(cols).collect()
+    b = _drain_stream(spark).orderBy(cols).collect()
+    assert a == b and len(a) == 450
