@@ -32,11 +32,15 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
+    flat: dict[str, QueryFn] = {}
     for mod in _modules():
         for name, fn in mod.QUERIES.items():
-            assert name not in out, f"duplicate query name {name}"
-            out[name] = _wrap(fn)
+            assert name not in flat, f"duplicate query name {name}"
+            flat[name] = _wrap(fn)
+    missing = [n for n in _WINDOW_FIRST if n not in flat]
+    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
+    out = {name: flat[name] for name in _WINDOW_FIRST}
+    out.update(flat)
     return out
 
 
@@ -68,7 +72,7 @@ def all_oracles() -> dict[str, str]:
 # Rotation log (which half occupied the 50-row window):
 #   r01, r02: HALF_A-ish original order (relational core driver-green twice)
 #   r03:      HALF_B first (all 42 LLM queries driver-green)
-#   r04:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#   r04:      HALF_A first
 #             (23 queries NEW in r04 — graph_pagerank, dedup_embedding_lsh,
 #             dedup_winnowing,
 #             curation_histogram, curation_histogram_equidepth,
@@ -82,6 +86,8 @@ def all_oracles() -> dict[str, str]:
 #             — joined HALF_B, so they face the driver when r05
 #             rotates; until then they rest on the local oracle
 #             mirror like every out-of-window query)
+#   r05:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#             (driver-verifies the 23 r04 additions for the first time)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -109,7 +115,39 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_A + _HALF_B
+_ROTATION = _HALF_B + _HALF_A
+
+# Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
+# front of the registry so the driver's 50-row window is guaranteed to cover
+# them regardless of module sizes (HALF_B alone holds 65 queries — module
+# order can't fit all 23 r04 additions into 50 rows).  Maintain per round:
+# once a name earns its driver row, drop it from this tuple; newly added
+# queries join it.
+_WINDOW_FIRST = (
+    "graph_pagerank",
+    "join_fuzzy_blocked",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "cdc_apply",
+    "window_concurrency",
+    "window_concurrency_global",
+    "funnel_steps",
+    "cohort_retention",
+    "window_scd2",
+    "time_gap_detect",
+    "anomaly_mad",
+    "dedup_embedding_lsh",
+    "dedup_winnowing",
+    "curation_histogram",
+    "curation_histogram_equidepth",
+    "curation_quality_audit",
+    "curation_temperature_mix",
+    "text_tokens",
+    "text_entropy",
+    "text_lm_score",
+    "streaming_click_attribution",
+    "streaming_enriched_counts",
+)
 
 
 def _modules():
