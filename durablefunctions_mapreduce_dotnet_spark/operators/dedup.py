@@ -595,43 +595,69 @@ def embedding_near_dup_lsh(
     num_tables: int = 8,
     planes_per_table: int = 4,
     seed: int = 42,
+    target_bucket_rows: int | None = None,
+    max_bucket: int | None = 20_000,
 ) -> DataFrame:
-    """The SUB-QUADRATIC path :func:`embedding_near_dup_pairs` points at,
+    """The bucketed path :func:`embedding_near_dup_pairs` points at,
     wired as a first-class operator: random-hyperplane LSH buckets both
-    sides, so candidate pairs come from an ordinary shuffled self
-    equi-join on (table, bucket) — O(Σ bucket²·L) instead of O(n²) —
+    sides, so candidate pairs come from same-bucket gemm tiles —
+    expected work Θ(L · Σ bucket²) ≈ L·n²/2^p for balanced buckets —
     then each candidate is scored with the vectorized cosine and cut at
     the threshold.
+
+    **p (= planes_per_table) is THE work knob, and it must scale with
+    the corpus**: at fixed p the expected work is still Θ(n²) (with a
+    1/2^p constant), so sub-quadratic behavior requires growing p with
+    n.  Pass ``target_bucket_rows`` to do that automatically: p is
+    raised to ceil(log2(n / target)) so expected bucket occupancy stays
+    ~``target`` and work stays ~L·n·target.  Raising p lowers per-table
+    collision probability (1-θ/π)^p; compensate with more tables
+    (recall = 1-(1-(1-θ/π)^p)^L) or accept the documented recall.
 
     Same deterministic plane family as ``similarity.lsh_topk``
     (``make_planes``, pseudo-Gaussian literals), so the full pipeline —
     signatures, bucket join, scoring, threshold — mirrors into the
-    DuckDB oracle verbatim.  Recall is the banding contract: a true pair
-    collides in ≥1 of L tables with probability 1-(1-(1-θ/π)^p)^L;
-    tune (p, L) up for higher-recall dedup, or fall back to the exact
-    block-gemm path for audits.  The default (p=4, L=8) gives ~0.8
+    DuckDB oracle verbatim.  The default (p=4, L=8) gives ~0.8
     collision probability at cos=0.45 (and -> 1 fast above it);
     measured on the sf0.001 corpus: 5/7 exact pairs recovered at the
     hardest-case threshold boundary (tests/test_analytics_linkage.py).
 
     Shuffle discipline: each vector rides the (table, bucket) exchange
     once per table; scoring happens INSIDE the bucket as one BLAS gemm
-    per (table, bucket) group (``applyInPandas``), so candidate pairs
-    are never materialized as join rows — only the surviving
-    above-threshold (id_a, id_b) scalars leave the task, and the
-    cross-table pair dedup shuffles those scalars alone.  (A pair-row
-    self-join + per-row scorer computes the same thing ~6× slower:
-    measured 4.7 s -> 0.8 s at sf0.1 — join-row materialization and
-    per-row UDF dispatch dominate, not flops.)  Per-task memory is one
-    bucket's matrix + its score tile; the ``max_bucket``-style skew cap
-    of the MinHash path applies if a degenerate bucket ever forms
-    (hyperplane buckets are balanced by construction for centered data).
+    per group (``applyInPandas``), so candidate pairs are never
+    materialized as join rows — only the surviving above-threshold
+    (id_a, id_b) scalars leave the task, and the cross-table pair dedup
+    shuffles those scalars alone.  (A pair-row self-join + per-row
+    scorer computes the same thing ~6× slower: measured 4.7 s -> 0.8 s
+    at sf0.1 — join-row materialization and per-row UDF dispatch
+    dominate, not flops.)
+
+    Skew / degenerate buckets: hyperplane buckets are balanced for
+    centered data, but real embedding corpora cluster.  ``max_bucket``
+    caps PER-TASK MEMORY by splitting any bucket larger than the cap
+    into hash-salted sub-blocks and scoring every sub-block tile pair —
+    each unordered pair still lands in exactly one tile, so the split
+    is RESULT-PRESERVING (unlike the MinHash path's drop-cap, which
+    trades recall; here only task granularity changes).  Work within a
+    degenerate bucket remains Θ(bucket²) — that is what scaling p (or
+    the exact block-gemm audit path) addresses.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from .similarity import _signature_udf, make_planes
 
+    if target_bucket_rows is not None:
+        n = embeddings.count()
+        planes_per_table = min(
+            30,
+            max(
+                planes_per_table,
+                math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1))),
+            ),
+        )
     tables = [
         make_planes(dim, planes_per_table, seed + 1000 * t) for t in range(num_tables)
     ]
@@ -641,10 +667,15 @@ def embedding_near_dup_lsh(
         .select("_id", "_v", F.posexplode(sig(F.col("_v"))).alias("_t", "_b"))
     )
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+
+    def _self_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+            return _empty()
         m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         keep = (m @ m.T) >= threshold
@@ -653,9 +684,63 @@ def embedding_near_dup_lsh(
         ai, bj = np.nonzero(keep & (ids[None, :] > ids[:, None]))
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
 
+    if max_bucket is None:
+        return (
+            s.groupBy("_t", "_b")
+            .applyInPandas(_self_pairs, "id_a bigint, id_b bigint")
+            .dropDuplicates()
+        )
+
+    # Memory-capped path: buckets above max_bucket split into nsub
+    # hash-salted sub-blocks; a row of sub-block k is the LEFT side of
+    # tiles (k, j) for j >= k and the RIGHT side of tiles (i, k) for
+    # i < k, so every unordered in-bucket pair appears in exactly one
+    # tile.  The size lookup is one row per (table, bucket) — broadcast.
+    sizes = s.groupBy("_t", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    salted = (
+        s.join(F.broadcast(sizes), ["_t", "_b"])
+        .withColumn(
+            "_nsub", F.ceil(F.col("_n") / F.lit(max_bucket)).cast("int")
+        )
+        .withColumn("_sub", F.pmod(F.xxhash64("_id"), F.col("_nsub")).cast("int"))
+    )
+    as_left = salted.select(
+        "_t", "_b", "_id", "_v",
+        F.col("_sub").alias("_i"),
+        F.explode(F.sequence(F.col("_sub"), F.col("_nsub") - 1)).alias("_j"),
+        F.lit(0).alias("_r"),
+    )
+    as_right = salted.where(F.col("_sub") > 0).select(
+        "_t", "_b", "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_sub") - 1)).alias("_i"),
+        F.col("_sub").alias("_j"),
+        F.lit(1).alias("_r"),
+    )
+
+    def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_r"] == 0]
+        b = pdf[pdf["_r"] == 1]
+        if len(b) == 0:
+            return _self_pairs(a)  # diagonal tile (i == j)
+        if len(a) == 0:
+            return _empty()
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        ids_b = b["_id"].to_numpy(dtype=np.int64)
+        ma = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["_v"].to_numpy()).astype(np.float64)
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        ai, bj = np.nonzero((ma @ mb.T) >= threshold)
+        x, y = ids_a[ai], ids_b[bj]
+        # sub-blocks are disjoint id sets: normalize order, no self-pairs
+        return pd.DataFrame(
+            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+        )
+
     return (
-        s.groupBy("_t", "_b")
-        .applyInPandas(score_bucket, "id_a bigint, id_b bigint")
+        as_left.unionByName(as_right)
+        .groupBy("_t", "_b", "_i", "_j")
+        .applyInPandas(_tile_pairs, "id_a bigint, id_b bigint")
         .dropDuplicates()
     )
 
@@ -700,10 +785,10 @@ def winnow_fingerprints(
         out = []
         swv = np.lib.stride_tricks.sliding_window_view
         for t in texts:
-            t = t.lower()
             if t is None or len(t) < k + window - 1:
                 out.append(np.empty(0, dtype=np.int64))
                 continue
+            t = t.lower()
             codes = np.array([ord(c) for c in t], dtype=np.int64)
             kg = swv(codes, k)                      # (n-k+1, k) view
             h = (kg * pows[None, :] % m).sum(axis=1) % m

@@ -25,17 +25,38 @@ def local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _local_checkpoint_lazy(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False)
+
+
+# Optional protocol: a CheckpointFn may carry a ``.lazy`` sibling that cuts
+# lineage WITHOUT forcing materialization.  Iterative operators that follow
+# every cut with an aggregation (the convergence probe) use it so the probe
+# job itself materializes the checkpoint — one pass over the frame per round
+# instead of two.  Custom checkpoint fns without ``.lazy`` get the eager
+# two-job path; results are identical either way.
+local_checkpoint.lazy = _local_checkpoint_lazy
+
+
 def reliable_checkpoint(checkpoint_dir: str) -> CheckpointFn:
     """Cluster-grade lineage cut: HDFS/object-store ``df.checkpoint``.
     Survives executor loss; this is the 100 TB setting.  Sets the
     context checkpoint dir on first use."""
 
-    def cut(df: DataFrame) -> DataFrame:
+    def _set_dir(df: DataFrame) -> None:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        _set_dir(df)
         return df.checkpoint(eager=True)
 
+    def cut_lazy(df: DataFrame) -> DataFrame:
+        _set_dir(df)
+        return df.checkpoint(eager=False)
+
+    cut.lazy = cut_lazy
     return cut
 
 
@@ -72,12 +93,17 @@ def connected_components(
     the fixpoint — unconverged labels are silently-wrong clusters, never
     returned.
     """
+    # A checkpoint fn may carry a ``.lazy`` sibling (see local_checkpoint):
+    # lineage is cut but materialization rides the NEXT job — here always
+    # the convergence probe, so each round costs one pass over labels, not
+    # two.  Opaque custom fns fall back to the eager two-job path.
+    cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = checkpoint(
+    edges = cut_lazy(
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
-    labels = checkpoint(
+    labels = cut_lazy(
         edges.select(F.col("u").alias("n")).distinct().withColumn(
             "component", F.col("n")
         )
@@ -87,7 +113,8 @@ def connected_components(
     # cheap aggregation on the already-checkpointed frame replaces a
     # join-based diff (one fewer shuffle per round).  Summed in
     # decimal(38,0): a bigint sum could overflow on huge id spaces and
-    # alias "changed" to "equal".
+    # alias "changed" to "equal".  This first probe also materializes the
+    # edges + initial-labels checkpoints in the same job.
     probe = F.sum(F.col("component").cast("decimal(38,0)"))
     checksum = labels.agg(probe).first()[0]
     for _ in range(max_iter):
@@ -106,7 +133,7 @@ def connected_components(
             labels = labels.join(chase, "component", "left").select(
                 "n", F.coalesce("_c2", "component").alias("component")
             )
-        labels = checkpoint(labels)
+        labels = cut_lazy(labels)
         new_sum = labels.agg(probe).first()[0]
         if new_sum == checksum:
             return labels
@@ -150,6 +177,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint: CheckpointFn | None = None,
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Edge-multiplicity-weighted PageRank with dangling-mass
     redistribution, fixed ``iters`` power iterations — the crawl/domain
@@ -174,6 +202,12 @@ def pagerank(
     convergence on a cluster pass ``checkpoint`` (same contract as
     :func:`connected_components`) to cut lineage each round.  N (node
     count) is a driver scalar by design — the one collect is one long.
+
+    The edge/node/degree frames are pinned evictable (MEMORY_AND_DISK)
+    for the duration of the iterations; callers running pagerank
+    repeatedly in a long-lived session should pass ``pinned=[]`` and
+    ``unpersist()`` the appended frames when done — the same release
+    contract as ``global_distribution_rank`` / ``gap_fill``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -191,6 +225,8 @@ def pagerank(
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if pinned is not None:
+        pinned.extend((e, nodes, deg))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(iters):

@@ -110,6 +110,12 @@ def asof_join_forward(
             c = F.unix_micros(c.cast("timestamp"))
         return df.withColumn("_fwd_negts", (-c).cast("long"))
 
+    # backward buckets on _ts.cast(double): the seconds-denominated width
+    # must match the negated grid — micros when neg() converted a
+    # timestamp, the column's own units when it was already integer
+    # (otherwise buckets come out 1e6× too wide and the hot-key
+    # parallelization silently collapses to one bucket).
+    ts_scale = 1_000_000.0 if t_l in ("timestamp", "timestamp_ntz") else 1.0
     out = asof_join_backward(
         neg(left, left_ts, t_l),
         neg(right, right_ts, t_r),
@@ -119,9 +125,7 @@ def asof_join_forward(
         payload=payload,
         inner=inner,
         skew_keys=skew_keys,
-        # backward buckets on _ts.cast(double): negated MICROS here, so
-        # scale the seconds-denominated width to the micros grid
-        skew_bucket_seconds=skew_bucket_seconds * 1_000_000.0,
+        skew_bucket_seconds=skew_bucket_seconds * ts_scale,
     )
     matched = -F.col("matched_ts")
     if t_r in ("timestamp", "timestamp_ntz"):

@@ -244,12 +244,17 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """
     # length > 0 guard: Spark's sequence(1, 0) yields a DESCENDING
     # [1, 0] (not empty like DuckDB's range), which would fabricate
-    # phantom chars for empty docs — and its position-0 substring
-    chars = df.where(F.length(text_col) > 0).select(
+    # phantom chars for empty docs — and its position-0 substring.
+    # Column-based transform/substring (not an interpolated F.expr
+    # string): caller-supplied column names must never be spliced into
+    # SQL text — the funnel_counts rule.
+    text = F.col(text_col)
+    chars = df.where(F.length(text) > 0).select(
         F.col(id_col),
         F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))"
+            F.transform(
+                F.sequence(F.lit(1), F.length(text)),
+                lambda i: F.substring(text, i, F.lit(1)),
             )
         ).alias("_ch"),
     )
@@ -291,12 +296,14 @@ def lm_bigram_score(
     """
 
     def bigrams(df: DataFrame, *extra):
-        return df.where(F.length(text_col) >= 2).select(
+        # column-based, never name-spliced SQL (the funnel_counts rule)
+        text = F.col(text_col)
+        return df.where(F.length(text) >= 2).select(
             *extra,
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - 1),"
-                    f" i -> substring({text_col}, i, 2))"
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - F.lit(1)),
+                    lambda i: F.substring(text, i, F.lit(2)),
                 )
             ).alias("_bg"),
         )

@@ -470,3 +470,131 @@ def test_winnowing_guarantees_shared_fingerprint_for_long_overlap(spark):
     assert fps[1] & fps[2]                # guaranteed shared fingerprint
     pairs = winnowing_overlap_pairs(df, k=8, window=4, min_shared=3).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_embedding_lsh_bucket_cap_split_is_result_preserving(spark):
+    """max_bucket splits oversized buckets into gemm tiles; every
+    unordered pair lands in exactly one tile, so even an absurdly small
+    cap must return the EXACT same pair set (unlike the MinHash
+    drop-cap, this path trades task granularity, not recall)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(e, threshold=0.45, max_bucket=None).collect()
+    }
+    tiny_cap = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(e, threshold=0.45, max_bucket=5).collect()
+    }
+    assert tiny_cap == uncapped and uncapped
+
+
+def test_embedding_lsh_target_bucket_scales_planes(spark):
+    """target_bucket_rows raises planes_per_table with corpus size (the
+    actual sub-quadratic knob).  More planes can only LOSE collisions,
+    never invent pairs — and every surviving pair is exactly scored."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    base = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(e, threshold=0.45).collect()
+    }
+    scaled = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(
+            e, threshold=0.45, target_bucket_rows=8
+        ).collect()
+    }
+    assert scaled <= base
+
+
+def test_asof_forward_skew_width_matches_ts_units(spark, monkeypatch):
+    """The seconds->micros bucket-width scaling applies ONLY when the
+    timestamp column is a real timestamp; integer ts columns keep their
+    own units (otherwise buckets come out 1e6x too wide and the hot key
+    silently serializes into one bucket)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators import joins as J
+
+    captured = {}
+    orig = J._asof_bucketed
+
+    def spy(l, r, cols, payload, width):
+        captured["w"] = width
+        return orig(l, r, cols, payload, width)
+
+    monkeypatch.setattr(J, "_asof_bucketed", spy)
+    l = spark.createDataFrame(
+        [(i, 7, i * 10) for i in range(20)], "id long, k long, ts long"
+    )
+    r = spark.createDataFrame(
+        [(7, t * 25, float(t)) for t in range(8)], "k long, ts long, v double"
+    )
+    J.asof_join_forward(
+        l, r, key="k", payload={"v": "v"}, skew_keys=[7], skew_bucket_seconds=50.0
+    ).collect()
+    assert captured["w"] == 50.0
+
+    lt = l.select("id", "k", F.timestamp_seconds("ts").alias("ts"))
+    rt = r.select("k", F.timestamp_seconds("ts").alias("ts"), "v")
+    J.asof_join_forward(
+        lt, rt, key="k", payload={"v": "v"}, skew_keys=[7], skew_bucket_seconds=50.0
+    ).collect()
+    assert captured["w"] == 50.0 * 1_000_000.0
+
+
+def test_pagerank_pinned_release_contract(spark):
+    """pagerank exposes the same pinned=[] release contract as the other
+    multi-pass operators: the cached edge/node/degree frames are handed
+    back so long-lived sessions can unpersist them."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    pinned = []
+    ranks = pagerank(edges, iters=2, pinned=pinned)
+    assert ranks.count() == 3
+    assert len(pinned) == 3
+    for df in pinned:
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        df.unpersist()
+    assert not any(
+        df.storageLevel.useMemory or df.storageLevel.useDisk for df in pinned
+    )
+
+
+def test_connected_components_opaque_checkpoint_fn_still_works(spark):
+    """Custom checkpoint fns without the optional .lazy sibling get the
+    eager fallback — the pluggable contract is unchanged."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        connected_components,
+    )
+
+    calls = {"n": 0}
+
+    def counting_eager(df):
+        calls["n"] += 1
+        return df.localCheckpoint(eager=True)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        (r.n, r.component)
+        for r in connected_components(pairs, checkpoint=counting_eager).collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert calls["n"] >= 3  # edges + labels + >=1 iteration
