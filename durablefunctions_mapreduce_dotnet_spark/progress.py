@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import threading
 import time
+import uuid
 from typing import Any, Callable
 
 from pyspark.sql import SparkSession
@@ -109,3 +110,101 @@ def run_with_progress(
     t.join(timeout=5)
     status.set("finished", label=label)
     return result, status
+
+
+class QueryCancelled(RuntimeError):
+    """Raised by :meth:`CancellableQuery.result` when the run was killed
+    via :meth:`CancellableQuery.cancel` — the analogue of the reference's
+    orchestration landing in the ``Terminated`` runtime status."""
+
+
+class CancellableQuery:
+    """A running query that can be killed mid-flight — the reference's
+    terminate endpoint (``Sample.cs:38`` ``CreateCheckStatusResponse``
+    returns a terminate URI; ``README.md:172-189`` documents POSTing it
+    to abort the orchestration).
+
+    Spark's native mechanism is job groups: the action runs on a worker
+    thread under a unique ``setJobGroup`` (thread-local under PySpark's
+    default pinned-thread mode), and :meth:`cancel` issues
+    ``cancelJobGroup`` from any other thread — every job the action has
+    launched or will launch under the group dies, with
+    ``interruptOnCancel`` so straggler tasks are interrupted rather than
+    drained.  Driver-side only; nothing touches the query plan, so this
+    works unchanged against a 1000-executor cluster.
+
+    The lifecycle is observable through the same :class:`CustomStatus`
+    surface as :func:`run_with_progress` — phases ``started`` →
+    (``terminated`` | ``finished`` | ``failed``) — mirroring the
+    reference's pollable ``runtimeStatus``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        action: Callable[[], Any],
+        label: str = "query",
+        status: CustomStatus | None = None,
+    ) -> None:
+        self._spark = spark
+        self.group = f"cancellable-{uuid.uuid4().hex[:12]}"
+        self.status = status or CustomStatus()
+        self._done = threading.Event()
+        self._cancelled = False
+        self._result: Any = None
+        self._error: BaseException | None = None
+
+        def run() -> None:
+            sc = spark.sparkContext
+            sc.setJobGroup(self.group, label, interruptOnCancel=True)
+            try:
+                self._result = action()
+            except BaseException as exc:  # noqa: BLE001 — recorded, re-raised in result()
+                self._error = exc
+            finally:
+                sc.setJobGroup(None, None)
+                self._done.set()
+                if self._cancelled:
+                    pass  # terminal status already written by cancel()
+                elif self._error is None:
+                    self.status.set("finished", label=label)
+                else:
+                    self.status.set("failed", label=label)
+
+        self.status.set("started", label=label, group=self.group)
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def cancel(self, reason: str = "terminated by caller") -> None:
+        """Kill every job in this run's group.  Idempotent; safe to call
+        from any thread — the POST-the-terminate-URI analogue."""
+        self._cancelled = True
+        self.status.set("terminated", reason=reason, group=self.group)
+        self._spark.sparkContext.cancelJobGroup(self.group)
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def result(self, timeout: float | None = None) -> Any:
+        """Block for the outcome: the action's return value, or
+        :class:`QueryCancelled` after :meth:`cancel`, or the action's
+        own exception."""
+        if not self._done.wait(timeout):
+            raise TimeoutError(f"query {self.group} still running")
+        if self._cancelled:
+            raise QueryCancelled(self.group)
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+def run_cancellable(
+    spark: SparkSession,
+    action: Callable[[], Any],
+    label: str = "query",
+    status: CustomStatus | None = None,
+) -> CancellableQuery:
+    """Start ``action`` under a cancellable job group and return the
+    handle immediately (the reference's 202-with-terminate-URI shape:
+    submission returns control; the handle carries status + terminate)."""
+    return CancellableQuery(spark, action, label=label, status=status)

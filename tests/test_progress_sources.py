@@ -63,3 +63,49 @@ def test_flagship_csv_fixture_end_to_end(spark):
     out = q_flagship_csv_faithful(spark, SF_DIR).collect()
     assert [r["dow"] for r in out] == list(range(7))
     assert all(r["avg_speed"] == r["avg_speed"] for r in out)  # no NaN
+
+
+def test_cancellable_query_terminates_slow_job(spark):
+    """The terminate-endpoint analogue (reference Sample.cs:38): a
+    deliberately slow query is killed mid-flight via cancelJobGroup;
+    the handle raises QueryCancelled and the status snapshot shows the
+    terminated phase — the reference's Terminated runtimeStatus."""
+    import time
+
+    from durablefunctions_mapreduce_dotnet_spark.progress import (
+        QueryCancelled,
+        run_cancellable,
+    )
+
+    # ~10^10 cartesian rows: minutes of work if not cancelled
+    slow = (
+        spark.range(100_000)
+        .crossJoin(spark.range(100_000).withColumnRenamed("id", "id2"))
+        .selectExpr("sum(id + id2)")
+    )
+    handle = run_cancellable(spark, lambda: slow.collect(), label="slow-audit")
+    # wait for the job to actually be on the cluster, then terminate
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if spark.sparkContext.statusTracker().getActiveJobsIds():
+            break
+        time.sleep(0.05)
+    handle.cancel(reason="user POSTed terminate URI")
+    try:
+        handle.result(timeout=60)
+        raise AssertionError("cancelled query returned a result")
+    except QueryCancelled:
+        pass
+    status = handle.status.get()
+    assert status["phase"] == "terminated"
+    assert "started" in handle.status.phases()
+    # the session survives cancellation: new queries still run
+    assert spark.range(5).count() == 5
+
+
+def test_cancellable_query_normal_completion(spark):
+    from durablefunctions_mapreduce_dotnet_spark.progress import run_cancellable
+
+    handle = run_cancellable(spark, lambda: spark.range(10).count())
+    assert handle.result(timeout=60) == 10
+    assert handle.status.get()["phase"] == "finished"

@@ -297,3 +297,67 @@ def test_streaming_file_sink_restart_is_idempotent(spark, tmp_path):
     first = {(r.event_type, r.n) for r in run_to_files(agg(), out, ckpt).collect()}
     again = {(r.event_type, r.n) for r in run_to_files(agg(), out, ckpt).collect()}
     assert first == again and len(first) > 0
+
+
+def test_staged_pipeline_resumes_past_completed_stages(spark, tmp_path):
+    """Kill a two-stage pipeline between stages; the re-run must resume
+    past stage 1 without recomputing it (the reference's event-sourced
+    replay, README.md:40/73, at job granularity)."""
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import StagedPipeline
+
+    root = str(tmp_path / "run")
+    calls = {"clean": 0, "agg": 0}
+
+    def build_clean():
+        calls["clean"] += 1
+        return spark.range(100).selectExpr("id", "id % 7 AS k")
+
+    def build_agg(clean):
+        calls["agg"] += 1
+        return clean.groupBy("k").count()
+
+    # run A: stage 1 lands, then the driver "dies" before stage 2
+    run_a = StagedPipeline(spark, root)
+    run_a.stage("clean", build_clean)
+    assert run_a.log == [("clean", "computed")] and calls["clean"] == 1
+
+    # run B: fresh driver, same script — stage 1 resumed, stage 2 built
+    run_b = StagedPipeline(spark, root)
+    clean = run_b.stage("clean", build_clean)
+    agg = run_b.stage("agg", lambda: build_agg(clean))
+    assert calls["clean"] == 1  # builder never re-ran
+    assert calls["agg"] == 1
+    assert run_b.log == [("clean", "resumed"), ("agg", "computed")]
+    assert {(r.k, r["count"]) for r in agg.collect()} == {
+        (i, 15 if i < 2 else 14) for i in range(7)
+    }
+
+    # run C: everything resumed
+    run_c = StagedPipeline(spark, root)
+    run_c.stage("clean", build_clean)
+    run_c.stage("agg", lambda: build_agg(clean))
+    assert calls == {"clean": 1, "agg": 1}
+    assert [s for _, s in run_c.log] == ["resumed", "resumed"]
+
+
+def test_staged_pipeline_rebuilds_partial_stage_without_marker(spark, tmp_path):
+    """A stage directory WITHOUT the _SUCCESS marker is a mid-write
+    crash: the stage must be rebuilt, not trusted."""
+    from durablefunctions_mapreduce_dotnet_spark.sources.sinks import StagedPipeline
+
+    root = tmp_path / "run"
+    # fabricate a partial write: data file present, no _SUCCESS
+    stage_dir = root / "clean"
+    stage_dir.mkdir(parents=True)
+    (stage_dir / "part-00000.parquet").write_bytes(b"garbage partial write")
+
+    pipe = StagedPipeline(spark, str(root))
+    assert not pipe.completed("clean")
+    out = pipe.stage("clean", lambda: spark.range(10).selectExpr("id"))
+    assert pipe.log == [("clean", "computed")]
+    assert out.count() == 10
+
+    # reset() invalidates a completed stage
+    assert pipe.completed("clean")
+    pipe.reset("clean")
+    assert not pipe.completed("clean")
