@@ -61,6 +61,7 @@ HEADLINE = [
     "graph_pagerank",
     "anomaly_mad",
     "text_lm_score",
+    "text_entropy_fast",
     "curation_temperature_mix",
 ]
 
@@ -69,10 +70,16 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-#: scaling-shape probe: flagship + the two slowest LLM queries, timed at
-#: sf0.1 AND a 10x replica (see _ensure_scale_dir) — the ratio column is
-#: the check that no plan grows super-linearly in the data.
-SCALE_PROBE = ["flagship_faithful", "dedup_clusters", "time_gapfill_interpolate"]
+#: scaling-shape probe: flagship + the slowest LLM/graph queries, timed
+#: at sf0.1 AND a 10x replica (see _ensure_scale_dir) — the ratio column
+#: is the check that no plan grows super-linearly in the data.
+SCALE_PROBE = [
+    "flagship_faithful",
+    "dedup_clusters",
+    "time_gapfill_interpolate",
+    "graph_pagerank",
+    "text_lm_score",
+]
 SCALE_FACTOR = 10
 
 
@@ -91,9 +98,10 @@ def _ensure_scale_dir(repo_dir: str) -> str:
       workload quadratic BY CONSTRUCTION, which would measure the
       generator, not the engine.)
     """
-    out = os.path.join(repo_dir, ".bench_scale", f"sf1.0_v1_x{SCALE_FACTOR}")
+    out = os.path.join(repo_dir, ".bench_scale", f"sf1.0_v2_x{SCALE_FACTOR}")
     ev, dc = os.path.join(out, "events.parquet"), os.path.join(out, "documents.parquet")
-    if os.path.exists(ev) and os.path.exists(dc):
+    li = os.path.join(out, "lineitem.parquet")
+    if os.path.exists(ev) and os.path.exists(dc) and os.path.exists(li):
         return out
     import duckdb
 
@@ -128,6 +136,21 @@ def _ensure_scale_dir(repo_dir: str) -> str:
           FROM read_parquet('{src}/documents.parquet'),
                range({SCALE_FACTOR}) t(k)
         ) TO '{dc}' (FORMAT PARQUET)
+        """
+    )
+    # lineitem (graph_pagerank): supplier/part keys offset per replica →
+    # 10 disjoint ISOMORPHIC graph copies — same degree distribution and
+    # component structure, no artificial densification.  Only the two
+    # columns the probe query reads are materialized (parquet is
+    # columnar; a full copy would only slow generation).
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_suppkey + k * 10000000 AS l_suppkey,
+                 l_partkey + k * 10000000 AS l_partkey
+          FROM read_parquet('{src}/lineitem.parquet'),
+               range({SCALE_FACTOR}) t(k)
+        ) TO '{li}' (FORMAT PARQUET)
         """
     )
     con.close()

@@ -274,6 +274,77 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def char_entropy_fast(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Single-pass Arrow kernel computing the SAME output as
+    :func:`char_entropy` — the 100 TB fast path.
+
+    The explode formulation exists because it mirrors term-for-term
+    into the DuckDB oracle; its price is materializing one row per
+    CHARACTER before the combiner (in-task explosion, then an
+    O(docs×alphabet) shuffle).  Here each Arrow batch is reduced
+    in-place — ``np.unique`` over the doc's codepoints, one
+    ``-p·log2 p`` fold — so the plan is a single ``mapInPandas`` over
+    the scan: no explode, no shuffle, no join.  Output is
+    BIT-IDENTICAL to the slow path (tests/test_llm_ops.py): terms use
+    ``log(p)/log(2)`` (the JVM's ``log2`` lowering), each term is
+    quantized to decimal(38,18) exactly like Spark's double→decimal
+    cast (shortest-repr string, HALF_UP — the ``functions.numeric``
+    contract), summed exactly, and rounded 9 dp HALF_UP like
+    ``F.round``.  Codepoint counting matches ``substring``/``length``
+    semantics (UTF8String counts code points, as does Python).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    q18 = __import__("decimal").Decimal("1e-18")
+    q9 = __import__("decimal").Decimal("1e-9")
+    Decimal = __import__("decimal").Decimal
+    ROUND_HALF_UP = __import__("decimal").ROUND_HALF_UP
+    ln2 = float(np.log(2.0))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ents, lens = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if t is None:
+                    ents.append(0.0)
+                    lens.append(None)
+                    continue
+                n = len(t)
+                lens.append(n)
+                if n == 0:
+                    ents.append(0.0)
+                    continue
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                cnts = np.unique(codes, return_counts=True)[1]
+                p = cnts / np.float64(n)
+                terms = -(p) * (np.log(p) / ln2)
+                total = sum(
+                    Decimal(repr(v)).quantize(q18, ROUND_HALF_UP)
+                    for v in terms.tolist()
+                )
+                ents.append(
+                    float(
+                        Decimal(repr(float(total))).quantize(q9, ROUND_HALF_UP)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "entropy_bits": pd.Series(ents, dtype="float64"),
+                    "n_chars_exact": pd.Series(lens, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, entropy_bits double, n_chars_exact bigint"
+    )
+
+
 def lm_bigram_score(
     corpus: DataFrame,
     reference: DataFrame,

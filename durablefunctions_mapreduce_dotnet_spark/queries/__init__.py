@@ -144,6 +144,7 @@ _WINDOW_FIRST = (
     "curation_temperature_mix",
     "text_tokens",
     "text_entropy",
+    "text_entropy_fast",
     "text_lm_score",
     "streaming_click_attribution",
     "streaming_enriched_counts",

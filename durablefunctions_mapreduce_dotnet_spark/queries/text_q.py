@@ -181,6 +181,20 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(d).orderBy("doc_id")
 
 
+def q_text_entropy_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass Arrow kernel (``char_entropy_fast``) — the 100 TB
+    path: no explode, no shuffle, no join; one ``mapInPandas`` over the
+    scan.  Bit-identical to ``text_entropy`` (the kernel replicates
+    Spark's double→decimal quantization and HALF_UP rounding), so it
+    shares that query's oracle verbatim — parity here proves the fast
+    path, not just the mirrorable formulation.  Measured 2.25 s → 0.50 s
+    at sf0.1."""
+    from ..operators.textops import char_entropy_fast
+
+    d = read_table(spark, sf_dir, "documents")
+    return char_entropy_fast(d).orderBy("doc_id")
+
+
 _TEXT_ENTROPY_SQL = """
 WITH lens AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents
@@ -249,6 +263,7 @@ ORDER BY d.doc_id
 QUERIES = {
     "text_lm_score": q_text_lm_score,
     "text_entropy": q_text_entropy,
+    "text_entropy_fast": q_text_entropy_fast,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_repetition": q_text_repetition,
@@ -260,6 +275,7 @@ QUERIES = {
 ORACLES = {
     "text_lm_score": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,
+    "text_entropy_fast": _TEXT_ENTROPY_SQL,
     "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,

@@ -248,3 +248,70 @@ def test_minhash_checkpoint_fn_is_pluggable(spark, tmp_path):
     )
     assert got == base and len(base) > 0
     assert len(calls) >= 2  # shared shingle pass + candidate pin both rode the hook
+
+
+def test_char_entropy_fast_bit_identical_to_explode_path(spark):
+    """The single-pass Arrow kernel must reproduce the oracle-mirrorable
+    explode formulation BIT-FOR-BIT — including NULL text (NULL length,
+    0.0 entropy), empty docs, single-char docs, and non-BMP codepoints
+    (UTF8String counts code points, not UTF-16 units)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        char_entropy,
+        char_entropy_fast,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "a"),
+            (4, "aab"),
+            (5, "héllo wörld \N{ROCKET}\N{ROCKET}"),
+            (6, "x" * 5000),
+            (7, "the quick brown fox jumps over the lazy dog 0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = read_table(spark, SF_DIR, "documents")
+    for df in (edge, corpus):
+        slow = {
+            r.doc_id: (r.entropy_bits, r.n_chars_exact)
+            for r in char_entropy(df).collect()
+        }
+        fast = {
+            r.doc_id: (r.entropy_bits, r.n_chars_exact)
+            for r in char_entropy_fast(df).collect()
+        }
+        assert fast == slow
+
+
+def test_ivf_refined_centroids_improve_recall(spark):
+    """refine_iters runs spherical-Lloyd updates over the corpus before
+    probing: real cluster centers balance the inverted lists, so at
+    EQUAL n_probe recall@k must not degrade — and on this corpus it
+    measurably improves over the arbitrary lowest-id seeds."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(refine_iters: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(e, q, k=5, refine_iters=refine_iters).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    seed_only = recall(0)
+    refined = recall(3)
+    assert refined >= seed_only, f"refined {refined} < seed-only {seed_only}"
+    assert refined > 0.3
