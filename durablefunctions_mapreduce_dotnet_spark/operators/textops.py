@@ -274,6 +274,52 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: portable regex subset (identical semantics in Java regex and RE2 —
+#: the curation_redact_pii doctrine): explicit classes, no \s (Java's
+#: \s includes \x0B, RE2's does not).
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+WS_RUN_RE = r"[ \t\n\r]+"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization — the cleanup pass that runs before
+    fingerprinting/dedup/tokenization in a training-data pipeline, so
+    cosmetic variants (stray control bytes, ragged whitespace, case)
+    collapse onto one canonical form and downstream exact/MinHash dedup
+    actually fires on them.
+
+    Steps (each a codegen'd row expression — no UDF, no shuffle; the
+    whole operator pipelines into the scan):
+
+    1. control characters → space (NUL..US minus TAB/LF/CR, plus DEL),
+    2. whitespace runs (space/TAB/LF/CR) → one space,
+    3. trim edge spaces,
+    4. lowercase.
+
+    Unicode NFC/NFKC normalization is deliberately OUT of scope: Spark
+    SQL has no built-in normalizer, and a Python UDF here would put an
+    Arrow hop in front of every scan — at 100 TB, run ICU normalization
+    once at INGEST (where the bytes are already being rewritten), not
+    per query.  NULL text stays NULL (mirrored by the oracle).
+    """
+    t = F.col(text_col)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, CONTROL_CHARS_RE, " "), WS_RUN_RE, " "
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(t).cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
 def char_entropy_fast(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

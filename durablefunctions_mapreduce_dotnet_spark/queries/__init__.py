@@ -145,6 +145,7 @@ _WINDOW_FIRST = (
     "text_tokens",
     "text_entropy",
     "text_entropy_fast",
+    "text_normalize",
     "text_lm_score",
     "streaming_click_attribution",
     "streaming_enriched_counts",

@@ -181,6 +181,30 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(d).orderBy("doc_id")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (control chars → space, whitespace
+    collapse, trim, lowercase) — pure codegen'd expressions pipelined
+    into the scan; the oracle repeats each step with RE2's 'g' flag."""
+    from ..operators.textops import normalize_text
+
+    d = read_table(spark, sf_dir, "documents")
+    return normalize_text(d).orderBy("doc_id")
+
+
+_TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+         '[ \t\n\r]+', ' ', 'g'))) AS text_norm,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(lower(trim(regexp_replace(
+         regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+         '[ \t\n\r]+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_text_entropy_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single-pass Arrow kernel (``char_entropy_fast``) — the 100 TB
     path: no explode, no shuffle, no join; one ``mapInPandas`` over the
@@ -264,6 +288,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "text_entropy": q_text_entropy,
     "text_entropy_fast": q_text_entropy_fast,
+    "text_normalize": q_text_normalize,
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_repetition": q_text_repetition,
@@ -276,6 +301,7 @@ ORACLES = {
     "text_lm_score": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,
     "text_entropy_fast": _TEXT_ENTROPY_SQL,
+    "text_normalize": _TEXT_NORMALIZE_SQL,
     "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,

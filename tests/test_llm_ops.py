@@ -315,3 +315,27 @@ def test_ivf_refined_centroids_improve_recall(spark):
     refined = recall(3)
     assert refined >= seed_only, f"refined {refined} < seed-only {seed_only}"
     assert refined > 0.3
+
+
+def test_normalize_text_hand_cases(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "  Hello\t\tWORLD  \n"),
+        (2, "a\x00b\x1fc\x7fd"),          # control chars -> spaces
+        (3, "tabs\tand\nnewlines\rhere"),
+        (4, None),
+        (5, ""),
+        (6, "\x01\x02\x03"),              # all-control -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_norm, r.n_chars_raw, r.n_chars_norm)
+           for r in normalize_text(df).collect()}
+    assert out[1] == ("hello world", 17, 11)
+    assert out[2] == ("a b c d", 7, 7)
+    assert out[3] == ("tabs and newlines here", 22, 22)
+    assert out[4] == (None, None, None)
+    assert out[5] == ("", 0, 0)
+    assert out[6] == ("", 3, 0)

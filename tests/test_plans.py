@@ -386,3 +386,33 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_entropy_fast_is_single_pass_no_exchange(spark):
+    """The Arrow entropy kernel must be ONE mapInPandas over the scan:
+    no Exchange, no join, no explode-aggregate — that is the whole
+    point of the fast path beside the oracle-mirrorable formulation."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        char_entropy_fast,
+    )
+
+    df = char_entropy_fast(read_table(spark, SF_DIR, "documents"))
+    plan = explain_str(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "MapInPandas" in plan
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+
+
+def test_normalize_text_pipelines_into_scan(spark):
+    """normalize_text is pure row-expression work: no Exchange, no UDF
+    (ArrowEvalPython/BatchEvalPython absent), column-pruned scan."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        normalize_text,
+    )
+
+    df = normalize_text(read_table(spark, SF_DIR, "documents"))
+    plan = explain_str(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
