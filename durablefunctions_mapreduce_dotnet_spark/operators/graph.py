@@ -67,6 +67,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint: CheckpointFn = local_checkpoint,
     pointer_jumping: bool = False,
+    steps_per_probe: int = 2,
 ) -> DataFrame:
     """(node, component) where component = MIN node id reachable via the
     undirected pair relation — min-label propagation to fixpoint.
@@ -89,9 +90,18 @@ def connected_components(
     sessions linked by shared IPs); for clique-ish dedup graphs the
     extra shuffle per round costs more than it saves.
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
-    the fixpoint — unconverged labels are silently-wrong clusters, never
-    returned.
+    ``steps_per_probe`` batches that many propagation steps between
+    convergence probes (default 2).  Total steps to the fixpoint are
+    unchanged — the probe only DETECTS it — so batching trades at most
+    ``steps_per_probe - 1`` redundant post-fixpoint steps for
+    proportionally fewer full-frame probe aggregations and lineage
+    cuts; the sum comparison across a batch is still exact (labels are
+    monotone per node, so the total strictly decreases iff ANY of the
+    batched steps changed a label).
+
+    Raises ``RuntimeError`` if ``max_iter`` propagation steps pass
+    without reaching the fixpoint — unconverged labels are
+    silently-wrong clusters, never returned.
     """
     # A checkpoint fn may carry a ``.lazy`` sibling (see local_checkpoint):
     # lineage is cut but materialization rides the NEXT job — here always
@@ -109,39 +119,50 @@ def connected_components(
         )
     )
     # Convergence probe: labels are per-node MONOTONICALLY non-increasing,
-    # so the total sum strictly decreases iff any label changed — a single
-    # cheap aggregation on the already-checkpointed frame replaces a
-    # join-based diff (one fewer shuffle per round).  Summed in
-    # decimal(38,0): a bigint sum could overflow on huge id spaces and
-    # alias "changed" to "equal".  This first probe also materializes the
-    # edges + initial-labels checkpoints in the same job.
+    # so the total sum strictly decreases iff any label changed across the
+    # batched steps — a single cheap aggregation on the checkpointed frame
+    # replaces a join-based diff.  Summed in decimal(38,0): a bigint sum
+    # could overflow on huge id spaces and alias "changed" to "equal".
+    # No probe runs on the INITIAL labels: when edges exist, step 1 always
+    # lowers some label (every edge links distinct ids), so the first
+    # comparable pair of sums is (round 1, round 2) — one fewer job, and
+    # round 1's probe is what materializes the edges + labels checkpoints.
     probe = F.sum(F.col("component").cast("decimal(38,0)"))
-    checksum = labels.agg(probe).first()[0]
-    for _ in range(max_iter):
+    checksum: object = None
+
+    def step(lbl: DataFrame) -> DataFrame:
         neighbor = (
             edges.join(
-                labels.select(F.col("n").alias("v"), F.col("component")), "v"
+                lbl.select(F.col("n").alias("v"), F.col("component")), "v"
             ).select(F.col("u").alias("n"), "component")
         )
-        labels = labels.union(neighbor).groupBy("n").agg(
+        lbl = lbl.union(neighbor).groupBy("n").agg(
             F.min("component").alias("component")
         )
         if pointer_jumping:
-            chase = labels.select(
+            chase = lbl.select(
                 F.col("n").alias("component"), F.col("component").alias("_c2")
             )
-            labels = labels.join(chase, "component", "left").select(
+            lbl = lbl.join(chase, "component", "left").select(
                 "n", F.coalesce("_c2", "component").alias("component")
             )
+        return lbl
+
+    steps = 0
+    while steps < max_iter:
+        for _ in range(min(max(steps_per_probe, 1), max_iter - steps)):
+            labels = step(labels)
+            steps += 1
         labels = cut_lazy(labels)
         new_sum = labels.agg(probe).first()[0]
-        if new_sum == checksum:
+        # None = empty label set (no pairs at all): trivially converged
+        if new_sum is None or (checksum is not None and new_sum == checksum):
             return labels
         checksum = new_sum
     raise RuntimeError(
         f"connected_components: no fixpoint after max_iter={max_iter} "
-        "rounds — labels would be unconverged; raise max_iter (diameter "
-        "of the pair graph exceeds it)"
+        "propagation steps — labels would be unconverged; raise max_iter "
+        "(diameter of the pair graph exceeds it)"
     )
 
 
