@@ -149,6 +149,8 @@ _WINDOW_FIRST = (
     "text_lm_score",
     "streaming_click_attribution",
     "streaming_enriched_counts",
+    "json_variant",
+    "recursive_hierarchy",
 )
 
 

@@ -265,6 +265,58 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM ev
 """
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT surface (Spark 4's semi-structured type — parse once,
+    extract many, no per-extraction reparse like get_json_object):
+    ``parse_json`` → ``try_variant_get`` typed extraction, with a
+    missing path returning NULL instead of erroring.  The oracle
+    mirrors through DuckDB's JSON extraction — same values, the
+    engine-native semi-structured path on each side."""
+    e = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_variant"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+    )
+
+
+_JSON_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant,
+       CAST(NULL AS INTEGER) AS missing_val
+FROM events
+"""
+
+
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE — UNION ALL form): a
+    BOM-style ancestor walk over a derived acyclic hierarchy (each
+    part's parent assembly = partkey div 10), returning every part's
+    root assembly and chain depth.  The classic hierarchy/graph-walk
+    the iterative-DataFrame operators (connected_components, pagerank)
+    otherwise hand-roll — here expressed declaratively and executed by
+    Spark's recursion operator; DuckDB runs the identical SQL.  (Spark's
+    recursive CTEs are UNION ALL-only, so this surface fits acyclic
+    walks; cyclic closures stay with connected_components.)"""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("_rec_part")
+    return spark.sql(_RECURSIVE_HIERARCHY_TMPL.format(part="_rec_part"))
+
+
+_RECURSIVE_HIERARCHY_TMPL = """
+WITH RECURSIVE anc(part, anc, depth) AS (
+  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0 FROM {part}
+  UNION ALL
+  SELECT part, CAST(floor(anc / 10) AS BIGINT), depth + 1 FROM anc WHERE anc >= 10
+)
+SELECT part AS p_partkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       MIN(CASE WHEN anc < 10 THEN anc END) AS root
+FROM anc GROUP BY part
+"""
+_RECURSIVE_HIERARCHY_SQL = _RECURSIVE_HIERARCHY_TMPL.format(part="part")
+
+
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON props into map<string,int>, then
     map_keys / element_at / map_concat with a literal map — the Spark
@@ -365,6 +417,8 @@ QUERIES = {
     "scalar_string_funcs": q_scalar_string,
     "scalar_date_funcs": q_scalar_date,
     "json_extract": q_json_extract,
+    "json_variant": q_json_variant,
+    "recursive_hierarchy": q_recursive_hierarchy,
     "map_funcs": q_map_funcs,
     "pivot_status": q_pivot,
 }
@@ -381,6 +435,8 @@ ORACLES = {
     "scalar_string_funcs": _SCALAR_STRING_SQL,
     "scalar_date_funcs": _SCALAR_DATE_SQL,
     "json_extract": _JSON_SQL,
+    "json_variant": _JSON_VARIANT_SQL,
+    "recursive_hierarchy": _RECURSIVE_HIERARCHY_SQL,
     "map_funcs": _MAP_FUNCS_SQL,
     "pivot_status": _PIVOT_SQL,
     "unpivot_measures": _UNPIVOT_SQL,
