@@ -62,6 +62,7 @@ HEADLINE = [
     "anomaly_mad",
     "text_lm_score",
     "text_entropy_fast",
+    "text_lm_score_fast",
     "curation_temperature_mix",
 ]
 

@@ -451,3 +451,101 @@ def lm_bigram_score(
     return corpus.select(id_col).join(agg, id_col, "left").select(
         id_col, F.round("_s", 9).alias("lm_score")
     )
+
+
+def lm_bigram_score_fast(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-pass Arrow kernel computing the SAME output as
+    :func:`lm_bigram_score` — the 100 TB fast path (the
+    ``char_entropy_fast`` pattern applied to the LM scorer).
+
+    Phase 1 is unchanged: the reference's bigram counts are a
+    combiner-reduced aggregate whose result is alphabet²-sized — that
+    small table is COLLECTED and broadcast (same driver footprint as
+    the slow path's ``F.broadcast``).  Phase 2 replaces the per-doc
+    explode → broadcast-join → combiner-agg chain with one
+    ``mapInPandas`` over the corpus scan: bigrams become int keys via
+    shifted codepoints, ``np.unique`` counts them, and each DISTINCT
+    bigram's add-one-smoothed log-prob — quantized to decimal(38,18)
+    exactly like the JVM's double→decimal cast — is multiplied by its
+    occurrence count (a decimal sum of identical values is exactly the
+    integer multiple, so per-distinct × count == the slow path's
+    per-occurrence sum, bit for bit).  No shuffle, no join, no explode;
+    bit-identity is pytest-pinned (tests/test_llm_ops.py).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    decimal = __import__("decimal")
+    Decimal, ROUND_HALF_UP = decimal.Decimal, decimal.ROUND_HALF_UP
+    q18, q9 = Decimal("1e-18"), Decimal("1e-9")
+
+    text = F.col(text_col)
+    ref_counts = (
+        reference.where(F.length(text) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - F.lit(1)),
+                    lambda i: F.substring(text, i, F.lit(2)),
+                )
+            ).alias("_bg")
+        )
+        .groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()  # alphabet²-sized by construction — driver-small
+    )
+    counts = {
+        (ord(r["_bg"][0]) << 21) | ord(r["_bg"][1]): r["_cnt"] for r in ref_counts
+    }
+    total = sum(counts.values())
+    v = len(counts)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((counts, total, v))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        cnts, tot, vv = bc.value
+        den = float(tot + vv)
+        # per-worker term table: one quantized decimal per DISTINCT
+        # reference bigram + the unseen term (add-one smoothing)
+        terms = {
+            k: Decimal(repr(math.log((c + 1) / den))).quantize(q18, ROUND_HALF_UP)
+            for k, c in cnts.items()
+        }
+        unseen = Decimal(repr(math.log(1.0 / den))).quantize(q18, ROUND_HALF_UP)
+        for pdf in batches:
+            ids, scores = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if t is None or len(t) < 2:
+                    scores.append(None)
+                    continue
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                keys = (codes[:-1] << 21) | codes[1:]
+                uk, uc = np.unique(keys, return_counts=True)
+                acc = Decimal(0)
+                for k, c in zip(uk.tolist(), uc.tolist()):
+                    acc += terms.get(k, unseen) * c
+                s = float(acc) / (len(t) - 1)
+                scores.append(
+                    float(Decimal(repr(s)).quantize(q9, ROUND_HALF_UP))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "lm_score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, lm_score double"
+    )

@@ -147,10 +147,12 @@ _WINDOW_FIRST = (
     "text_entropy_fast",
     "text_normalize",
     "text_lm_score",
+    "text_lm_score_fast",
     "streaming_click_attribution",
     "streaming_enriched_counts",
     "json_variant",
     "recursive_hierarchy",
+    "subq_lateral_topn",
 )
 
 

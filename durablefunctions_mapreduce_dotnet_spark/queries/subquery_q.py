@@ -89,13 +89,38 @@ WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
 """
 
 
+def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-group pattern in its declarative SQL form (Spark plans
+    the decorrelated equivalent of the rank window; DuckDB runs the
+    identical text).  Deterministic: price ties broken on o_orderkey."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_c")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_o")
+    return spark.sql(
+        _SUBQ_LATERAL_TMPL.format(customer="_lat_c", orders="_lat_o")
+    )
+
+
+_SUBQ_LATERAL_TMPL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) t
+"""
+_SUBQ_LATERAL_SQL = _SUBQ_LATERAL_TMPL.format(customer="customer", orders="orders")
+
+
 QUERIES = {
     "subq_scalar_avg": q_subq_scalar,
     "subq_in_region": q_subq_in,
     "subq_correlated_max": q_subq_correlated,
+    "subq_lateral_topn": q_subq_lateral,
 }
 ORACLES = {
     "subq_scalar_avg": _SUBQ_SCALAR_SQL,
     "subq_in_region": _SUBQ_IN_SQL,
     "subq_correlated_max": _SUBQ_CORRELATED_SQL,
+    "subq_lateral_topn": _SUBQ_LATERAL_SQL,
 }

@@ -339,3 +339,26 @@ def test_normalize_text_hand_cases(spark):
     assert out[4] == (None, None, None)
     assert out[5] == ("", 0, 0)
     assert out[6] == ("", 3, 0)
+
+
+def test_lm_score_fast_bit_identical_to_join_path(spark):
+    """The single-pass LM scorer must reproduce the explode+join
+    formulation BIT-FOR-BIT — including NULL/short docs (NULL score)
+    and unseen bigrams (add-one smoothing)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        lm_bigram_score,
+        lm_bigram_score_fast,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    corpus = read_table(spark, SF_DIR, "documents")
+    ref = corpus.where(F.col("doc_id") % 10 == 0)
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a"), (4, "ab"), (5, "zzz unseen \N{ROCKET}\N{ROCKET} bigrams")],
+        "doc_id long, text string",
+    )
+    eref = spark.createDataFrame([(1, "the quick brown")], "doc_id long, text string")
+    for c, r in ((corpus, ref), (edge, eref)):
+        slow = {x.doc_id: x.lm_score for x in lm_bigram_score(c, r).collect()}
+        fast = {x.doc_id: x.lm_score for x in lm_bigram_score_fast(c, r).collect()}
+        assert fast == slow
