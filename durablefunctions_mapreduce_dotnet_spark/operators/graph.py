@@ -232,35 +232,46 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # edges feed 2 joins per iteration and degrees 2 more (contrib +
-    # dangling anti) — pin both evictable so the source scans once, not
-    # O(iters) times; nodes likewise (N-count + per-iteration densify)
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Loop-invariant structure is computed ONCE and pinned evictable:
+    # the edge list pre-joined with out-degrees (so each iteration does
+    # a single join with the rank table, not two), the node universe
+    # (N-count + per-iteration densify), and the static dangling-node
+    # set (out-degree-less nodes — per iteration only their CURRENT
+    # ranks are summed, via a semi join instead of a rebuilt anti join).
+    # Arithmetic is untouched (same rank/deg division, same decimal
+    # sums), so ranks stay bit-identical to the unrolled SQL oracle.
+    ew = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(
+            edges.groupBy(F.col(src).alias("_s")).agg(
+                F.count(F.lit(1)).alias("_deg")
+            ),
+            "_s",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = e.select(F.col("_s").alias("node")).union(
-        e.select(F.col("_d").alias("node"))
+    nodes = ew.select(F.col("_s").alias("node")).union(
+        ew.select(F.col("_d").alias("node"))
     ).distinct()
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    dang_nodes = nodes.join(
+        ew.select("_s").distinct(), nodes.node == F.col("_s"), "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if pinned is not None:
-        pinned.extend((e, nodes, deg))
+        pinned.extend((ew, nodes, dang_nodes))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
-            e.join(ranks.select(F.col("node").alias("_s"), "rank"), "_s")
-            .join(deg, "_s")
+            ew.join(ranks.select(F.col("node").alias("_s"), "rank"), "_s")
             .select("_d", (F.col("rank") / F.col("_deg")).alias("_c"))
         )
         summed = contribs.groupBy("_d").agg(
             F.sum(F.col("_c").cast("decimal(38,18)")).cast("double").alias("_sum")
         )
         dangling = (
-            ranks.join(deg, ranks.node == deg._s, "left_anti")
+            ranks.join(dang_nodes, "node", "semi")
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
@@ -283,6 +294,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint is not None:
+        # the final iteration's lineage is depth-1 off the last cut —
+        # let the consumer's job compute it instead of spending a
+        # materialization job on it
+        if checkpoint is not None and i < iters - 1:
             ranks = checkpoint(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
