@@ -106,6 +106,42 @@ def train_val_test_split(
     )
 
 
+def string_hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Portable bucket in [0, n_buckets) from a STRING key: the first 8
+    hex digits of md5 parsed as an integer — md5 is bit-standardized,
+    so any engine computes the same bucket (DuckDB mirrors with
+    ``CAST('0x' || substring(md5(x),1,8) AS BIGINT)``).  The string
+    sibling of :func:`portable_hash` for group keys that aren't ids."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % F.lit(
+        n_buckets
+    )
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    val_percent: int = 5,
+    test_percent: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a pure function
+    of the GROUP key (source, domain, near-dup cluster id, …), so every
+    row of a group lands in the same split — the guard against
+    train/test contamination through near-duplicate or same-origin
+    documents that a per-row hash split (:func:`train_val_test_split`)
+    cannot provide.  Same stateless no-shuffle shape: a per-row
+    expression over the scan, stable under engines, retries and
+    repartitioning."""
+    b = string_hash_bucket(group_col)
+    train_hi = 100 - val_percent - test_percent
+    return df.withColumn(
+        "split",
+        F.when(b < train_hi, "train")
+        .when(b < train_hi + val_percent, "val")
+        .otherwise("test"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int = 2048,

@@ -153,6 +153,7 @@ _WINDOW_FIRST = (
     "json_variant",
     "recursive_hierarchy",
     "subq_lateral_topn",
+    "curation_split_groupaware",
 )
 
 

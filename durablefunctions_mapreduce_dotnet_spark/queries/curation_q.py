@@ -73,6 +73,35 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_split_groupaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: membership is a function of the SOURCE key,
+    so same-origin (and thus likely near-duplicate) documents can never
+    straddle train/test.  n_sources per split proves group purity:
+    summing it across splits equals the total distinct-source count —
+    no source appears twice."""
+    from ..operators.curation import group_aware_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        group_aware_split(d, "source", 10, 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+_GROUP_BUCKET = "(CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) % 100)"
+_SPLIT_GROUPAWARE_SQL = f"""
+SELECT CASE WHEN {_GROUP_BUCKET} < 80 THEN 'train'
+            WHEN {_GROUP_BUCKET} < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into 2048-token packs per source.
     (Budget is a power of two, so floor(prefix/budget) is FP-exact on
@@ -492,6 +521,7 @@ QUERIES = {
     "curation_sample_hash": q_sample_hash,
     "curation_sample_stratified": q_sample_stratified,
     "curation_split_counts": q_split_counts,
+    "curation_split_groupaware": q_split_groupaware,
     "curation_pack_sequences": q_pack,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
@@ -508,6 +538,7 @@ ORACLES = {
     "curation_sample_hash": _SAMPLE_SQL,
     "curation_sample_stratified": _STRATIFIED_SQL,
     "curation_split_counts": _SPLIT_SQL,
+    "curation_split_groupaware": _SPLIT_GROUPAWARE_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,

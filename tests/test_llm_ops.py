@@ -362,3 +362,30 @@ def test_lm_score_fast_bit_identical_to_join_path(spark):
         slow = {x.doc_id: x.lm_score for x in lm_bigram_score(c, r).collect()}
         fast = {x.doc_id: x.lm_score for x in lm_bigram_score_fast(c, r).collect()}
         assert fast == slow
+
+
+def test_group_aware_split_never_straddles_groups(spark):
+    """Leakage guard: every source lands in exactly ONE split, and the
+    split assignment is invariant under repartitioning (pure function
+    of the group key)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        group_aware_split,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    out = group_aware_split(d, "source", 10, 10)
+    purity = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert purity == 1
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in group_aware_split(d.repartition(13), "source", 10, 10)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
