@@ -55,7 +55,7 @@ def all_oracles() -> dict[str, str]:
 # Driver-window rotation contract
 # ---------------------------------------------------------------------------
 # The external correctness harness hashes a PREFIX of this registry
-# (50 rows per round).  The registry holds 117 queries, so the modules are
+# (50 rows per round).  The registry holds 122 queries, so the modules are
 # split into two halves that alternate facing the driver; whichever half
 # is NOT in the window rests on the local oracle mirror
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
