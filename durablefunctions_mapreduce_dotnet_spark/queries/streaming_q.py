@@ -10,6 +10,7 @@ from ..streaming.stream_ops import (
     streaming_enriched_counts,
     streaming_first_seen,
     streaming_flagship,
+    streaming_running_extrema,
     streaming_session_windows,
     streaming_sliding_counts,
 )
@@ -110,6 +111,13 @@ _STREAM_DEDUP_SQL = """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id
 """
 
+# transformWithState per-key running extrema: last emission per key ==
+# the batch GROUP BY (MAX is order-free, so no decimal scaffolding)
+_STREAM_EXTREMA_SQL = """
+SELECT event_type, MAX(value) AS max_value, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_dedup": streaming_dedup,
@@ -120,6 +128,12 @@ QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_enriched_counts": streaming_enriched_counts,
 }
+# streaming_running_extrema (transformWithStateInPandas) is NOT
+# registered: the API's state-server protocol needs google.protobuf,
+# absent from this container (pip install forbidden).  The operator +
+# oracle + a protobuf-gated pytest exist; flip it in when the
+# dependency appears:
+# QUERIES["streaming_running_extrema"] = streaming_running_extrema
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
     "streaming_enriched_counts": _STREAM_ENRICHED_SQL,
@@ -129,4 +143,5 @@ ORACLES = {
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
+    "streaming_running_extrema": _STREAM_EXTREMA_SQL,
 }

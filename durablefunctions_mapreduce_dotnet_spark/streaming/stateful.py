@@ -76,3 +76,56 @@ def first_seen_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_extrema_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running MAX + row count via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful API (typed state variables on a
+    ``StatefulProcessor``, the successor surface to
+    ``applyInPandasWithState``; requires the RocksDB state store, which
+    the query wrapper enables).  State is one (max, n) pair per key —
+    O(|keys|) — and the per-key LAST emission is the running answer;
+    with a single trigger each key emits exactly once, so the drained
+    table equals the batch GROUP BY (the oracle).  MAX is order-free
+    (unlike a double SUM), so the value is engine-exact with no decimal
+    scaffolding.
+
+    RUNTIME DEPENDENCY: the API's state-server protocol imports
+    ``google.protobuf`` on the Python side; in environments without it
+    (this container — installs forbidden) the streaming query crashes
+    at initialization, so the registry gates the query out and the
+    pytest skips (the ``decode_image_real``/Pillow pattern)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    kt = dict(events.dtypes)[key_col]
+
+    class RunningExtrema(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "mx double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx, n = self._agg.get() if self._agg.exists() else (None, 0)
+            for pdf in rows:
+                v = pdf[value_col].dropna()
+                if len(v):
+                    m = float(v.max())
+                    mx = m if mx is None or m > mx else mx
+                n += len(pdf)
+            self._agg.update((mx, n))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "max_value": [mx], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningExtrema(),
+        outputStructType=f"{key_col} {kt}, max_value double, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

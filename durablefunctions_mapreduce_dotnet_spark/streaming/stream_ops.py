@@ -183,6 +183,31 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def streaming_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running max(value) + row count via Spark 4's
+    ``transformWithStateInPandas`` (streaming/stateful.py — typed state
+    variables on a StatefulProcessor).  The API requires the RocksDB
+    state store provider; it is enabled for this query and restored
+    after (other streaming queries keep the session default)."""
+    from .stateful import running_extrema_stateful
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = _stream_events(spark, sf_dir)
+        out = run_to_memory(running_extrema_stateful(src), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out.orderBy("event_type")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the event stream is unioned with itself
     (every record arrives twice — the at-least-once delivery case) and

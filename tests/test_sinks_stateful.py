@@ -361,3 +361,37 @@ def test_staged_pipeline_rebuilds_partial_stage_without_marker(spark, tmp_path):
     assert pipe.completed("clean")
     pipe.reset("clean")
     assert not pipe.completed("clean")
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_transform_with_state_running_extrema(spark, tmp_path):
+    """transformWithStateInPandas running max/count equals the batch
+    GROUP BY (lights up when google.protobuf exists)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.streaming_q import (
+        streaming_running_extrema,
+    )
+
+    got = {
+        (r.event_type, r.max_value, r.n_events)
+        for r in streaming_running_extrema(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.event_type, r.max_value, r.n_events)
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
