@@ -87,7 +87,11 @@ def all_oracles() -> dict[str, str]:
 #             rotates; until then they rest on the local oracle
 #             mirror like every out-of-window query)
 #   r05:      HALF_B first  <-- CURRENT STATE of _ROTATION below
-#             (driver-verifies the 23 r04 additions for the first time)
+#             (driver-verifies the 23 r04 additions for the first time,
+#             plus 7 NEW r05 queries — text_entropy_fast,
+#             text_lm_score_fast, text_normalize, json_variant,
+#             recursive_hierarchy, subq_lateral_topn,
+#             curation_split_groupaware — all pinned via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
