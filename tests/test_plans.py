@@ -416,3 +416,40 @@ def test_normalize_text_pipelines_into_scan(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert_read_schema_only(df, "documents", {"doc_id", "text"})
+
+
+def test_embedding_lsh_split_path_no_cartesian(spark):
+    """The memory-capped LSH split path must stay an equi-keyed
+    applyInPandas plan: salting into gemm tiles may never introduce a
+    cartesian or nested-loop join."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    plan = explain_str(embedding_near_dup_lsh(e, max_bucket=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT) subquery must
+    decorrelate into the rank-window top-N plan — WindowGroupLimit +
+    an equi-join — never a per-row nested-loop re-execution."""
+    from durablefunctions_mapreduce_dotnet_spark.queries import all_queries
+
+    df = all_queries()["subq_lateral_topn"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """WITH RECURSIVE executes via Spark's UnionLoop operator (bounded
+    iteration in the plan), not a driver-side loop."""
+    from durablefunctions_mapreduce_dotnet_spark.queries import all_queries
+
+    plan = explain_str(all_queries()["recursive_hierarchy"](spark, SF_DIR))
+    assert "UnionLoop" in plan
