@@ -142,6 +142,59 @@ def group_aware_split(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the context-window
+    ingestion primitive (RAG indexing, long-doc training samples):
+    each document becomes ceil-covering chunks of ``chunk_chars`` with
+    ``overlap_chars`` carried between neighbors (stride =
+    chunk - overlap), so no boundary content is lost to a hard cut.
+
+    Pure codegen'd expressions — ``sequence`` over chunk starts,
+    ``explode``, ``substring`` — pipelined into the scan: no UDF, no
+    shuffle; output size is input/stride-linear and each chunk row is
+    independent downstream (embed/filter/dedup per chunk).  Char-based
+    here because it must mirror into SQL exactly; a token-based variant
+    is the same plan with the BPE-ish token array (textops) in place of
+    the char axis.  Documents shorter than one chunk yield exactly one
+    chunk (the whole text); empty/NULL texts yield no rows (nothing to
+    index).
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars")
+    stride = chunk_chars - overlap_chars
+    text = F.col(text_col)
+    n = F.length(text)
+    # last start: the largest k*stride+1 that still begins new content
+    # (start <= n - overlap for multi-chunk docs), i.e. ceil coverage
+    # without a trailing chunk that is pure overlap of the previous one
+    last_start = (
+        F.greatest(
+            F.ceil((n - F.lit(chunk_chars)) / F.lit(float(stride))).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        * F.lit(stride)
+        + F.lit(1)
+    )
+    starts = F.sequence(F.lit(1).cast("bigint"), last_start, F.lit(stride).cast("bigint"))
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), text, F.posexplode(starts).alias("_i", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("_i").cast("bigint").alias("chunk_idx"),
+            F.substring(text, F.col("_start").cast("int"), F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int = 2048,

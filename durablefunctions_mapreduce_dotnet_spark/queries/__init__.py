@@ -158,6 +158,7 @@ _WINDOW_FIRST = (
     "recursive_hierarchy",
     "subq_lateral_topn",
     "curation_split_groupaware",
+    "curation_chunk_overlap",
 )
 
 

@@ -102,6 +102,31 @@ FROM documents GROUP BY 1
 """
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (512-char chunks, 64-char
+    overlap) — the RAG/context-window ingestion primitive, pure
+    codegen'd sequence+explode+substring pipelined into the scan."""
+    from ..operators.curation import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=512, overlap_chars=64)
+
+
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), s AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil((n - 512) / 448.0) AS BIGINT), 0) AS k
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i * 448 + 1 AS INTEGER), 512) AS chunk_text
+FROM s, unnest(range(0, k + 1)) AS u(i)
+"""
+
+
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into 2048-token packs per source.
     (Budget is a power of two, so floor(prefix/budget) is FP-exact on
@@ -522,6 +547,7 @@ QUERIES = {
     "curation_sample_stratified": q_sample_stratified,
     "curation_split_counts": q_split_counts,
     "curation_split_groupaware": q_split_groupaware,
+    "curation_chunk_overlap": q_chunk_overlap,
     "curation_pack_sequences": q_pack,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
@@ -539,6 +565,7 @@ ORACLES = {
     "curation_sample_stratified": _STRATIFIED_SQL,
     "curation_split_counts": _SPLIT_SQL,
     "curation_split_groupaware": _SPLIT_GROUPAWARE_SQL,
+    "curation_chunk_overlap": _CHUNK_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,

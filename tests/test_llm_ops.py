@@ -389,3 +389,38 @@ def test_group_aware_split_never_straddles_groups(spark):
         .collect()
     }
     assert a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: chunks fully cover the document, neighbors
+    share exactly `overlap` chars, short docs yield one whole-text
+    chunk, empty/NULL docs yield nothing."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    long_text = "".join(chr(ord("a") + (i % 26)) for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "short"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_chars=100, overlap_chars=20)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, c in rows:
+        by_doc.setdefault(d, []).append((i, c))
+    # empty/NULL yield nothing; short doc yields itself
+    assert set(by_doc) == {1, 2}
+    assert by_doc[2] == [(0, "short")]
+    chunks = [c for _, c in sorted(by_doc[1])]
+    stride = 80
+    # full coverage: stitching chunks (dropping each successor's overlap)
+    # reconstructs the document exactly
+    rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
+    assert rebuilt == long_text
+    # neighbor overlap is exactly 20 chars
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[stride:] == b[: len(a) - stride]
+    assert all(len(c) <= 100 for c in chunks)
