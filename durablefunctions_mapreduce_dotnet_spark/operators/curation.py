@@ -195,6 +195,57 @@ def chunk_documents(
     )
 
 
+def chunk_documents_tokens(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sibling of :func:`chunk_documents` — the variant a
+    training pipeline actually feeds a model: the text is
+    pre-tokenized with the BPE-ish regex (``textops.BPE_ISH_RE``, the
+    same token currency as ``token_counts``/``pack_documents``) and
+    cut into ceil-covering token windows with ``overlap_tokens``
+    carried between neighbors.  Chunk text is the concatenation of the
+    token slice — the regex's tokens carry their leading whitespace,
+    so stitching chunks (minus overlaps) reconstructs the original
+    text exactly.
+
+    Same execution shape as the char variant: tokenize → sequence of
+    starts → explode → per-row array slice+join, all codegen'd/
+    interpreted JVM expressions pipelined into the scan; no UDF, no
+    shuffle.  Docs with zero tokens (empty/NULL) yield no rows.
+    """
+    from .textops import BPE_ISH_RE
+
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0))
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") > 0)
+    n = F.size("_toks").cast("bigint")
+    k = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    starts = F.sequence(
+        F.lit(0).cast("bigint"), k * F.lit(stride), F.lit(stride).cast("bigint")
+    )
+    return base.select(
+        F.col(id_col), F.col("_toks"), F.posexplode(starts).alias("_i", "_s")
+    ).select(
+        F.col(id_col),
+        F.col("_i").cast("bigint").alias("chunk_idx"),
+        F.array_join(
+            F.slice("_toks", F.col("_s").cast("int") + F.lit(1), chunk_tokens), ""
+        ).alias("chunk_text"),
+        F.least(
+            F.size("_toks").cast("bigint") - F.col("_s"), F.lit(chunk_tokens)
+        ).alias("n_tokens"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int = 2048,

@@ -159,6 +159,7 @@ _WINDOW_FIRST = (
     "subq_lateral_topn",
     "curation_split_groupaware",
     "curation_chunk_overlap",
+    "curation_chunk_tokens",
 )
 
 

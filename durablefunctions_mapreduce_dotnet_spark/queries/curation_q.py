@@ -127,6 +127,34 @@ FROM s, unnest(range(0, k + 1)) AS u(i)
 """
 
 
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (128 BPE-ish tokens, 16 overlap) — the
+    model-shaped sibling of curation_chunk_overlap; tokens carry their
+    leading whitespace so chunks reconstruct the text exactly."""
+    from ..operators.curation import chunk_documents_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents_tokens(d, chunk_tokens=128, overlap_tokens=16)
+
+
+_BPE_RE_SQL = "'''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+_CHUNK_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, {_BPE_RE_SQL}) AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(CAST(ceil((len(toks) - 128) / 112.0) AS BIGINT), 0) AS k
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, CAST(i * 112 + 1 AS BIGINT),
+                                  CAST(i * 112 + 128 AS BIGINT)), '') AS chunk_text,
+       CAST(least(n - i * 112, 128) AS BIGINT) AS n_tokens
+FROM s, unnest(range(0, k + 1)) AS u(i)
+"""
+
+
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into 2048-token packs per source.
     (Budget is a power of two, so floor(prefix/budget) is FP-exact on
@@ -548,6 +576,7 @@ QUERIES = {
     "curation_split_counts": q_split_counts,
     "curation_split_groupaware": q_split_groupaware,
     "curation_chunk_overlap": q_chunk_overlap,
+    "curation_chunk_tokens": q_chunk_tokens,
     "curation_pack_sequences": q_pack,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
@@ -566,6 +595,7 @@ ORACLES = {
     "curation_split_counts": _SPLIT_SQL,
     "curation_split_groupaware": _SPLIT_GROUPAWARE_SQL,
     "curation_chunk_overlap": _CHUNK_SQL,
+    "curation_chunk_tokens": _CHUNK_TOKENS_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,

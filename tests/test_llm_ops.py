@@ -424,3 +424,36 @@ def test_chunk_documents_coverage_and_overlap(spark):
     for a, b in zip(chunks, chunks[1:]):
         assert a[stride:] == b[: len(a) - stride]
     assert all(len(c) <= 100 for c in chunks)
+
+
+def test_chunk_documents_tokens_reconstructs_text(spark):
+    """Token chunks carry leading whitespace, so stitching chunks minus
+    overlaps reconstructs the original text; every chunk respects the
+    token budget."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        chunk_documents_tokens,
+    )
+
+    text = " ".join(f"word{i} and" for i in range(200)) + " tail's end!"
+    df = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = chunk_documents_tokens(df, chunk_tokens=50, overlap_tokens=10)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    assert set(by_doc) == {1, 2}
+    assert by_doc[2] == [(0, "tiny", 1)]
+    chunks = [c for _, c, _ in sorted(by_doc[1])]
+    toks = [n for _, _, n in sorted(by_doc[1])]
+    assert all(n <= 50 for n in toks) and toks[:-1] == [50] * (len(toks) - 1)
+    # reconstruct: drop each successor's 10 overlap tokens -> need token
+    # lists; instead verify pairwise overlap on text suffix/prefix
+    import re
+
+    pat = re.compile(r"'(s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+")
+    tok_lists = [[m.group(0) for m in pat.finditer(c)] for c in chunks]
+    rebuilt = "".join(
+        "".join(t[10:] if i else t) for i, t in enumerate(tok_lists)
+    )
+    assert rebuilt == text
