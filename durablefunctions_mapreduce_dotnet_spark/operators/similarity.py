@@ -280,6 +280,103 @@ def ivf_topk(
     return _topk_window(partial, k)
 
 
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the 100 TB
+    memory lever for the vector surface: 4× smaller than float32 (8×
+    vs the float64 the JVM hands numpy), int8 gemms run on the CPU's
+    integer SIMD, and quantized DOT PRODUCTS are exact integers, so
+    downstream ranking is engine-portable with no FP scaffolding.
+
+    ``scale = max|x| / 127`` per vector; ``q[i] = round(x[i]/scale)``
+    in [-127, 127].  Pure codegen'd array expressions (transform /
+    array_max / round) pipelined into the scan; round is HALF-AWAY on
+    both engines (Spark BigDecimal HALF_UP on doubles = away from
+    zero; DuckDB/C round likewise), so the quantized vectors mirror
+    bit-for-bit into SQL.  Zero vectors quantize to zeros with
+    scale 1.0 (guarded division).
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("q"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by EXACT-INTEGER quantized dot product — the brute-force
+    scorer run on int8-quantized vectors: same broadcast-queries /
+    stream-corpus / per-batch-gemm shape as :func:`brute_force_topk`,
+    but the score ``Σ q_a[i]·q_b[i]`` is integer arithmetic (≤ 127²·dim
+    ≪ 2⁶³), so results hash-match the SQL oracle exactly — no cosine
+    FP anywhere.  Production rescoring (exact cosine over the top-k′
+    survivors) composes by joining the result back to the float
+    vectors; the ranking signal this returns is the quantized score
+    itself, deterministically tie-broken by id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qz = quantize_embeddings_int8(embeddings, vec_col, id_col)
+    q_side = quantize_embeddings_int8(queries, vec_col, id_col).toPandas()
+    qids = q_side[id_col].to_numpy(dtype=np.int64)
+    qm = np.stack(q_side["q"].to_numpy()).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def gen(batches):
+        b_qids, b_qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            scores = m @ b_qm.T  # (batch, |Q|) exact int64
+            out = []
+            for j, qid in enumerate(b_qids):
+                col = scores[:, j]
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                if not len(cand_ids):
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qid, dtype=np.int64),
+                            "vid": cand_ids[order],
+                            "dot_q": cand[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = qz.select(id_col, "q").mapInPandas(
+        gen, "qid bigint, vid bigint, dot_q bigint"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_q"), F.asc("vid"))
+    return (
+        partial.select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.col("dot_q"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

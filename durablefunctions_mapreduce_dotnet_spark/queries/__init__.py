@@ -160,6 +160,7 @@ _WINDOW_FIRST = (
     "curation_split_groupaware",
     "curation_chunk_overlap",
     "curation_chunk_tokens",
+    "ann_quantized_topk",
 )
 
 

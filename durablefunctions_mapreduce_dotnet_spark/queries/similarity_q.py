@@ -153,6 +153,46 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product — the memory-lever
+    ANN path (4× smaller vectors, integer SIMD gemms).  Quantized dots
+    are EXACT integers, so unlike the cosine paths this one needs no FP
+    margin argument at all: scores, ranking and ties hash-match the SQL
+    oracle bit-for-bit."""
+    from ..operators.similarity import quantized_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    return quantized_topk(e, q, k=5)
+
+
+_ANN_QUANTIZED_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+), qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (CASE WHEN m = 0 THEN 1.0
+                                                     ELSE m / 127.0 END)) AS INTEGER)) AS q
+  FROM mx
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                      i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS dot_q
+  FROM qq a JOIN qq b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, dot_q, rank
+FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+WHERE rank <= 5
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means cluster assignment (k=8, 2 Lloyd updates) —
     FULL oracle parity: deterministic lowest-id seeding, every Lloyd
@@ -225,11 +265,13 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_quantized_topk": q_ann_quantized,
     "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_quantized_topk": _ANN_QUANTIZED_SQL,
     "ann_lsh_topk": _lsh_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle_sql(),
 }

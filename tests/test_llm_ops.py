@@ -457,3 +457,21 @@ def test_chunk_documents_tokens_reconstructs_text(spark):
         "".join(t[10:] if i else t) for i, t in enumerate(tok_lists)
     )
     assert rebuilt == text
+
+
+def test_quantized_topk_recall_vs_exact_cosine(spark):
+    """int8 quantization must preserve most of the exact-cosine top-5
+    neighborhood (dot products of unit-ish vectors survive 1/127
+    resolution), and the quantized scores are exact integers."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, k=5).collect()}
+    rows = quantized_topk(e, q, k=5).collect()
+    quant = {(r.query_id, r.neighbor_id) for r in rows}
+    assert all(isinstance(r.dot_q, int) for r in rows)
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
