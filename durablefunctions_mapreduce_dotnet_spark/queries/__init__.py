@@ -161,6 +161,7 @@ _WINDOW_FIRST = (
     "curation_chunk_overlap",
     "curation_chunk_tokens",
     "ann_quantized_topk",
+    "agg_bitmap_distinct",
 )
 
 

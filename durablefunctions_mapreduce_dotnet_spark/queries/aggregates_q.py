@@ -181,8 +181,43 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4's bitmap aggregates — the
+    scalable alternative to COUNT(DISTINCT) for dense integer keys: keys
+    are bucketed into 32768-bit ranges (``bitmap_bucket_number``) and
+    each (group, bucket) partial collapses to ONE bitmap
+    (``bitmap_construct_agg`` of ``bitmap_bit_position``), so the
+    shuffle carries fixed-size bitmaps instead of every distinct raw
+    value — the map-side combine COUNT(DISTINCT)'s Expand plan cannot
+    do.  Counts are exact (a bit per key), so the plain COUNT(DISTINCT)
+    oracle hash-matches."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.groupBy(
+            "l_returnflag", F.expr("bitmap_bucket_number(l_partkey)").alias("_b")
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))"
+            ).alias("_nd")
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum("_nd").alias("nd_partkey"))
+        .orderBy("l_returnflag")
+    )
+
+
+_BITMAP_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_partkey
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_grouping_sets": q_grouping_sets,
+    "agg_bitmap_distinct": q_bitmap_distinct,
     "agg_approx_sketches": q_approx_sketches,
     "agg_argminmax": q_argminmax,
     "agg_percentiles": q_percentiles,
@@ -192,6 +227,7 @@ QUERIES = {
 }
 ORACLES = {
     "agg_grouping_sets": _GROUPING_SETS_SQL,
+    "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_moments": _MOMENTS_SQL,
