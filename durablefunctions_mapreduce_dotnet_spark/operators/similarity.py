@@ -377,6 +377,43 @@ def quantized_topk(
     )
 
 
+def quantized_rescored_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefilter_k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production two-stage ANN: int8-quantized prefilter
+    (:func:`quantized_topk`, top ``prefilter_k`` per query) followed by
+    EXACT-cosine rescoring of only those candidates — quantization's
+    memory/speed win on the full corpus scan, float precision on the
+    |Q|·prefilter_k survivors.  The rescore join broadcasts the
+    candidate list (driver-small by construction) onto the vector
+    table, so the corpus is scanned once more but never shuffled."""
+    cand = quantized_topk(
+        embeddings, queries, prefilter_k, vec_col, id_col
+    ).select("query_id", "neighbor_id")
+    ev = _vec_rows(embeddings, vec_col, id_col)
+    cos = cosine_pairs_udf()
+    scored = (
+        F.broadcast(cand)
+        .join(ev.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
+        .join(ev.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
+        .select("query_id", "neighbor_id", cos(F.col("_qv"), F.col("_nv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -162,6 +162,7 @@ _WINDOW_FIRST = (
     "curation_chunk_tokens",
     "ann_quantized_topk",
     "agg_bitmap_distinct",
+    "ann_quantized_rescored",
 )
 
 

@@ -193,6 +193,58 @@ WHERE rank <= 5
 """
 
 
+def q_ann_quantized_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production ANN: int8-quantized prefilter (top-20) +
+    exact-cosine rescore of only those candidates.  The oracle composes
+    the same two stages; the rescore ranking rides the same cosine FP
+    margin as the brute-force oracle (hash-green since r03)."""
+    from ..operators.similarity import quantized_rescored_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return quantized_rescored_topk(e, _queries_subset(e), k=5, prefilter_k=20)
+
+
+_ANN_QUANTIZED_RESCORED_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+), qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (CASE WHEN m = 0 THEN 1.0
+                                                     ELSE m / 127.0 END)) AS INTEGER)) AS q
+  FROM mx
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                      i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS dot_q
+  FROM qq a JOIN qq b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot_q DESC, neighbor_id) AS prerank
+    FROM pairs
+  ) WHERE prerank <= 20
+), rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank
+FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM rescored
+)
+WHERE rank <= 5
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means cluster assignment (k=8, 2 Lloyd updates) —
     FULL oracle parity: deterministic lowest-id seeding, every Lloyd
@@ -266,12 +318,14 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "ann_quantized_topk": q_ann_quantized,
+    "ann_quantized_rescored": q_ann_quantized_rescored,
     "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,
+    "ann_quantized_rescored": _ANN_QUANTIZED_RESCORED_SQL,
     "ann_lsh_topk": _lsh_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle_sql(),
 }
