@@ -55,7 +55,7 @@ def all_oracles() -> dict[str, str]:
 # Driver-window rotation contract
 # ---------------------------------------------------------------------------
 # The external correctness harness hashes a PREFIX of this registry
-# (50 rows per round).  The registry holds 122 queries, so the modules are
+# (50 rows per round).  The registry holds 127 queries, so the modules are
 # split into two halves that alternate facing the driver; whichever half
 # is NOT in the window rests on the local oracle mirror
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
@@ -88,10 +88,13 @@ def all_oracles() -> dict[str, str]:
 #             mirror like every out-of-window query)
 #   r05:      HALF_B first  <-- CURRENT STATE of _ROTATION below
 #             (driver-verifies the 23 r04 additions for the first time,
-#             plus 7 NEW r05 queries — text_entropy_fast,
+#             plus 12 NEW r05 queries — text_entropy_fast,
 #             text_lm_score_fast, text_normalize, json_variant,
 #             recursive_hierarchy, subq_lateral_topn,
-#             curation_split_groupaware — all pinned via _WINDOW_FIRST)
+#             curation_split_groupaware, curation_chunk_overlap,
+#             curation_chunk_tokens, ann_quantized_topk,
+#             ann_quantized_rescored, agg_bitmap_distinct — all
+#             pinned via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
