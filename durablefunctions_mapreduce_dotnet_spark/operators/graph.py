@@ -159,6 +159,17 @@ def connected_components(
         if new_sum is None or (checksum is not None and new_sum == checksum):
             return labels
         checksum = new_sum
+    # Budget spent with the last probe still changing.  The fixpoint may
+    # have landed exactly on the final in-budget step — the probe only
+    # SEES a fixpoint one comparison later — so batching must not turn
+    # "converged at step max_iter" into an error.  One detection-only
+    # extra step settles it: labels are monotone, so a post-fixpoint
+    # step leaves the checksum equal (return the converged labels),
+    # while a changed checksum proves the diameter truly exceeds
+    # max_iter (raise).
+    if checksum is not None:
+        if cut_lazy(step(labels)).agg(probe).first()[0] == checksum:
+            return labels
     raise RuntimeError(
         f"connected_components: no fixpoint after max_iter={max_iter} "
         "propagation steps — labels would be unconverged; raise max_iter "

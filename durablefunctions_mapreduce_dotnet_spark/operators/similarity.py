@@ -395,11 +395,16 @@ def quantized_rescored_topk(
     cand = quantized_topk(
         embeddings, queries, prefilter_k, vec_col, id_col
     ).select("query_id", "neighbor_id")
+    # Query vectors come from the QUERIES frame, neighbor vectors from
+    # the corpus: the signature permits queries that are not a subset of
+    # embeddings (ad-hoc probes), and a corpus-side lookup would then
+    # silently drop every candidate.
     ev = _vec_rows(embeddings, vec_col, id_col)
+    qv = _vec_rows(queries, vec_col, id_col)
     cos = cosine_pairs_udf()
     scored = (
         F.broadcast(cand)
-        .join(ev.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
+        .join(qv.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
         .join(ev.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
         .select("query_id", "neighbor_id", cos(F.col("_qv"), F.col("_nv")).alias("cos"))
     )

@@ -177,7 +177,12 @@ class CancellableQuery:
 
     def cancel(self, reason: str = "terminated by caller") -> None:
         """Kill every job in this run's group.  Idempotent; safe to call
-        from any thread — the POST-the-terminate-URI analogue."""
+        from any thread — the POST-the-terminate-URI analogue.  On an
+        already-finished run this is a no-op (the reference's terminate
+        on a completed orchestration does nothing): the terminal status
+        and the result stand."""
+        if self._done.is_set():
+            return
         self._cancelled = True
         self.status.set("terminated", reason=reason, group=self.group)
         self._spark.sparkContext.cancelJobGroup(self.group)

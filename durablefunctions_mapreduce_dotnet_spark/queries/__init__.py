@@ -86,7 +86,7 @@ def all_oracles() -> dict[str, str]:
 #             — joined HALF_B, so they face the driver when r05
 #             rotates; until then they rest on the local oracle
 #             mirror like every out-of-window query)
-#   r05:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#   r05:      HALF_B first
 #             (driver-verifies the 23 r04 additions for the first time,
 #             plus 12 NEW r05 queries — text_entropy_fast,
 #             text_lm_score_fast, text_normalize, json_variant,
@@ -94,7 +94,12 @@ def all_oracles() -> dict[str, str]:
 #             curation_split_groupaware, curation_chunk_overlap,
 #             curation_chunk_tokens, ann_quantized_topk,
 #             ann_quantized_rescored, agg_bitmap_distinct — all
-#             pinned via _WINDOW_FIRST)
+#             pinned via _WINDOW_FIRST; CORRECTNESS_r05 came back all
+#             green: every registered query has now faced the driver)
+#   r06:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the relational core, incl. the r05 as-of
+#             integer-ts bucket fix in joins.py; r06 newcomers pinned
+#             via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -122,7 +127,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_B + _HALF_A
+_ROTATION = _HALF_A + _HALF_B
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -130,42 +135,9 @@ _ROTATION = _HALF_B + _HALF_A
 # order can't fit all 23 r04 additions into 50 rows).  Maintain per round:
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
-_WINDOW_FIRST = (
-    "graph_pagerank",
-    "join_fuzzy_blocked",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "cdc_apply",
-    "window_concurrency",
-    "window_concurrency_global",
-    "funnel_steps",
-    "cohort_retention",
-    "window_scd2",
-    "time_gap_detect",
-    "anomaly_mad",
-    "dedup_embedding_lsh",
-    "dedup_winnowing",
-    "curation_histogram",
-    "curation_histogram_equidepth",
-    "curation_quality_audit",
-    "curation_temperature_mix",
-    "text_tokens",
-    "text_entropy",
-    "text_entropy_fast",
-    "text_normalize",
-    "text_lm_score",
-    "text_lm_score_fast",
-    "streaming_click_attribution",
-    "streaming_enriched_counts",
-    "json_variant",
-    "recursive_hierarchy",
-    "subq_lateral_topn",
-    "curation_split_groupaware",
-    "curation_chunk_overlap",
-    "curation_chunk_tokens",
-    "ann_quantized_topk",
-    "agg_bitmap_distinct",
-    "ann_quantized_rescored",
+_WINDOW_FIRST: tuple[str, ...] = (
+    # (r05 window came back all green — every prior pin earned its row;
+    # r06 newcomers join here as they are registered)
 )
 
 

@@ -128,12 +128,6 @@ QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_enriched_counts": streaming_enriched_counts,
 }
-# streaming_running_extrema (transformWithStateInPandas) is NOT
-# registered: the API's state-server protocol needs google.protobuf,
-# absent from this container (pip install forbidden).  The operator +
-# oracle + a protobuf-gated pytest exist; flip it in when the
-# dependency appears:
-# QUERIES["streaming_running_extrema"] = streaming_running_extrema
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
     "streaming_enriched_counts": _STREAM_ENRICHED_SQL,
@@ -143,5 +137,18 @@ ORACLES = {
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
-    "streaming_running_extrema": _STREAM_EXTREMA_SQL,
 }
+
+# streaming_running_extrema (transformWithStateInPandas) registers only
+# when google.protobuf is importable: the API's state-server protocol
+# needs it, and it is absent from this container (pip install
+# forbidden).  The operator + oracle + a protobuf-gated pytest exist;
+# query AND oracle flip in together so the registry never holds an
+# orphan oracle key (tests/test_oracle_parity.py enforces this).
+try:  # pragma: no cover - environment-dependent
+    import google.protobuf  # noqa: F401
+
+    QUERIES["streaming_running_extrema"] = streaming_running_extrema
+    ORACLES["streaming_running_extrema"] = _STREAM_EXTREMA_SQL
+except ImportError:
+    pass

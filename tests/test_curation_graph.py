@@ -153,3 +153,23 @@ def test_pointer_jumping_collapses_long_chain(spark):
     assert got == {i: 0 for i in range(48)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iter=8)
+
+
+def test_connected_components_converges_on_exact_budget_boundary(spark):
+    """Diameter exactly max_iter must converge even when probe batching
+    means the LAST in-budget probe is the first to see the fixpoint sum:
+    the final detection-only step may not be charged against the
+    propagation budget.  A 6-chain needs 5 min-label steps; with
+    steps_per_probe=2 the probes land at steps 2/4/5, every sum still
+    changing — only the extra post-budget probe can certify the
+    fixpoint."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["n"]: r["component"]
+        for r in connected_components(
+            pairs, max_iter=5, steps_per_probe=2
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}

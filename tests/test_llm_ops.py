@@ -475,3 +475,25 @@ def test_quantized_topk_recall_vs_exact_cosine(spark):
     assert all(isinstance(r.dot_q, int) for r in rows)
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_quantized_rescored_handles_foreign_queries(spark):
+    """quantized_rescored_topk must fetch query vectors from the QUERIES
+    frame: probes that are not rows of the corpus (fresh vec_ids) still
+    get k rescored neighbors instead of silently dropping to empty."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        quantized_rescored_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    # ad-hoc probes: corpus vectors re-keyed to ids absent from the corpus
+    q = e.where(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    rows = quantized_rescored_topk(e, q, k=3, prefilter_k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    n_queries = q.count()
+    assert len(by_q) == n_queries
+    assert all(len(v) == 3 for v in by_q.values())

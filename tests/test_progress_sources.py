@@ -109,3 +109,16 @@ def test_cancellable_query_normal_completion(spark):
     handle = run_cancellable(spark, lambda: spark.range(10).count())
     assert handle.result(timeout=60) == 10
     assert handle.status.get()["phase"] == "finished"
+
+
+def test_cancel_after_completion_is_noop(spark):
+    """Terminate on a completed orchestration is a no-op in the
+    reference: cancel() after the action finished must not overwrite the
+    terminal status or poison result()."""
+    from durablefunctions_mapreduce_dotnet_spark.progress import run_cancellable
+
+    handle = run_cancellable(spark, lambda: spark.range(7).count())
+    assert handle.result(timeout=60) == 7
+    handle.cancel(reason="late terminate")
+    assert handle.status.get()["phase"] == "finished"
+    assert handle.result(timeout=5) == 7

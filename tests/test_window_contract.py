@@ -1,0 +1,62 @@
+"""Hygiene for the driver-window rotation contract.
+
+The external driver hashes only the first 50 ``queries()`` entries per
+round; ``_WINDOW_FIRST`` pins queries that have never earned a
+driver-green CORRECTNESS row to the front of that window.  Window slots
+are the scarce currency — a name left pinned after its green row lands
+silently evicts a query that still needs one.  This test turns that
+maintenance rule (queries/__init__.py) from convention into a failure.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from durablefunctions_mapreduce_dotnet_spark import queries as qreg
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_correctness() -> tuple[str, dict] | None:
+    best: tuple[int, Path] | None = None
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    return best[1].name, json.loads(best[1].read_text())
+
+
+def _is_green(row: dict) -> bool:
+    if row.get("err"):
+        return False
+    # hash-green, or the rows-only contract for oracle-less queries
+    return bool(row.get("hash_match")) or (
+        row.get("rows_match") and row.get("schema_match") is not False
+    )
+
+
+def test_window_first_holds_no_driver_green_names():
+    latest = _latest_correctness()
+    if latest is None:  # fresh clone without driver artifacts
+        return
+    fname, rows = latest
+    stale = [
+        name
+        for name in qreg._WINDOW_FIRST
+        if name in rows and _is_green(rows[name])
+    ]
+    assert not stale, (
+        f"_WINDOW_FIRST pins already driver-green in {fname}: {stale} — "
+        "drop them (queries/__init__.py) so the 50-row window covers "
+        "queries that still need their first row"
+    )
+
+
+def test_window_first_names_are_registered():
+    registered = set(qreg.all_queries())
+    missing = [n for n in qreg._WINDOW_FIRST if n not in registered]
+    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
