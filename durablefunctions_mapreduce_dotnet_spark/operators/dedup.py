@@ -199,18 +199,118 @@ def shingle_hash_table(
     )
 
 
-def minhash_candidates_from_hashes(
-    hs_tbl: DataFrame,
+def _minhash_family(num_hashes: int, seed: int):
+    """The shared (a·h + b) mod 2³¹−1 hash family, as numpy arrays —
+    one definition so the expression path and the fused Arrow path
+    produce signatures from identical coefficients."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    a = np.array(
+        [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)], dtype=np.uint64
+    )
+    b = np.array(
+        [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)], dtype=np.uint64
+    )
+    return a, b
+
+
+def shingle_minhash_table_fast(
+    df: DataFrame,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_k: int = 9,
     num_hashes: int = 63,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, hs, sig) in ONE Arrow pass over the raw text — the fused
+    fast path for the MinHash pipeline (same shape as the
+    ``char_entropy_fast`` kernel in textops).
+
+    The expression path pays for three interpreted higher-order stages
+    per document (substring transform → array_distinct → xxhash64
+    transform) before the signature UDF even starts; here the k-gram
+    hashes come from one vectorized polynomial rolling hash over the
+    UTF-32 codepoints (uint64 wraparound arithmetic, numpy
+    sliding-window view — no per-shingle Python, no per-shingle string
+    allocation) and the signature is the same (a·h+b) mod p family
+    applied to the SAME batch while it is hot in cache.  One Python
+    worker round-trip instead of two, zero JVM lambda interpretation.
+
+    The hash VALUES differ from the xxhash64 expression path — harmless
+    by design: ``hs`` only ever feeds set intersections (Jaccard is
+    hash-family-agnostic) and ``sig`` only ever feeds LSH banding, whose
+    recall bound (1-(1-J^r)^bands, P(miss) ≤ 2e-8 at J = 0.83 with the
+    default 21×3) holds for any uniform family.  Exact-Jaccard
+    verification downstream keeps precision exact either way;
+    tests/test_llm_ops.py pins fast == slow on the FINAL verified
+    pairs."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = _minhash_family(num_hashes, seed)
+    base = np.uint64(1099511628211)  # FNV-64 prime, odd ⇒ full-period mod 2^64
+    pows = np.empty(shingle_k, dtype=np.uint64)
+    pows[-1] = np.uint64(1)
+    for i in range(shingle_k - 2, -1, -1):
+        pows[i] = pows[i + 1] * base  # uint64 wraparound is the modulus
+    empty = np.array([], dtype=np.int64)
+    sig_empty = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf[id_col]
+            hs_out, sig_out = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    hs_out.append(empty)
+                    sig_out.append(sig_empty)
+                    continue
+                codes = np.frombuffer(
+                    t.lower().encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                if codes.size <= shingle_k:
+                    # mirrors the expression path's single whole-text
+                    # shingle for short docs: one window, one hash
+                    h = np.array(
+                        [(codes * pows[: codes.size]).sum(dtype=np.uint64)],
+                        dtype=np.uint64,
+                    )
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, shingle_k
+                    )
+                    h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+                hs = np.unique(h)
+                hr = hs % np.uint64(_MERSENNE)
+                # hr < 2^31, a < 2^31 ⇒ products < 2^62: no wraparound
+                m = (hr[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+                hs_out.append(hs.view(np.int64))
+                sig_out.append(m.min(axis=0).astype(np.int64))
+            yield pd.DataFrame(
+                {id_col: ids, "hs": hs_out, "sig": sig_out}
+            )
+
+    src = _widen(df.select(F.col(id_col), F.col(text_col)))
+    return src.mapInPandas(
+        batches, f"{id_col} bigint, hs array<bigint>, sig array<bigint>"
+    )
+
+
+def banded_pairs_from_sig(
+    sig_tbl: DataFrame,
+    id_col: str = "doc_id",
     bands: int = 21,
+    rows_per_band: int = 3,
     max_bucket: int = 200,
 ) -> DataFrame:
-    rows_per_band = num_hashes // bands
-    sig = hs_tbl.select(id_col, minhash_signature_udf(num_hashes)(F.col("hs")).alias("sig"))
+    """Banding + bucket-join from a precomputed (id, sig) table — the
+    shared tail of both signature paths."""
     # Bucket key embeds the band index, so each doc lands in exactly one
     # bucket per band — no distinct needed before grouping.
-    banded = sig.select(
+    banded = sig_tbl.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.expr(
@@ -237,6 +337,20 @@ def minhash_candidates_from_hashes(
         ).alias("p")
     )
     return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+
+
+def minhash_candidates_from_hashes(
+    hs_tbl: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 63,
+    bands: int = 21,
+    max_bucket: int = 200,
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    sig = hs_tbl.select(
+        id_col, minhash_signature_udf(num_hashes)(F.col("hs")).alias("sig")
+    )
+    return banded_pairs_from_sig(sig, id_col, bands, rows_per_band, max_bucket)
 
 
 def jaccard_verify(
@@ -301,11 +415,30 @@ def minhash_near_dup_pairs(
     shingle_k: int = 9,
     max_bucket: int = 200,
     checkpoint: CheckpointFn = local_checkpoint,
+    fast: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline sharing ONE shingling pass:
     hash table → banded candidates → exact-Jaccard verification.
     ``checkpoint`` picks the lineage cut for the shared pass and the
-    candidate set (graph.reliable_checkpoint(dir) on a cluster)."""
+    candidate set (graph.reliable_checkpoint(dir) on a cluster).
+
+    ``fast=True`` (default) computes shingle hashes AND signatures in a
+    single fused Arrow kernel (:func:`shingle_minhash_table_fast`);
+    ``fast=False`` keeps the two-stage expression+UDF formulation —
+    identical FINAL pairs (pytest-pinned), different hash family."""
+    if fast:
+        tbl = checkpoint(
+            shingle_minhash_table_fast(
+                df, text_col, id_col, shingle_k, num_hashes
+            )
+        )
+        cand = banded_pairs_from_sig(
+            tbl.select(id_col, "sig"), id_col, bands, num_hashes // bands, max_bucket
+        )
+        return jaccard_verify(
+            df, cand, text_col, id_col, shingle_k, threshold,
+            hashes=tbl.select(id_col, "hs"), checkpoint=checkpoint,
+        )
     hs_tbl = shingle_hash_table(df, text_col, id_col, shingle_k, checkpoint)
     cand = minhash_candidates_from_hashes(hs_tbl, id_col, num_hashes, bands, max_bucket)
     return jaccard_verify(

@@ -497,3 +497,26 @@ def test_quantized_rescored_handles_foreign_queries(spark):
     n_queries = q.count()
     assert len(by_q) == n_queries
     assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_minhash_fast_path_matches_expression_path(spark):
+    """The fused Arrow shingle+signature kernel must yield the SAME
+    final verified pairs as the expression+UDF path: candidates may
+    differ (different hash family) but exact-Jaccard verification at
+    the threshold makes the output hash-family-agnostic whenever LSH
+    recall is 1.0 — which the banding math guarantees for this corpus
+    (every true pair sits at J >= 0.83, P(miss) <= 2e-8)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    slow = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_near_dup_pairs(d, fast=False).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_near_dup_pairs(d, fast=True).collect()
+    }
+    assert fast == slow and len(fast) > 0
