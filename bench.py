@@ -77,9 +77,12 @@ def run_one(df) -> None:
 SCALE_PROBE = [
     "flagship_faithful",
     "dedup_clusters",
+    "dedup_minhash",
     "time_gapfill_interpolate",
     "graph_pagerank",
     "text_lm_score",
+    "text_entropy_fast",
+    "text_lm_score_fast",
 ]
 SCALE_FACTOR = 10
 

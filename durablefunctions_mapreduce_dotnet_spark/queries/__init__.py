@@ -136,8 +136,9 @@ _ROTATION = _HALF_A + _HALF_B
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r05 window came back all green — every prior pin earned its row;
-    # r06 newcomers join here as they are registered)
+    # (r05 window came back all green — every prior pin earned its row)
+    # r06 newcomers:
+    "ann_ivf_refined",
 )
 
 

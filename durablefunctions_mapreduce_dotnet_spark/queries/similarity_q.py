@@ -313,10 +313,26 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM fin
 """
 
 
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2 Lloyd refinement iterations over the seed centroids —
+    rows-only contract: the refined centroids are data-dependent float
+    means, so a faithful SQL mirror would reimplement k-means in a
+    recursive CTE for no extra coverage (the UNREFINED pipeline is
+    already hash-checked by ann_ivf_topk, and refinement's recall gain
+    is pinned in tests/test_llm_ops.py).  The driver verifies the
+    result shape: every query id present, exactly k=5 ranked rows
+    each."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _queries_subset(e), k=5, refine_iters=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_refined": q_ann_ivf_refined,
     "ann_quantized_topk": q_ann_quantized,
     "ann_quantized_rescored": q_ann_quantized_rescored,
     "kmeans_clusters": q_kmeans,

@@ -194,3 +194,111 @@ def test_cdc_apply_fuzz_vs_python_reference(spark, rows):
         last[k] = (op, v)
     exp = sorted((k, v) for k, (op, v) in last.items() if op != "D")
     assert got == exp
+
+
+# --- chunking ---------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab \n.é9")),
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(
+    texts=_texts,
+    chunk=st.integers(2, 40),
+    overlap_frac=st.floats(0.0, 0.99),
+)
+@_FUZZ
+def test_chunk_documents_fuzz_covers_and_reconstructs(
+    spark, texts, chunk, overlap_frac
+):
+    """For ANY (chunk, overlap) and any texts: every chunk i is exactly
+    text[i*stride : i*stride+chunk] (the spec, via Python slicing), and
+    stitching chunk0 + suffixes-after-overlap reconstructs each doc —
+    every character covered exactly once net of overlaps."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+    for i, t in enumerate(texts):
+        chunks = got.get(i, {})
+        if len(t) == 0:
+            assert chunks == {}
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))
+        for idx, ct in chunks.items():
+            assert ct == t[idx * stride : idx * stride + chunk]
+        rebuilt = chunks[0] + "".join(
+            chunks[j][overlap:] for j in range(1, len(chunks))
+        )
+        assert rebuilt == t
+        # ceil coverage without a pure-overlap trailing chunk
+        last = max(chunks)
+        assert last * stride + chunk >= len(t)
+        assert last == 0 or last * stride + overlap < len(t)
+
+
+@given(
+    texts=_texts,
+    chunk=st.integers(2, 30),
+    overlap_frac=st.floats(0.0, 0.99),
+)
+@_FUZZ
+def test_chunk_documents_tokens_fuzz_reconstructs(
+    spark, texts, chunk, overlap_frac
+):
+    """Token-budget chunking: against the doc's actual token array
+    (same JVM regex, fetched once), every chunk must equal the joined
+    token slice [i*stride, i*stride+chunk) and stitching minus overlaps
+    must reconstruct the text byte-for-byte."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        chunk_documents_tokens,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        BPE_ISH_RE,
+    )
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)).alias("t"),
+        ).collect()
+    }
+    got = {}
+    for r in chunk_documents_tokens(df, chunk, overlap).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_text, r.n_tokens)
+    for i, t in enumerate(texts):
+        tk = toks[i]
+        chunks = got.get(i, {})
+        if len(tk) == 0:
+            assert chunks == {}
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))
+        for idx, (ct, n) in chunks.items():
+            sl = tk[idx * stride : idx * stride + chunk]
+            assert ct == "".join(sl) and n == len(sl)
+        rebuilt = chunks[0][0] + "".join(
+            "".join(tk[j * stride + overlap : j * stride + chunk])
+            for j in range(1, len(chunks))
+        )
+        assert rebuilt == "".join(tk)
