@@ -533,3 +533,117 @@ def temperature_mix(
         )
         .orderBy(source_col)
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate mining: word n-grams that recur across
+    ``min_docs``+ DISTINCT documents — headers, license banners,
+    navigation chrome, template sentences.  (C4 does this per-line;
+    these synthetic docs are single-line, so the phrase axis is the
+    n-gram.)  The output phrase list is what a cleaning pass joins
+    against to strip or down-weight template content.
+
+    Plan: per-doc distinct n-grams (pure codegen'd sequence/slice
+    expressions — no UDF), one explode, one combiner-reduced count per
+    phrase.  The explode is ~|tokens| rows per doc and the shuffle
+    carries (phrase, partial count) with map-side combine — the
+    wordcount shape, linear at any corpus size.  Guard: ``sequence``
+    is only evaluated when the doc has ≥ n tokens (Spark's sequence
+    DESCENDS when stop < start — an unguarded ``sequence(1, size-n+1)``
+    would silently emit reversed junk grams for short docs).
+    """
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+            ).alias("phrase"),
+        )
+        .groupBy("phrase")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance weights for target-distribution matching
+    (the hashed-n-gram DSIR recipe: Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score(doc) =
+    Σ_tokens log p̂(bucket)/q̂(bucket), where p̂ is the add-one-smoothed
+    hashed-unigram distribution of the TARGET slice (rows matching
+    ``target``) and q̂ of the whole corpus.  High-weight docs look like
+    the target domain; resampling by weight tilts a raw crawl toward
+    it.
+
+    Plan shape for 100 TB: tokens explode once; both bucket histograms
+    are ``n_buckets``-row aggregates (combiner-reduced, fixed-size
+    shuffle); the per-bucket log-ratio table is broadcast back onto the
+    token stream; per-doc summation is one groupBy.  Nothing driver-
+    side, nothing quadratic; the bucket count is the only memory knob.
+    The md5-prefix bucket hash is the portable-hash doctrine for
+    STRINGS (same value in Spark and DuckDB — see group_aware_split).
+    Weights are ROUNDed at 6 dp: the sum of per-token doubles is
+    order-sensitive at ~1e-15 and libm log may differ by an ulp across
+    engines; 6 dp is far above both (the moments precedent).
+    """
+    tok = (
+        df.select(
+            F.col(id_col),
+            target.alias("_is_target"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .select(
+            F.col(id_col),
+            "_is_target",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+                % F.lit(n_buckets)
+            ).alias("b"),
+        )
+    )
+    hist = tok.groupBy("b").agg(
+        F.count("*").alias("q_cnt"),
+        F.count(F.when(F.col("_is_target"), 1)).alias("t_cnt"),
+    )
+    tot = hist.agg(
+        F.sum("q_cnt").alias("q_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    llr = (
+        hist.crossJoin(F.broadcast(tot))  # 1-row totals
+        .select(
+            "b",
+            (
+                F.log((F.col("t_cnt") + 1).cast("double") / (F.col("t_tot") + n_buckets).cast("double"))
+                - F.log((F.col("q_cnt") + 1).cast("double") / (F.col("q_tot") + n_buckets).cast("double"))
+            ).alias("llr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(llr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("llr"), 6).alias("weight"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

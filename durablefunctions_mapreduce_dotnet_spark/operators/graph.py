@@ -311,3 +311,79 @@ def pagerank(
         if checkpoint is not None and i < iters - 1:
             ranks = checkpoint(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """(node, n_triangles) — how many triangles each node closes in the
+    undirected graph of ``edges`` (self-loops and duplicate/reverse
+    edges tolerated; they are canonicalized away).
+
+    The scale move is DEGREE ORDERING (the standard distributed
+    triangle algorithm): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, then count wedges u→v, u→w (v < w in
+    the same order) and close them against the oriented edge v→w.
+    Out-degree under this orientation is bounded by O(√m) for ANY
+    degree distribution, so the wedge join is O(m^1.5) worst-case
+    instead of Σdeg² — a power-law hub with degree 10⁶ contributes
+    nothing quadratic because all its edges point INTO it.  Three
+    shuffles total (degrees, wedge join, closing join), all
+    equi-joins; no driver state.
+    """
+    # canonical edges feed THREE consumers (degrees + both sides of the
+    # orientation join) and `oriented` feeds three more (e1, e2, the
+    # closing probe) — pin both or the upstream edge derivation (often a
+    # self-join) re-executes per branch
+    und = checkpoint(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): lower endpoint keeps the out-edge
+    w = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    uk = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    vk = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    fwd = uk < vk
+    oriented = checkpoint(
+        w.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(fwd, vk).otherwise(uk).alias("tk"),
+        )
+    )
+    # wedges: two out-edges of s, ordered by the (deg, id) key so each
+    # unordered pair appears once with a deterministic closing edge
+    e1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("tk").alias("k1"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("tk").alias("k2"))
+    wedges = e1.join(e2, "s").where(F.col("k1") < F.col("k2")).select(
+        "s", "t1", "t2"
+    )
+    tri = wedges.join(
+        oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "semi",
+    ).select("s", "t1", "t2")
+    per_node = (
+        tri.select(F.col("s").alias("n"))
+        .union(tri.select(F.col("t1").alias("n")))
+        .union(tri.select(F.col("t2").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -139,6 +139,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # (r05 window came back all green — every prior pin earned its row)
     # r06 newcomers:
     "ann_ivf_refined",
+    "streaming_running_extrema_apws",
+    "graph_triangles",
+    "curation_boilerplate_ngrams",
+    "curation_dsir_weights",
+    "dedup_keep_best",
 )
 
 

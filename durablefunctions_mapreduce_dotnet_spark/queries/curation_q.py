@@ -563,7 +563,77 @@ ORDER BY source
 """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase mining: word 5-grams recurring in ≥3 distinct
+    docs (operators.curation.boilerplate_ngrams)."""
+    from ..operators.curation import boilerplate_ngrams
+
+    d = read_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, n=5, min_docs=3).orderBy("phrase")
+
+
+# DuckDB list slicing t[i:j] is 1-based INCLUSIVE of both ends, so the
+# 5-gram at start i is t[i:i+4]; range(a, b) is exclusive of b like
+# Spark sequence's guard arm.
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                      i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks
+)
+SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(g) AS phrase FROM grams)
+GROUP BY phrase HAVING COUNT(DISTINCT doc_id) >= 3
+ORDER BY phrase
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the src0/src1 target slice
+    (operators.curation.dsir_weights; hashed-unigram log-likelihood
+    ratios, 256 buckets)."""
+    from ..operators.curation import dsir_weights
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        d, F.col("source").isin("src0", "src1"), n_buckets=256
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         (CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256) AS b
+  FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+hist AS (
+  SELECT b, COUNT(*) AS q_cnt,
+         COUNT(CASE WHEN is_t THEN 1 END) AS t_cnt
+  FROM tok GROUP BY b
+),
+tot AS (SELECT SUM(q_cnt) AS q_tot, SUM(t_cnt) AS t_tot FROM hist),
+llr AS (
+  SELECT b,
+         ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + 256 AS DOUBLE))
+           - ln(CAST(q_cnt + 1 AS DOUBLE) / CAST(q_tot + 256 AS DOUBLE)) AS llr
+  FROM hist CROSS JOIN tot
+)
+SELECT doc_id, ROUND(SUM(llr), 6) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok JOIN llr USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "curation_boilerplate_ngrams": q_boilerplate,
+    "curation_dsir_weights": q_dsir_weights,
     "curation_temperature_mix": q_temperature_mix,
     "curation_quality_audit": q_quality_audit,
     "curation_histogram_equidepth": q_histogram_equidepth,
@@ -583,6 +653,8 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
+    "curation_dsir_weights": _DSIR_SQL,
     "curation_temperature_mix": _TEMPERATURE_MIX_SQL,
     "curation_quality_audit": _QUALITY_AUDIT_SQL,
     "curation_histogram_equidepth": _HISTOGRAM_EQUIDEPTH_SQL,

@@ -313,7 +313,73 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (MinHash →
+    connected components, as dedup_clusters) but the KEPT member is the
+    highest-quality doc per cluster (longest by n_chars, ties → lowest
+    id) instead of the lowest id — the policy a real curation pipeline
+    applies (keep the richest copy, drop the truncated mirrors).
+    Integer-only ranking, so the oracle hash-matches exactly."""
+    from ..operators.dedup import minhash_near_dup_pairs
+    from ..operators.graph import connected_components
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
+    comp = connected_components(pairs).withColumnRenamed("n", "doc_id")
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 1) + 1),
+                                      i -> substr(lower(text), i, 9))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+), comp AS (
+  SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+), labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM labeled ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
@@ -325,6 +391,7 @@ QUERIES = {
     "dedup_winnowing": q_dedup_winnowing,
 }
 ORACLES = {
+    "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_embedding_lsh": _embedding_lsh_oracle_sql(),
     "dedup_winnowing": _winnowing_oracle_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,

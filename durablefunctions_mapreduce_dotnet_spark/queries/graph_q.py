@@ -81,9 +81,66 @@ SELECT node, ROUND(rank, 9) AS rank FROM r{iters} ORDER BY node
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part AFFINITY graph — parts
+    co-ordered in ≥2 distinct orders (the market-basket support cut:
+    single co-occurrences in a dense catalog are noise and would make
+    the graph near-complete; support pruning is what keeps a
+    co-purchase graph analyzable at any scale).  Degree-ordered wedge
+    closing (operators.graph.triangle_counts).  Pure integer output, so
+    the brute-force three-way-join oracle hash-matches exactly."""
+    from ..operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= 2)
+        .drop("_c")
+    )
+    return (
+        triangle_counts(pairs)
+        .select(F.col("n").alias("node"), "n_triangles")
+        .orderBy("node")
+    )
+
+
+_TRIANGLES_SQL = """
+WITH e0 AS (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
 }
 ORACLES = {
     "graph_pagerank": _pagerank_oracle_sql(),
+    "graph_triangles": _TRIANGLES_SQL,
 }

@@ -11,6 +11,7 @@ from ..streaming.stream_ops import (
     streaming_first_seen,
     streaming_flagship,
     streaming_running_extrema,
+    streaming_running_extrema_apws,
     streaming_session_windows,
     streaming_sliding_counts,
 )
@@ -127,6 +128,7 @@ QUERIES = {
     "streaming_flagship": streaming_flagship,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_enriched_counts": streaming_enriched_counts,
+    "streaming_running_extrema_apws": streaming_running_extrema_apws,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -137,6 +139,7 @@ ORACLES = {
     "streaming_session_windows": _STREAM_SESSION_SQL,
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
+    "streaming_running_extrema_apws": _STREAM_EXTREMA_SQL,
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

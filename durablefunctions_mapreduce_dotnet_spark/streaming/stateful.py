@@ -129,3 +129,44 @@ def running_extrema_stateful(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_extrema_apws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running MAX + row count via ``applyInPandasWithState`` —
+    the SAME operator contract as :func:`running_extrema_stateful`
+    (per-key LAST emission is the running answer; one trigger ⇒ the
+    drained table equals the batch GROUP BY) on the protobuf-free
+    GroupState API, so this twin can face the driver in environments
+    where the transformWithStateInPandas state server cannot start.
+    MAX is order-free, so the value is engine-exact with no decimal
+    scaffolding."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        mx, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            if len(v):
+                m = float(v.max())
+                mx = m if mx is None or m > mx else mx
+            n += len(pdf)
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "max_value": [mx], "n_events": [n]}
+        )
+
+    kt = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} {kt}, max_value double, n_events bigint",
+        stateStructType="max_value double, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

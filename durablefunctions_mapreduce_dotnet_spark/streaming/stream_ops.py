@@ -339,3 +339,16 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "sum_value"),
     )
     return run_to_memory(agg, "complete").orderBy("segment")
+
+
+def streaming_running_extrema_apws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type running max(value) + row count via the
+    protobuf-free ``applyInPandasWithState`` twin of the gated
+    transformWithStateInPandas operator (streaming/stateful.py) — the
+    custom-stateful category's driver-facing representative in this
+    container."""
+    from .stateful import running_extrema_apws
+
+    src = _stream_events(spark, sf_dir)
+    out = run_to_memory(running_extrema_apws(src), "update")
+    return out.orderBy("event_type")

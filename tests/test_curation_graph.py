@@ -173,3 +173,23 @@ def test_connected_components_converges_on_exact_budget_boundary(spark):
         ).collect()
     }
     assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 (every node in 3 triangles), one pendant edge (no triangles),
+    an isolated edge, plus duplicate/reverse/self-loop noise that must
+    canonicalize away."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    noise = [(2, 1), (3, 3), (1, 2)]  # reverse dup, self-loop, exact dup
+    edges = k4 + [(4, 5), (8, 9)] + noise
+    got = {
+        r["n"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
