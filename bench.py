@@ -64,6 +64,12 @@ HEADLINE = [
     "text_entropy_fast",
     "text_lm_score_fast",
     "curation_temperature_mix",
+    # round-6 additions
+    "graph_triangles",
+    "text_bpe_merges",
+    "dedup_keep_best",
+    "curation_dsir_weights",
+    "curation_boilerplate_ngrams",
 ]
 
 

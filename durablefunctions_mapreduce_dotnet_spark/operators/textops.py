@@ -549,3 +549,92 @@ def lm_bigram_score_fast(
     return corpus.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} {id_type}, lm_score double"
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus, distributed —
+    the tokenizer-training step of an LLM data pipeline (Sennrich et
+    al. 2016).  Returns (rank, pair, freq): the i-th merge and the
+    weighted adjacent-pair frequency that won it.
+
+    Execution shape (the k-means/pagerank iterative pattern): the
+    corpus collapses ONCE to a (word, freq) vocabulary — sublinear in
+    corpus size; this is the only pass over the data, everything after
+    is vocab-sized.  Each merge round is (a) one explode+combiner-agg
+    over adjacent symbol pairs weighted by word freq, (b) a 1-row
+    driver collect of the argmax pair (cnt DESC, pair ASC — total
+    order, engine-independent), (c) one codegen'd ``replace`` applying
+    the merge to every word's symbol string, checkpointed so plans stay
+    O(1).  Nothing else touches the driver.
+
+    MERGE SEMANTICS — "replace-BPE": symbols live in a space-joined
+    string with sentinel boundary spaces, and a merge is string
+    ``replace(' a b ' → ' ab ')``, i.e. left-to-right NON-OVERLAPPING
+    with the consumed separator blocking an immediately-adjacent
+    second match ('a a a' merges to [aa, a], and 'a b a b' to
+    [ab, a, b] — the second pair's leading space was consumed).
+    Classic BPE re-scans after every merge instead.  The variant is
+    deterministic, single-pass per round, IDENTICAL in both engines
+    (Spark and DuckDB replace share the scan rule), and an unrolled
+    CTE chain can mirror it exactly — which is what makes the learned
+    merges hash-checkable rather than rows-only.  The trade is a
+    slightly smaller per-round merge count on runs of repeated
+    symbols; ranking quality is indistinguishable for tokenizer use.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        # ' a b c ' — separator-joined symbols with boundary sentinels
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    words = words.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("sym")), " ")
+        k = F.size(toks) - F.lit(1)
+        pairs = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            words.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        merges.append((rank, pair, int(cnt)))
+        a, b = pair.split(" ")
+        words = words.select(
+            F.replace(
+                F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank bigint, pair string, freq bigint"
+    )

@@ -144,6 +144,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_boilerplate_ngrams",
     "curation_dsir_weights",
     "dedup_keep_best",
+    "text_bpe_merges",
 )
 
 

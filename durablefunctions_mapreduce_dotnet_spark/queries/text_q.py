@@ -298,7 +298,63 @@ ORDER BY d.doc_id
 """
 
 
+_BPE_MERGES = 8
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators.textops.learn_bpe_merges,
+    replace-semantics variant) — FULL oracle parity: the iterative loop
+    is unrolled into CTEs (the kmeans/pagerank pattern), so the learned
+    merge ranking is hash-checked, not rows-only."""
+    from ..operators.textops import learn_bpe_merges
+
+    d = read_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, n_merges=_BPE_MERGES).orderBy("rank")
+
+
+def _bpe_oracle_sql(n: int = _BPE_MERGES) -> str:
+    its, finals = [], []
+    for i in range(1, n + 1):
+        prev = f"w{i - 1}"
+        its.append(f"""
+p{i} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(s)),
+                                 j -> s[j] || ' ' || s[j + 1])) AS pair,
+           freq
+    FROM (SELECT string_split(trim(sym), ' ') AS s, freq FROM {prev})
+  ) GROUP BY pair
+),
+b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+w{i} AS (
+  SELECT replace(sym,
+                 ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS sym,
+         freq
+  FROM {prev} CROSS JOIN b{i} b
+)""")
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT) AS rank, pair, cnt AS freq FROM b{i}"
+        )
+    body = ",".join(its)
+    union = " UNION ALL ".join(finals)
+    return f"""
+WITH w0 AS (
+  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
+         freq
+  FROM (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+  )
+),{body}
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
 QUERIES = {
+    "text_bpe_merges": q_text_bpe_merges,
     "text_lm_score": q_text_lm_score,
     "text_lm_score_fast": q_text_lm_score_fast,
     "text_entropy": q_text_entropy,
@@ -313,6 +369,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_bpe_merges": _bpe_oracle_sql(),
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,

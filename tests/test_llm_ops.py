@@ -552,3 +552,55 @@ def test_quantized_topk_recall_curve_across_scales(spark, sf_dir):
     assert r_quant >= 0.55, f"{sf_dir}: prefilter recall {r_quant}"
     assert r_resc >= r_quant, f"{sf_dir}: rescore {r_resc} < prefilter {r_quant}"
     assert r_resc >= 0.85, f"{sf_dir}: rescored recall {r_resc}"
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """learn_bpe_merges vs an independent pure-Python implementation of
+    the same replace-semantics BPE on a hand corpus — locks the
+    distributed pair counting, tie-break, and merge application
+    independently of the SQL oracle."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        learn_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lower",
+    ]
+
+    def ref_bpe(docs, n):
+        freq = {}
+        for t in docs:
+            for w in t.lower().split(" "):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        vocab = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+        out = []
+        for rank in range(1, n + 1):
+            pairs = {}
+            for sym, c in vocab.items():
+                s = sym.strip().split(" ")
+                for i in range(len(s) - 1):
+                    pairs[s[i] + " " + s[i + 1]] = pairs.get(
+                        s[i] + " " + s[i + 1], 0
+                    ) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, best[0], best[1]))
+            a, b = best[0].split(" ")
+            vocab = {
+                sym.replace(f" {a} {b} ", f" {a}{b} "): c
+                for sym, c in vocab.items()
+            }
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["freq"])
+        for r in learn_bpe_merges(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe(texts, 6)

@@ -67,6 +67,10 @@ _BNLJ_OK = {
     # joins (textops.lm_bigram_score, curation.temperature_mix)
     "text_lm_score",
     "curation_temperature_mix",
+    # bucket-histogram totals scalar: broadcast 1-row cross join
+    # (curation.dsir_weights — the llr table it feeds is <= n_buckets
+    # rows and itself broadcast)
+    "curation_dsir_weights",
 }
 
 
