@@ -145,6 +145,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_dsir_weights",
     "dedup_keep_best",
     "text_bpe_merges",
+    "streaming_dedup_watermark",
 )
 
 

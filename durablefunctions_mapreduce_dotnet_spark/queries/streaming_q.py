@@ -7,6 +7,7 @@ from ..streaming.stream_ops import (
     streaming_click_attribution,
     streaming_daily_counts,
     streaming_dedup,
+    streaming_dedup_watermark,
     streaming_enriched_counts,
     streaming_first_seen,
     streaming_flagship,
@@ -129,6 +130,7 @@ QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_enriched_counts": streaming_enriched_counts,
     "streaming_running_extrema_apws": streaming_running_extrema_apws,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -140,6 +142,7 @@ ORACLES = {
     "streaming_first_seen": _STREAM_FIRST_SEEN_SQL,
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
     "streaming_running_extrema_apws": _STREAM_EXTREMA_SQL,
+    "streaming_dedup_watermark": _STREAM_DEDUP_SQL,
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

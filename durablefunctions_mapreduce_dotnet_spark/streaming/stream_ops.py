@@ -352,3 +352,27 @@ def streaming_running_extrema_apws(spark: SparkSession, sf_dir: str) -> DataFram
     src = _stream_events(spark, sf_dir)
     out = run_to_memory(running_extrema_apws(src), "update")
     return out.orderBy("event_type")
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of streaming_dedup: the doubled (at-least-
+    once) stream deduped with ``dropDuplicatesWithinWatermark`` — same
+    plan, but key state EXPIRES once the watermark passes it, so state
+    is bounded by the duplicate-arrival horizon instead of growing with
+    |distinct keys| forever.  The dataset's duplicates all arrive
+    inside one trigger (well inside the 1-day delay), so the bounded
+    operator provably loses nothing: per-user counts equal the batch
+    answer over the ORIGINAL table, same oracle as streaming_dedup."""
+    src = _stream_events(spark, sf_dir)
+    doubled = src.unionByName(src)
+    deduped = (
+        doubled.select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_to_memory(deduped.select("event_id", "user_id"), "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
