@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_keep_best",
     "curation_dsir_weights",
     "curation_boilerplate_ngrams",
+    "curation_pipeline_end2end",
 ]
 
 

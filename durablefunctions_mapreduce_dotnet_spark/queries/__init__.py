@@ -146,6 +146,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_keep_best",
     "text_bpe_merges",
     "streaming_dedup_watermark",
+    "curation_pipeline_end2end",
 )
 
 

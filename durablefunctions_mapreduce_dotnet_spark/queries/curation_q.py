@@ -631,7 +631,128 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composite: the full curation funnel a training-data team runs
+    — normalize → quality gate → exact dedup → MinHash near-dedup
+    (greedy keep-smallest) → deterministic train/val/test split — as
+    ONE query emitting the per-stage survivor counts (the data-audit
+    artifact reviewed before a training run).  Every stage is an
+    existing oracle-checked operator; the composed funnel is mirrored
+    stage-for-stage in SQL, so the WHOLE pipeline is hash-checked, not
+    just its parts.  Integer counts — no FP scaffolding needed.
+
+    Stage frames feed both the next stage and their count branch, so
+    the survivor chain is lineage-cut after the two expensive hops
+    (quality regexes, MinHash) — each stage computes once."""
+    from ..operators.curation import hash_bucket
+    from ..operators.dedup import exact_dedup, minhash_near_dup_pairs
+    from ..operators.textops import normalize_text, quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    normed = normalize_text(d).select("doc_id", "text_norm")
+    nonempty = normed.where(
+        F.col("text_norm").isNotNull() & (F.col("text_norm") != "")
+    ).localCheckpoint(eager=True)
+    q = quality_score(nonempty, text_col="text_norm")
+    quality = (
+        nonempty.join(
+            q.where("passes_quality").select("doc_id"), "doc_id", "semi"
+        )
+    ).localCheckpoint(eager=True)
+    exact = quality.join(
+        exact_dedup(quality, text_col="text_norm").select("doc_id"),
+        "doc_id",
+        "semi",
+    ).localCheckpoint(eager=True)
+    pairs = minhash_near_dup_pairs(exact, text_col="text_norm", threshold=0.6)
+    kept = exact.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "anti"
+    ).localCheckpoint(eager=True)
+    b = hash_bucket("doc_id")
+    split = kept.select(
+        F.when(b < 90, "05_train")
+        .when(b < 95, "06_val")
+        .otherwise("07_test")
+        .alias("stage")
+    )
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(d, "00_raw")
+        .unionByName(cnt(nonempty, "01_nonempty_norm"))
+        .unionByName(cnt(quality, "02_quality_pass"))
+        .unionByName(cnt(exact, "03_exact_unique"))
+        .unionByName(cnt(kept, "04_near_unique"))
+        .unionByName(split.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs")))
+        .orderBy("stage")
+    )
+
+
+_PIPELINE_SQL = r"""
+WITH RECURSIVE normed AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+           '[ \t\n\r]+', ' ', 'g'))) AS t
+  FROM documents
+),
+nonempty AS (SELECT * FROM normed WHERE t IS NOT NULL AND t <> ''),
+quality AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(t), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+             / nullif(CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS DOUBLE), 0) AS swr,
+           CAST(len(regexp_extract_all(t, '[^\w\s]')) AS DOUBLE)
+             / nullif(CAST(length(t) AS DOUBLE), 0) AS pr
+    FROM nonempty
+  ) WHERE n_tokens >= 10 AND n_tokens <= 100000 AND swr >= 0.01 AND pr <= 0.2
+),
+exact AS (
+  SELECT doc_id, t FROM quality
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(t))
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(t)) - 8, 1) + 1),
+                                      i -> substr(lower(t), i, 9))) AS s
+  FROM exact
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+kept AS (
+  SELECT doc_id FROM exact
+  WHERE doc_id NOT IN (SELECT id_b FROM prs)
+),
+split AS (
+  SELECT CASE
+           WHEN (((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100 < 90 THEN '05_train'
+           WHEN (((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100 < 95 THEN '06_val'
+           ELSE '07_test'
+         END AS stage
+  FROM kept
+)
+SELECT stage, n_docs FROM (
+  SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL SELECT '01_nonempty_norm', COUNT(*) FROM nonempty
+  UNION ALL SELECT '02_quality_pass', COUNT(*) FROM quality
+  UNION ALL SELECT '03_exact_unique', COUNT(*) FROM exact
+  UNION ALL SELECT '04_near_unique', COUNT(*) FROM kept
+  UNION ALL SELECT stage, COUNT(*) FROM split GROUP BY stage
+) ORDER BY stage
+"""
+
+
 QUERIES = {
+    "curation_pipeline_end2end": q_pipeline_end2end,
     "curation_boilerplate_ngrams": q_boilerplate,
     "curation_dsir_weights": q_dsir_weights,
     "curation_temperature_mix": q_temperature_mix,
@@ -653,6 +774,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_pipeline_end2end": _PIPELINE_SQL,
     "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
     "curation_dsir_weights": _DSIR_SQL,
     "curation_temperature_mix": _TEMPERATURE_MIX_SQL,
