@@ -90,6 +90,7 @@ SCALE_PROBE = [
     "text_lm_score",
     "text_entropy_fast",
     "text_lm_score_fast",
+    "curation_pipeline_end2end",
 ]
 SCALE_FACTOR = 10
 

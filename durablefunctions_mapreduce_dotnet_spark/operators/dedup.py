@@ -493,16 +493,18 @@ def simhash_expr(text_col: str) -> F.Column:
     return simhash_from_hashes_expr(f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), t -> xxhash64(t))")
 
 
-def simhash_from_hashes_udf():
+def simhash_from_hashes_udf(n_bits: int = 64):
     """numpy SimHash over Arrow batches — integer-identical to
     ``simhash_from_hashes_expr`` (bit b set iff Σ±1 > 0, sign from bit b
     of each token hash) but ~50× faster: the nested-aggregate expression
-    is interpreted per (bit, token) pair (64×|tokens| lambda evals/row)."""
+    is interpreted per (bit, token) pair (64×|tokens| lambda evals/row).
+    ``n_bits < 64`` folds only the low bits (used by the portable 60-bit
+    md5 variant, whose values always fit a signed bigint)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(n_bits, dtype=np.uint64)
 
     def _sim(hs):
         out = np.zeros(len(hs), dtype=np.int64)
@@ -519,6 +521,36 @@ def simhash_from_hashes_udf():
 
     _sim.__annotations__ = {"hs": pd.Series, "return": pd.Series}
     return pandas_udf("bigint")(_sim)
+
+
+def portable_token_hashes_expr(text_col: str) -> F.Column:
+    """60-bit md5-prefix token hashes — the portable-string-hash
+    doctrine (group_aware_split) applied to SimHash: 15 hex chars
+    < 2⁶⁰ always fit a signed bigint on BOTH engines, so a DuckDB
+    oracle can reproduce the fingerprints bit-for-bit (xxhash64, the
+    default family, exists only on the JVM)."""
+    return F.expr(
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''),"
+        " t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) with the 60-bit md5 family — same ±1 bit-vote
+    construction as the xxhash64 operator (Arrow kernel), different
+    (engine-portable) token hash, so the fingerprint VALUES are
+    oracle-checkable rather than rows-only.  Near-dup behavior is
+    family-agnostic (Charikar's bound depends only on hash uniformity);
+    production keeps the 64-bit JVM family, audits use this one."""
+    hs = df.select(
+        F.col(id_col), portable_token_hashes_expr(text_col).alias("hs")
+    )
+    return hs.select(
+        F.col(id_col),
+        simhash_from_hashes_udf(60)(F.col("hs")).alias("simhash"),
+    )
 
 
 def simhash_candidates(

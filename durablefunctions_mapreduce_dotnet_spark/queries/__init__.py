@@ -147,6 +147,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_bpe_merges",
     "streaming_dedup_watermark",
     "curation_pipeline_end2end",
+    "dedup_simhash_portable",
 )
 
 

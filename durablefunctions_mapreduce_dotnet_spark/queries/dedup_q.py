@@ -378,7 +378,44 @@ FROM labeled ORDER BY doc_id
 """
 
 
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 60-bit portable SimHash fingerprints — the md5-family
+    twin of dedup_simhash that a DuckDB oracle CAN check bit-for-bit
+    (operators.dedup.simhash_portable), upgrading the SimHash family
+    from rows-only to hash-exact coverage."""
+    from ..operators.dedup import simhash_portable
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_portable(d).orderBy("doc_id")
+
+
+_SIMHASH_PORTABLE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN range(0, 60) r(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
@@ -391,6 +428,7 @@ QUERIES = {
     "dedup_winnowing": q_dedup_winnowing,
 }
 ORACLES = {
+    "dedup_simhash_portable": _SIMHASH_PORTABLE_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_embedding_lsh": _embedding_lsh_oracle_sql(),
     "dedup_winnowing": _winnowing_oracle_sql(),

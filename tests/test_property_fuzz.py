@@ -302,3 +302,44 @@ def test_chunk_documents_tokens_fuzz_reconstructs(
             for j in range(1, len(chunks))
         )
         assert rebuilt == "".join(tk)
+
+
+# --- triangle counting ------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=40
+)
+
+
+@given(edges=_edges)
+@_FUZZ
+def test_triangle_counts_fuzz_vs_bruteforce(spark, edges):
+    """Degree-ordered wedge closing vs an O(n^3) Python reference on
+    random small multigraphs — duplicates, reverse edges, self-loops,
+    and degree ties (the orientation tie-break) occur constantly on a
+    10-node domain."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in und for n in e}
+    expected = {}
+    for a in sorted(nodes):
+        for b in sorted(nodes):
+            if b <= a or (a, b) not in und:
+                continue
+            for c in sorted(nodes):
+                if c <= b or (b, c) not in und or (a, c) not in und:
+                    continue
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+    if not edges:
+        return
+    got = {
+        r["n"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        ).collect()
+    }
+    assert got == expected
