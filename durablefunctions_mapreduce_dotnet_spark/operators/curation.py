@@ -647,3 +647,56 @@ def dsir_weights(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct word
+    n-grams that appear in NO other document — the inverse signal of
+    :func:`boilerplate_ngrams` (template content scores ~0, unique
+    prose ~1).  Curation uses it two ways: low-novelty docs are
+    template/mirror suspects; and for eval-set construction, HIGH
+    corpus-overlap (low novelty vs the training corpus) flags
+    contamination/memorization risk.
+
+    Same wordcount shape as the boilerplate miner: one explode, one
+    combiner-reduced count per gram, one broadcast-size-agnostic join
+    back, one per-doc aggregate.  The ratio is a SINGLE integer÷integer
+    divide — no FP sum, so the oracle hash-matches with no rounding
+    scaffolding.
+    """
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    counts = exploded.groupBy("_g").agg(F.count("*").alias("_docs"))
+    return (
+        exploded.join(counts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("_docs") == 1, 1)).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

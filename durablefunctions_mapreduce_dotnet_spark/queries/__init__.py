@@ -148,6 +148,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "curation_pipeline_end2end",
     "dedup_simhash_portable",
+    "curation_ngram_novelty",
 )
 
 

@@ -592,6 +592,38 @@ ORDER BY phrase
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 5-gram novelty (operators.curation.ngram_novelty) —
+    the inverse of the boilerplate signal; integer÷integer ratio so the
+    oracle hash-matches without rounding."""
+    from ..operators.curation import ngram_novelty
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=5).orderBy("doc_id")
+
+
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                      i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks
+),
+x AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+cnt AS (SELECT gram, COUNT(*) AS d FROM x GROUP BY gram)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(CASE WHEN d = 1 THEN 1 END) AS BIGINT) AS n_novel,
+       CAST(COUNT(CASE WHEN d = 1 THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM x JOIN cnt USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights toward the src0/src1 target slice
     (operators.curation.dsir_weights; hashed-unigram log-likelihood
@@ -754,6 +786,7 @@ SELECT stage, n_docs FROM (
 QUERIES = {
     "curation_pipeline_end2end": q_pipeline_end2end,
     "curation_boilerplate_ngrams": q_boilerplate,
+    "curation_ngram_novelty": q_ngram_novelty,
     "curation_dsir_weights": q_dsir_weights,
     "curation_temperature_mix": q_temperature_mix,
     "curation_quality_audit": q_quality_audit,
@@ -776,6 +809,7 @@ QUERIES = {
 ORACLES = {
     "curation_pipeline_end2end": _PIPELINE_SQL,
     "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
+    "curation_ngram_novelty": _NOVELTY_SQL,
     "curation_dsir_weights": _DSIR_SQL,
     "curation_temperature_mix": _TEMPERATURE_MIX_SQL,
     "curation_quality_audit": _QUALITY_AUDIT_SQL,
