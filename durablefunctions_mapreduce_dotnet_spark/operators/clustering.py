@@ -153,3 +153,113 @@ def spherical_kmeans(
             yield pd.DataFrame({id_col: pdf[id_col], "cluster": cell.astype("int32")})
 
     return rows.mapInPandas(assign, f"{id_col} long, cluster int")
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed (dim × dim) sample covariance of an embedding column
+    — the second-moment building block for PCA / whitening / Mahalanobis
+    outlier scoring over a vector corpus.  Returns (i, j, cov) rows for
+    j ≥ i (the matrix is symmetric; materializing the upper triangle
+    halves the shuffle).
+
+    Determinism doctrine, integer-quantization flavor: per-dimension
+    means come from order-free DECIMAL sums; each centered value is then
+    quantized to an int ``floor(x·scale + 0.5)`` (half-up — `floor` is
+    identical on every engine, unlike banker's `round`), so the
+    pairwise products and their sums are EXACT integers — partition-
+    order-free, retry-stable, and mirrorable in SQL with no FP margin.
+    The final ``cov = Σq_i·q_j / (scale²·(n−1))`` is one IEEE divide.
+    Quantization bias is bounded by scale⁻¹·E|x| per entry (~1e-6
+    here) — far below estimation noise for any corpus this operator
+    would profile; raise ``scale`` if a tighter bound is needed.
+
+    Plan: one explode of the vector to (dim, value) rows (64·n — linear),
+    one 64-row mean aggregate broadcast back, one self-join on the row
+    id bounded to j ≥ i (64²/2 products per vector), one combiner-
+    reduced integer sum per (i, j).  No driver state, no gemm — this is
+    the exact-arithmetic audit path; a production PCA would run the
+    float gemm kernel and cross-check against this."""
+    v = df.select(F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("i", "x"))
+    # the davg doctrine at embedding precision: order-free decimal sum,
+    # cast to double, ONE IEEE divide by the count — engine-portable
+    means = v.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    n = df.count()
+    q = v.join(F.broadcast(means), "i").select(
+        "_id",
+        "i",
+        F.floor((F.col("x") - F.col("m")) * F.lit(float(scale)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    a = q.select("_id", F.col("i"), F.col("q").alias("qa"))
+    b = q.select("_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    denom = float(scale) * float(scale) * float(n - 1)
+    return (
+        a.join(b, "_id")
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("_s"))
+        .select(
+            "i",
+            "j",
+            (F.col("_s").cast("double") / F.lit(denom)).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PCA projection: eigendecompose the (dim × dim)
+    covariance on the driver (dim² is tiny by construction — 64² here;
+    the DATA never leaves the executors) and project every vector onto
+    the top ``n_components`` eigenvectors with one Arrow gemm pass.
+    The standard embedding-compression move before ANN indexing: at
+    100 TB the corpus-sized work is the two linear passes (covariance +
+    projection); the eigh is O(dim³) driver-side, independent of corpus
+    size.
+
+    Sign convention: each eigenvector is flipped so its
+    largest-magnitude entry is positive (eigenvectors are sign-
+    ambiguous; without pinning, retries could emit mirrored
+    projections).  Rows-only driver contract (eigh is not SQL);
+    correctness is pinned against numpy on the same covariance in
+    pytest."""
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = embedding_covariance(df, vec_col, id_col).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    w, vecs = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = vecs[:, order]  # (dim, k)
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    comps = comps * flip[None, :]
+
+    def project(it):
+        for pdf in it:
+            X = np.stack(pdf[vec_col].to_numpy())
+            P = X @ comps
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "components": list(P.astype(float))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} bigint, components array<double>"
+    )

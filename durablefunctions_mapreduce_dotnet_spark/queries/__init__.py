@@ -149,6 +149,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_pipeline_end2end",
     "dedup_simhash_portable",
     "curation_ngram_novelty",
+    "embedding_covariance",
+    "embedding_pca",
 )
 
 

@@ -328,16 +328,84 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed (64×64) embedding covariance, integer-quantized for
+    exact cross-engine parity (operators.clustering.embedding_covariance)
+    — the PCA/whitening building block, hash-checked with NO FP margin:
+    means are decimal-summed, centered values quantize through the
+    engine-identical floor(x·10⁶ + 0.5), products and sums are exact
+    integers, and the final divide is one IEEE op."""
+    from ..operators.clustering import embedding_covariance
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(e).orderBy("i", "j")
+
+
+_COVARIANCE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+x AS (
+  -- DuckDB range() cannot lateral-reference len(v); 128 is a static
+  -- upper bound on the embedding dim, cut back to the true length
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, v[CAST(i AS INTEGER)] AS x
+  FROM e CROSS JOIN range(1, 129) t(i)
+  WHERE i <= len(v)
+),
+m AS (
+  SELECT i,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+  FROM x GROUP BY i
+),
+q AS (
+  SELECT vec_id, x.i,
+         CAST(FLOOR((x.x - m.m) * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM x JOIN m USING (i)
+),
+n AS (SELECT COUNT(*) AS n FROM e)
+SELECT a.i, b.i AS j,
+       CAST(SUM(a.q * b.q) AS DOUBLE)
+         / (1000000.0 * 1000000.0 * CAST(n.n - 1 AS DOUBLE)) AS cov
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+CROSS JOIN n
+GROUP BY a.i, b.i, n.n
+ORDER BY a.i, j
+"""
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of the embedding corpus
+    (operators.clustering.pca_project) — rows-only contract: the driver
+    eigendecomposition is not SQL; projection parity vs numpy is
+    pytest-pinned, and the covariance it consumes is hash-checked by
+    embedding_covariance."""
+    from ..operators.clustering import pca_project
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        pca_project(e, n_components=8)
+        .select(
+            "vec_id",
+            F.round(F.element_at("components", 1), 6).alias("pc1"),
+            F.round(F.element_at("components", 2), 6).alias("pc2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_refined": q_ann_ivf_refined,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pca": q_embedding_pca,
     "ann_quantized_topk": q_ann_quantized,
     "ann_quantized_rescored": q_ann_quantized_rescored,
     "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
+    "embedding_covariance": _COVARIANCE_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,

@@ -65,3 +65,58 @@ def test_kmeans_partition_is_nondegenerate(spark):
     n = int(sizes["count"].sum())
     assert len(sizes) == 8
     assert int(sizes["count"].max()) < n // 2
+
+
+def test_embedding_covariance_is_symmetric_psd(spark):
+    """The integer-quantized covariance must reconstruct to a symmetric
+    PSD matrix whose diagonal matches per-dimension variance."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+        embedding_covariance,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    rows = embedding_covariance(e).collect()
+    dim = max(r["j"] for r in rows) + 1
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    X = np.stack([r["embedding"] for r in e.select("embedding").collect()])
+    ref = np.cov(X, rowvar=False)
+    assert np.allclose(C, ref, atol=5e-6)  # quantization bias ~1e-6
+    w = np.linalg.eigvalsh(C)
+    assert w.min() > -1e-9  # PSD up to quantization
+
+
+def test_pca_project_matches_numpy(spark):
+    """pca_project vs a from-scratch numpy PCA on the raw vectors —
+    components aligned per-column by best-correlation sign before
+    comparing (eigenvectors are sign-ambiguous)."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+        pca_project,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    got = {
+        r["vec_id"]: np.array(r["components"])
+        for r in pca_project(e, n_components=4).collect()
+    }
+    X = np.stack([r["embedding"] for r in e.select("vec_id", "embedding").orderBy("vec_id").collect()])
+    ids = [r["vec_id"] for r in e.select("vec_id").orderBy("vec_id").collect()]
+    C = np.cov(X - X.mean(axis=0), rowvar=False)
+    w, vecs = np.linalg.eigh(C)
+    comps = vecs[:, np.argsort(w)[::-1][:4]]
+    P_ref = X @ comps
+    P_got = np.stack([got[i] for i in ids])
+    for c in range(4):
+        # align sign per component, then require tight agreement
+        s = np.sign(P_ref[:, c] @ P_got[:, c]) or 1.0
+        assert np.allclose(P_got[:, c], s * P_ref[:, c], atol=1e-3), c
+    # explained variance must be non-increasing across components
+    v = P_got.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(3))
