@@ -88,3 +88,60 @@ def test_pagerank_partitioning_invariant(spark):
     ra = _rows(pagerank(a, iters=3, checkpoint=local_checkpoint), "node", "rank")
     rb = _rows(pagerank(b, iters=3, checkpoint=local_checkpoint), "node", "rank")
     assert ra == rb
+
+
+def test_round6_ops_partitioning_invariant(spark):
+    """Triangles (orientation tie-breaks), DSIR weights (FP sum +
+    6 dp rounding), n-gram novelty (integer ratio) and the quantized
+    covariance (integer sums) must be IDENTICAL under 1-way vs 17-way
+    input layouts."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+        embedding_covariance,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        dsir_weights,
+        ngram_novelty,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [((i * 7) % 23, (i * 11) % 23) for i in range(300)],
+        "id_a bigint, id_b bigint",
+    )
+    a, b = _both_layouts(edges)
+    assert _rows(triangle_counts(a), "n", "n_triangles") == _rows(
+        triangle_counts(b), "n", "n_triangles"
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(vocab[(i * j) % 7] for j in range(1, 14)), f"s{i % 5}")
+            for i in range(400)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    a, b = _both_layouts(docs)
+    t = F.col("source").isin("s0", "s1")
+    assert _rows(dsir_weights(a, t), "doc_id", "weight", "n_tokens") == _rows(
+        dsir_weights(b, t), "doc_id", "weight", "n_tokens"
+    )
+    assert _rows(ngram_novelty(a, n=3), "doc_id", "n_grams", "n_novel", "novelty") == _rows(
+        ngram_novelty(b, n=3), "doc_id", "n_grams", "n_novel", "novelty"
+    )
+
+    import numpy as np
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float(np.sin(i * d + 1) * 0.5) for d in range(8)])
+            for i in range(300)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    a, b = _both_layouts(vecs)
+    assert _rows(embedding_covariance(a), "i", "j", "cov") == _rows(
+        embedding_covariance(b), "i", "j", "cov"
+    )
