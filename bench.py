@@ -91,6 +91,7 @@ SCALE_PROBE = [
     "text_entropy_fast",
     "text_lm_score_fast",
     "curation_pipeline_end2end",
+    "graph_triangles",
 ]
 SCALE_FACTOR = 10
 
@@ -110,7 +111,7 @@ def _ensure_scale_dir(repo_dir: str) -> str:
       workload quadratic BY CONSTRUCTION, which would measure the
       generator, not the engine.)
     """
-    out = os.path.join(repo_dir, ".bench_scale", f"sf1.0_v2_x{SCALE_FACTOR}")
+    out = os.path.join(repo_dir, ".bench_scale", f"sf1.0_v3_x{SCALE_FACTOR}")
     ev, dc = os.path.join(out, "events.parquet"), os.path.join(out, "documents.parquet")
     li = os.path.join(out, "lineitem.parquet")
     if os.path.exists(ev) and os.path.exists(dc) and os.path.exists(li):
@@ -150,15 +151,17 @@ def _ensure_scale_dir(repo_dir: str) -> str:
         ) TO '{dc}' (FORMAT PARQUET)
         """
     )
-    # lineitem (graph_pagerank): supplier/part keys offset per replica →
-    # 10 disjoint ISOMORPHIC graph copies — same degree distribution and
-    # component structure, no artificial densification.  Only the two
-    # columns the probe query reads are materialized (parquet is
-    # columnar; a full copy would only slow generation).
+    # lineitem (graph_pagerank + graph_triangles): supplier/part/order
+    # keys offset per replica → 10 disjoint ISOMORPHIC graph copies —
+    # same degree distribution and component structure, no artificial
+    # densification.  Only the three columns the probe queries read are
+    # materialized (parquet is columnar; a full copy would only slow
+    # generation).
     con.execute(
         f"""
         COPY (
-          SELECT l_suppkey + k * 10000000 AS l_suppkey,
+          SELECT l_orderkey + k * 1000000000 AS l_orderkey,
+                 l_suppkey + k * 10000000 AS l_suppkey,
                  l_partkey + k * 10000000 AS l_partkey
           FROM read_parquet('{src}/lineitem.parquet'),
                range({SCALE_FACTOR}) t(k)

@@ -343,3 +343,59 @@ def test_triangle_counts_fuzz_vs_bruteforce(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+# --- BPE merge learning -----------------------------------------------------
+
+_corpus = st.lists(
+    st.text(alphabet=st.sampled_from(list("abc x")), min_size=0, max_size=30),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_corpus, n_merges=st.integers(1, 5))
+@_FUZZ
+def test_bpe_merges_fuzz_vs_python_reference(spark, texts, n_merges):
+    """learn_bpe_merges vs the pure-Python replace-BPE on random tiny
+    corpora — repeated-symbol runs and ties (tiny alphabet) hammer the
+    replace-semantics edge cases and the (cnt DESC, pair ASC) argmax."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        learn_bpe_merges,
+    )
+
+    def ref_bpe(docs, n):
+        freq = {}
+        for t in docs:
+            for w in t.lower().split(" "):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        vocab = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+        out = []
+        for rank in range(1, n + 1):
+            pairs = {}
+            for sym, c in vocab.items():
+                s = sym.strip().split(" ")
+                for i in range(len(s) - 1):
+                    key = s[i] + " " + s[i + 1]
+                    pairs[key] = pairs.get(key, 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, best[0], best[1]))
+            a, b = best[0].split(" ")
+            vocab2 = {}
+            for sym, c in vocab.items():
+                k2 = sym.replace(f" {a} {b} ", f" {a}{b} ")
+                vocab2[k2] = vocab2.get(k2, 0) + c
+            vocab = vocab2
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["freq"])
+        for r in learn_bpe_merges(df, n_merges=n_merges).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe(texts, n_merges)
