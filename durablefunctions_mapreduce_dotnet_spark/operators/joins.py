@@ -22,9 +22,18 @@ def asof_join_backward(
     inner: bool = True,
     skew_keys: list | None = None,
     skew_bucket_seconds: float = 86_400.0,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` and the same key.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=)`` semantics): a match
+    staler than this is discarded — NULLed when ``inner=False``, the
+    row dropped when ``inner=True``.  Units are seconds for timestamp
+    columns, the column's own units for integer timestamps (the
+    ``skew_bucket_seconds`` convention).  The max-staleness guard every
+    production feature-store lookup needs: without it a backward as-of
+    happily joins a year-old reference row.
 
     Spark has no native as-of join; a naive range-join explodes to
     O(|L|·|R|) per key.  This implementation unions both sides and runs
@@ -64,6 +73,23 @@ def asof_join_backward(
         out = cold.unionByName(hot_out)
     else:
         out = _asof_window(l, r, left.columns, payload, ["_k"])
+    if tolerance is not None:
+        t_l = dict(left.dtypes)[left_ts]
+        lc, mc = F.col(left_ts), F.col("matched_ts")
+        if t_l in ("timestamp", "timestamp_ntz"):
+            dist = F.unix_micros(lc.cast("timestamp")) - F.unix_micros(
+                mc.cast("timestamp")
+            )
+            lim = F.lit(float(tolerance) * 1_000_000.0)
+        else:
+            dist = lc.cast("double") - mc.cast("double")
+            lim = F.lit(float(tolerance))
+        out = out.withColumn("_stale", mc.isNotNull() & (dist > lim))
+        for c in ["matched_ts", *payload.values()]:
+            out = out.withColumn(
+                c, F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(c))
+            )
+        out = out.drop("_stale")
     if inner:
         out = out.where(F.col("matched_ts").isNotNull())
     return out
@@ -79,6 +105,7 @@ def asof_join_forward(
     inner: bool = True,
     skew_keys: list | None = None,
     skew_bucket_seconds: float = 86_400.0,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Forward as-of join: for each left row, the EARLIEST right row with
     ``right.ts >= left.ts`` and the same key (DuckDB ``ASOF JOIN ... ON
@@ -126,6 +153,8 @@ def asof_join_forward(
         inner=inner,
         skew_keys=skew_keys,
         skew_bucket_seconds=skew_bucket_seconds * ts_scale,
+        # negated-micros distance == real forward distance, same scale
+        tolerance=None if tolerance is None else tolerance * ts_scale,
     )
     matched = -F.col("matched_ts")
     if t_r in ("timestamp", "timestamp_ntz"):

@@ -151,6 +151,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_ngram_novelty",
     "embedding_covariance",
     "embedding_pca",
+    "join_asof_tolerance",
 )
 
 

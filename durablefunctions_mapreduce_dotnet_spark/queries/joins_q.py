@@ -250,6 +250,42 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
 """
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 6-hour max-staleness tolerance (pandas
+    merge_asof(tolerance=) semantics): a signup older than the bound no
+    longer qualifies and the purchase row drops (inner).  The guard a
+    production feature-store lookup needs."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    refs = e.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join_backward(
+        purchases, refs, key="user_id", payload={"value": "signup_value"},
+        inner=True, tolerance=6 * 3600,
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts_fmt).alias("ts"),
+        F.date_format("matched_ts", ts_fmt).alias("matched_ts"),
+        "signup_value",
+    )
+
+
+_JOIN_ASOF_TOL_SQL = """
+SELECT event_id, user_id, ts, matched_ts, signup_value FROM (
+  SELECT p.event_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+         s.value AS signup_value,
+         p.ts - s.ts AS dist
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+) WHERE dist <= INTERVAL 6 HOUR
+"""
+
+
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue per nation inside one region over a date
     window — the classic 6-table snowflake (TPC-H Q5 shape).
@@ -342,6 +378,7 @@ QUERIES = {
     "join_full_outer": q_join_full,
     "join_range_band": q_join_range_band,
     "join_asof": q_join_asof,
+    "join_asof_tolerance": q_join_asof_tolerance,
 }
 ORACLES = {
     "join_inner_revenue": _JOIN_REVENUE_SQL,
@@ -355,4 +392,5 @@ ORACLES = {
     "join_full_outer": _JOIN_FULL_SQL,
     "join_range_band": _JOIN_RANGE_SQL,
     "join_asof": _JOIN_ASOF_SQL,
+    "join_asof_tolerance": _JOIN_ASOF_TOL_SQL,
 }

@@ -598,3 +598,41 @@ def test_connected_components_opaque_checkpoint_fn_still_works(spark):
     }
     assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert calls["n"] >= 3  # edges + labels + >=1 iteration
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """tolerance= must reproduce pandas merge_asof(tolerance=...):
+    stale matches die, boundary-equal distance survives, forward
+    direction scales the bound through the negated-micros trick."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"id": range(30), "k": [i % 3 for i in range(30)],
+         "lts": [float((i * 13) % 97) for i in range(30)]}
+    )
+    right = pd.DataFrame(
+        {"k": [i % 3 for i in range(20)], "rts": [float((i * 7) % 60) for i in range(20)],
+         "pay": [float(i) for i in range(20)]}
+    )
+    for direction, fn in (("backward", asof_join_backward), ("forward", asof_join_forward)):
+        exp = pd.merge_asof(
+            left.sort_values("lts", kind="stable"),
+            right.sort_values("rts", kind="stable").rename(columns={"rts": "matched"}),
+            left_on="lts", right_on="matched", by="k",
+            direction=direction, tolerance=9.0,
+        ).dropna(subset=["matched"])
+        l = spark.createDataFrame(left).select(
+            "id", "k", F.col("lts").cast("timestamp").alias("ts")
+        )
+        r = spark.createDataFrame(right).select(
+            "k", F.col("rts").cast("timestamp").alias("ts"), "pay"
+        )
+        got = (
+            fn(l, r, key="k", payload={"pay": "pay"}, inner=True, tolerance=9.0)
+            .select("id", F.unix_timestamp("matched_ts").cast("double").alias("matched"))
+            .toPandas()
+            .sort_values("id")
+        )
+        exp2 = exp[["id", "matched"]].sort_values("id")
+        assert got["id"].tolist() == exp2["id"].tolist(), direction
+        assert got["matched"].tolist() == pytest.approx(exp2["matched"].tolist()), direction
