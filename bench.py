@@ -76,6 +76,18 @@ HEADLINE = [
 
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # Release blocks persisted during query CONSTRUCTION (pagerank /
+    # gap-fill / distribution-rank pin loop-invariant frames; their
+    # pinned=[] release contract belongs to long-lived callers — which
+    # this 48-query × 4-run session is).  Without this, ~hundreds of
+    # orphaned MEMORY_AND_DISK frames accumulate over the run and the
+    # later queries pay block-manager/GC pressure (dedup_clusters read
+    # ~0.4-0.8 s slower in-bench than standalone before the purge).
+    # Unpersisting AFTER the action is always safe: each rep's own
+    # construction re-pins what it needs.
+    spark = df.sparkSession
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
 
 
 #: scaling-shape probe: flagship + the slowest LLM/graph queries, timed
