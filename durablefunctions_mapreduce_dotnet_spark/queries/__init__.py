@@ -152,6 +152,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "embedding_covariance",
     "embedding_pca",
     "join_asof_tolerance",
+    "dedup_minhash_incremental",
 )
 
 

@@ -378,6 +378,41 @@ FROM labeled ORDER BY doc_id
 """
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-ingest near-dedup: odd doc_ids arrive as the new batch,
+    even doc_ids are the stored corpus — verified pairs (new × history)
+    ∪ (new × new) only, never history × history
+    (operators.dedup.minhash_near_dup_incremental).  The oracle
+    recomputes all-pairs Jaccard restricted to pairs touching the
+    batch, so parity also proves the history-history suppression."""
+    from ..operators.dedup import minhash_near_dup_incremental
+
+    d = read_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    return minhash_near_dup_incremental(new, hist, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_DEDUP_MINHASH_INCR_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 1) + 1),
+                                      i -> substr(lower(text), i, 9))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 60-bit portable SimHash fingerprints — the md5-family
     twin of dedup_simhash that a DuckDB oracle CAN check bit-for-bit
@@ -416,6 +451,7 @@ ORDER BY d.doc_id
 
 QUERIES = {
     "dedup_simhash_portable": q_dedup_simhash_portable,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
@@ -429,6 +465,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_simhash_portable": _SIMHASH_PORTABLE_SQL,
+    "dedup_minhash_incremental": _DEDUP_MINHASH_INCR_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "dedup_embedding_lsh": _embedding_lsh_oracle_sql(),
     "dedup_winnowing": _winnowing_oracle_sql(),

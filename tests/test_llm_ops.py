@@ -604,3 +604,27 @@ def test_bpe_merges_match_python_reference(spark):
         for r in learn_bpe_merges(df, n_merges=6).orderBy("rank").collect()
     ]
     assert got == ref_bpe(texts, 6)
+
+
+def test_minhash_incremental_matches_filtered_full_run(spark):
+    """Incremental near-dedup must equal the FULL pipeline's pairs
+    restricted to those touching the new batch — no history-history
+    pairs, no missed batch pairs."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        minhash_near_dup_incremental,
+        minhash_near_dup_pairs,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    inc = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_near_dup_incremental(new, hist).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_near_dup_pairs(d).collect()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+    assert inc == full and all(a % 2 == 1 or b % 2 == 1 for a, b, _ in inc)
