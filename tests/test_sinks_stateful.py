@@ -395,3 +395,47 @@ def test_transform_with_state_running_extrema(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_state_survives_restart_with_new_data(spark, tmp_path):
+    """The reference's replay story, mid-stream: run 1 dedups batch A
+    and stops; batch B lands (half of it duplicating A's keys); run 2
+    with the SAME checkpoint must resume the dedup STATE — only B's
+    genuinely-new keys are emitted, A's repeats die against state built
+    in a previous process lifetime.  This is the cross-restart
+    continuation that the idempotent-restart test (same data, no-op)
+    does not exercise."""
+    import json
+
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stream_ops import (
+        run_to_files,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_batch(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps({"event_id": i, "user_id": i % 7}) + "\n")
+
+    def dedup_stream():
+        s = spark.readStream.schema("event_id bigint, user_id bigint").json(
+            str(src)
+        )
+        return s.dropDuplicates(["event_id"])
+
+    # run 1: batch A (0..49, each id twice — within-run dups die too)
+    write_batch("a.json", list(range(50)) + list(range(50)))
+    first = run_to_files(dedup_stream(), out, ckpt, mode="append")
+    assert first.count() == 50
+
+    # query stopped; batch B arrives: 25..74 (25..49 duplicate run 1)
+    write_batch("b.json", list(range(25, 75)))
+    second = run_to_files(dedup_stream(), out, ckpt, mode="append")
+    rows = second.groupBy("event_id").count().collect()
+    assert len(rows) == 75, "new keys 50..74 must appear exactly once"
+    assert all(r["count"] == 1 for r in rows), (
+        "a key emitted twice means dedup state did NOT survive the restart"
+    )
