@@ -185,3 +185,225 @@ def detect_gaps(
         )
         .orderBy("series", "gap_start_us")
     )
+
+
+#: SAX breakpoints for alphabet 4 over N(0,1), pre-quantized to the
+#: integer grid the z-scores are compared on (floor(x*1e6 + 0.5)) — the
+#: engine-portable form of ±0.6744897501960817 (exact values are
+#: immaterial: both engines must simply share them)
+_SAX_BREAKS_Q = (-674490, 0, 674490)
+_Z_SCALE = 1_000_000.0
+
+
+
+
+def _exact_dec_chain(terms: list[str]) -> str:
+    """Nested-cast decimal(38,18) summation chain: every partial is
+    re-cast so Spark's add-widening never erodes the scale — all
+    partials are exact rationals well inside 38 digits, so the chain
+    equals ANY exact summation (DuckDB's plain decimal list_sum
+    included).  Plain expressions, no lambdas: stays inside whole-stage
+    codegen, unlike an aggregate() fold (interpreted per element)."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"cast({expr} + {t} as decimal(38,18))"
+    return expr
+
+
+def _sax_word_expr(paa: int, seg: int) -> str:
+    """SQL for the SAX word: per segment, the PAA mean of the z slice is
+    quantized to the 1e-6 integer grid and compared against the integer
+    breakpoints.  The segment sum is an EXPLICIT left-associated chain
+    (not aggregate/list_sum) so the oracle can reproduce the identical
+    IEEE addition order; Spark element_at and DuckDB list subscripts are
+    both 1-based, keeping the two generators index-aligned."""
+    b1, b2, b3 = _SAX_BREAKS_Q
+    total = " + ".join(f"element_at(z, s * {seg} + {j + 1})" for j in range(seg))
+    q = f"floor(({total}) / {float(seg)} * {_Z_SCALE} + 0.5)"
+    return (
+        f"array_join(transform(sequence(0, {paa - 1}), s -> cast("
+        f" case when {q} < {b1} then 0 when {q} < {b2} then 1"
+        f" when {q} < {b3} then 2 else 3 end as string)), '')"
+    )
+
+
+def _sax_word_sql_duckdb(paa: int, seg: int) -> str:
+    """The DuckDB twin of :func:`_sax_word_expr` (1-based list
+    subscripts, same explicit addition chain, same integer
+    breakpoints)."""
+    b1, b2, b3 = _SAX_BREAKS_Q
+    total = " + ".join(f"z[CAST(s * {seg} + {j + 1} AS INTEGER)]" for j in range(seg))
+    q = f"floor(({total}) / {float(seg)} * {_Z_SCALE} + 0.5)"
+    return (
+        f"array_to_string(list_transform(range(0, {paa}), s ->"
+        f" CASE WHEN {q} < {b1} THEN 0 WHEN {q} < {b2} THEN 1"
+        f" WHEN {q} < {b3} THEN 2 ELSE 3 END), '')"
+    )
+
+
+def sax_similar_subsequences(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    m: int = 16,
+    stride: int = 4,
+    paa: int = 4,
+    k: int = 5,
+    max_bucket: int = 500,
+    checkpoint=None,
+) -> DataFrame:
+    """Top-k most-similar non-overlapping subsequence pairs per series —
+    z-normalized Euclidean distance over length-``m`` windows, the
+    motif-discovery primitive of time-series similarity search.  A full
+    matrix profile is O(n²) per series; this is the indexed form: PAA →
+    SAX words bucket the windows (equal words ⇒ similar coarse shape),
+    candidates are same-bucket non-overlapping pairs, and only those are
+    exactly scored.  Linear window extraction (×m/stride row blowup),
+    bucketed candidates, distance work proportional to matches — the
+    LSH/minhash shape transplanted to the time axis, scale-safe where
+    the quadratic profile is not.
+
+    Determinism doctrine: window means ride decimal sums of SOURCE
+    values; the centered square-sum decimal-casts per-element doubles
+    (≤1e-18/term skew — the covariance argument); z-scores are then
+    IDENTICAL IEEE expressions on both engines, and SAX bucketing
+    quantizes them to the floor(z·1e6+0.5) integer grid before
+    comparing against integer breakpoints, so bucket membership cannot
+    waver on a cross-engine ulp.  Distances are ranked at 9 dp with a
+    (start_a, start_b) tie-break and emitted at 6 dp.  Constant windows
+    (std < 1e-9) are excluded — z is undefined there."""
+    if checkpoint is None:
+        from .graph import local_checkpoint
+
+        checkpoint = local_checkpoint
+    order = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(order) - 1).alias("idx"),
+        F.col(val_col).cast("double").alias("x"),
+    )
+    # Overlapping-CHUNK window extraction: rows replicate to their
+    # chunk plus (head rows only) the previous chunk, each chunk
+    # collects one contiguous value array, and windows are array slices
+    # within it — shuffle blowup is (C + m - 1)/C ≈ 1.02× instead of the
+    # naive per-window explode's m/stride ≈ 4×, and per-task memory is
+    # bounded by the chunk length regardless of series length (a
+    # billion-point series is just more chunks).  C is a multiple of
+    # ``stride`` so the start-alignment test stays a local j % stride.
+    C = 1024 * stride
+    head = F.col("idx") % C <= m - 2
+    chunked = base.select(
+        "key",
+        "idx",
+        "x",
+        F.explode(
+            F.when(
+                (F.col("idx") >= C) & head,
+                F.array(
+                    (F.col("idx") / C).cast("long"),
+                    (F.col("idx") / C).cast("long") - 1,
+                ),
+            ).otherwise(F.array((F.col("idx") / C).cast("long")))
+        ).alias("chunk"),
+    )
+    arrs = (
+        chunked.groupBy("key", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "x"))).alias("pv"))
+        .select(
+            "key",
+            "chunk",
+            F.expr("transform(pv, e -> e.x)").alias("arr"),
+            F.size("pv").alias("alen"),
+        )
+    )
+    # windows are built INSIDE a transform and only then exploded: an
+    # explode over raw (chunk, j) rows would replicate the full chunk
+    # array into every generator row before slicing (measured 5×
+    # slower); here each emitted row carries only its m-value slice
+    wins = (
+        arrs.where(F.col("alen") >= m)
+        .select(
+            "key",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, least({C} - {stride}, alen - {m}), {stride}),"
+                    f" j -> struct(chunk * {C} + j AS start, slice(arr, j + 1, {m}) AS v))"
+                )
+            ).alias("w"),
+        )
+        .select("key", F.col("w.start").alias("start"), F.col("w.v").alias("v"))
+    )
+    mu_terms = [
+        f"cast(element_at(v, {i}) as decimal(38,18))" for i in range(1, m + 1)
+    ]
+    wins = wins.withColumn(
+        "mu",
+        F.expr(f"cast({_exact_dec_chain(mu_terms)} as double)") / F.lit(float(m)),
+    )
+    sd_terms = [
+        f"cast((element_at(v, {i}) - mu) * (element_at(v, {i}) - mu)"
+        " as decimal(38,18))".replace("{i}", str(i))
+        for i in range(1, m + 1)
+    ]
+    wins = wins.withColumn(
+        "sd",
+        F.sqrt(
+            F.expr(f"cast({_exact_dec_chain(sd_terms)} as double)")
+            / F.lit(float(m))
+        ),
+    ).where(F.col("sd") >= 1e-9)
+    wins = wins.withColumn(
+        "z",
+        F.array(
+            *[
+                (F.element_at("v", i) - F.col("mu")) / F.col("sd")
+                for i in range(1, m + 1)
+            ]
+        ),
+    )
+    seg = m // paa
+    wins = wins.withColumn(
+        "word",
+        F.expr(_sax_word_expr(paa, seg)),
+    ).select("key", "start", "z", "word")
+    # one materialization: the window pipeline feeds the bucket-size
+    # probe and BOTH sides of the candidate self-join
+    wins = checkpoint(wins)
+    sizes = wins.groupBy("key", "word").agg(F.count("*").alias("_n"))
+    wins = wins.join(
+        sizes.where(F.col("_n") <= max_bucket).select("key", "word"),
+        ["key", "word"],
+        "semi",
+    )
+    a = wins.select("key", "word", F.col("start").alias("start_a"), F.col("z").alias("za"))
+    b = wins.select("key", "word", F.col("start").alias("start_b"), F.col("z").alias("zb"))
+    cand = a.join(b, ["key", "word"]).where(
+        F.col("start_b") >= F.col("start_a") + m
+    )
+    d_terms = [
+        f"cast((element_at(za, {i}) - element_at(zb, {i}))"
+        f" * (element_at(za, {i}) - element_at(zb, {i})) as decimal(38,18))"
+        for i in range(1, m + 1)
+    ]
+    scored = cand.select(
+        "key",
+        "start_a",
+        "start_b",
+        F.round(
+            F.sqrt(F.expr(f"cast({_exact_dec_chain(d_terms)} as double)")), 9
+        ).alias("_d9"),
+    )
+    rk = Window.partitionBy("key").orderBy("_d9", "start_a", "start_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("key").alias(key_col),
+            "rank",
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+            F.round("_d9", 6).alias("dist"),
+        )
+    )

@@ -153,6 +153,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "embedding_pca",
     "join_asof_tolerance",
     "dedup_minhash_incremental",
+    "ts_motif_topk",
 )
 
 

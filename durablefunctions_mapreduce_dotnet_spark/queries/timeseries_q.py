@@ -203,7 +203,97 @@ ORDER BY event_id
 """
 
 
+
+
+def q_ts_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar non-overlapping subsequence pairs per event
+    series (operators.timeseries.sax_similar_subsequences: z-normalized
+    windows, SAX-bucketed candidates, exact distances).  FULL oracle
+    parity: window extraction, decimal-exact mean/std, the explicit-
+    order PAA sums, integer-grid SAX bucketing, candidate join, decimal
+    distance fold and the 9-dp ranking are all mirrored — the whole
+    motif pipeline is hash-checked."""
+    from ..operators.timeseries import sax_similar_subsequences
+
+    e = read_table(spark, sf_dir, "events")
+    return sax_similar_subsequences(e, paa=8).orderBy("event_type", "rank")
+
+
+def _ts_motifs_oracle_sql(
+    m: int = 16, stride: int = 4, paa: int = 8, k: int = 5, max_bucket: int = 500
+) -> str:
+    from ..operators.timeseries import _sax_word_sql_duckdb
+
+    seg = m // paa
+    word = _sax_word_sql_duckdb(paa, seg)
+    return f"""
+WITH base AS (
+  SELECT event_type AS key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS idx,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+),
+contrib AS (
+  SELECT key, idx - off AS start, off AS pos, x
+  FROM base CROSS JOIN range(0, {m}) t(off)
+  WHERE idx - off >= 0 AND (idx - off) % {stride} = 0
+),
+wins0 AS (
+  SELECT key, start, list(x ORDER BY pos) AS v
+  FROM contrib GROUP BY key, start HAVING COUNT(*) = {m}
+),
+wins1 AS (
+  SELECT key, start, v,
+         CAST(list_sum(list_transform(v, x -> CAST(x AS DECIMAL(38,18)))) AS DOUBLE)
+           / {float(m)} AS mu
+  FROM wins0
+),
+wins2 AS (
+  SELECT key, start, v, mu,
+         sqrt(CAST(list_sum(list_transform(v,
+                x -> CAST((x - mu) * (x - mu) AS DECIMAL(38,18)))) AS DOUBLE)
+              / {float(m)}) AS sd
+  FROM wins1
+),
+winz AS (
+  SELECT key, start, list_transform(v, x -> (x - mu) / sd) AS z
+  FROM wins2 WHERE sd >= 1e-9
+),
+words AS (
+  SELECT key, start, z, {word} AS word FROM winz
+),
+capped AS (
+  SELECT key, word FROM words GROUP BY key, word HAVING COUNT(*) <= {max_bucket}
+),
+ww AS (SELECT w.* FROM words w SEMI JOIN capped c ON w.key = c.key AND w.word = c.word),
+cand AS (
+  SELECT a.key, a.start AS start_a, b.start AS start_b, a.z AS za, b.z AS zb
+  FROM ww a JOIN ww b ON a.key = b.key AND a.word = b.word
+   AND b.start >= a.start + {m}
+),
+scored AS (
+  SELECT key, start_a, start_b,
+         ROUND(sqrt(CAST(list_sum(list_transform(range(1, {m} + 1),
+             i -> CAST((za[CAST(i AS INTEGER)] - zb[CAST(i AS INTEGER)])
+                       * (za[CAST(i AS INTEGER)] - zb[CAST(i AS INTEGER)])
+                       AS DECIMAL(38,18)))) AS DOUBLE)), 9) AS d9
+  FROM cand
+),
+ranked AS (
+  SELECT key, start_a, start_b, d9,
+         CAST(ROW_NUMBER() OVER (PARTITION BY key
+                ORDER BY d9, start_a, start_b) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT key AS event_type, rank, start_a, start_b, ROUND(d9, 6) AS dist
+FROM ranked WHERE rank <= {k}
+ORDER BY event_type, rank
+"""
+
+
 QUERIES = {
+    "ts_motif_topk": q_ts_motifs,
     "anomaly_mad": q_anomaly_mad,
     "time_rollup_ohlc": q_time_rollup_ohlc,
     "distinct_users_salted": q_distinct_users_salted,
@@ -211,6 +301,7 @@ QUERIES = {
     "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
+    "ts_motif_topk": _ts_motifs_oracle_sql(),
     "anomaly_mad": _ANOMALY_MAD_SQL,
     "time_rollup_ohlc": _TIME_ROLLUP_SQL,
     "distinct_users_salted": _DISTINCT_SALTED_SQL,

@@ -121,3 +121,46 @@ def test_gapfill_pinned_escape_hatch(spark):
     pins[0].unpersist(blocking=True)
     assert not (pins[0].storageLevel.useMemory or pins[0].storageLevel.useDisk)
     assert out.count() == rows  # plan still valid, just uncached
+
+
+def test_sax_motif_finds_planted_scaled_motif(spark):
+    """A motif repeated later in the series at a different scale and
+    offset (y = 3x + 40) must be the rank-1 pair with near-zero
+    z-normalized distance — z-normalization is exactly what makes the
+    two instances identical; the random filler must not outrank it.
+    Also pins the non-overlap contract (start_b >= start_a + m)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        sax_similar_subsequences,
+    )
+
+    motif = [math.sin(t / 2.5) * 10 + (t % 3) for t in range(16)]
+    # aperiodic filler: an arithmetic mod-ramp would z-normalize into
+    # IDENTICAL window shapes (every segment is affine in i) and flood
+    # the result with zero-distance pairs
+    filler = [math.sin(i * i * 0.7) * 50 + (i * 37 % 113) for i in range(200)]
+    series = (
+        filler[:40] + motif + filler[40:120]
+        + [3 * v + 40 for v in motif] + filler[120:]
+    )
+    rows = [(i, i, "s", float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("t").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = sax_similar_subsequences(
+        df, m=16, stride=4, paa=4, k=3
+    ).collect()
+    assert out, "no pairs found"
+    top = out[0]
+    assert (top["start_a"], top["start_b"]) == (40, 136)
+    assert top["dist"] < 1e-6
+    for r in out:
+        assert r["start_b"] >= r["start_a"] + 16
