@@ -71,6 +71,7 @@ HEADLINE = [
     "curation_dsir_weights",
     "curation_boilerplate_ngrams",
     "curation_pipeline_end2end",
+    "ts_motif_topk",
 ]
 
 
