@@ -145,3 +145,35 @@ def test_round6_ops_partitioning_invariant(spark):
     assert _rows(embedding_covariance(a), "i", "j", "cov") == _rows(
         embedding_covariance(b), "i", "j", "cov"
     )
+
+
+def test_sax_motifs_partitioning_invariant(spark):
+    """The chunked window extraction (sorted collect per (key, chunk))
+    and the 9-dp-ranked candidate ordering must be IDENTICAL under
+    1-way vs 17-way layouts — window content assembled from shuffled
+    rows is exactly where a layout dependence would hide."""
+    import math
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        sax_similar_subsequences,
+    )
+
+    rows = [
+        (i, i, f"s{i % 2}", math.sin(i * i * 0.31) * 40 + (i * 29 % 97))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("t").alias("ts"), "event_type", "value"
+    )
+    a, b = _both_layouts(df)
+    ra = _rows(
+        sax_similar_subsequences(a, k=10),
+        "event_type", "rank", "start_a", "start_b", "dist",
+    )
+    rb = _rows(
+        sax_similar_subsequences(b, k=10),
+        "event_type", "rank", "start_a", "start_b", "dist",
+    )
+    assert ra == rb and len(ra) > 0
