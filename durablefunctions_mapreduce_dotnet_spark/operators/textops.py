@@ -638,3 +638,87 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "rank bigint, pair string, freq bigint"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a bag-of-terms
+    query — the lexical scoring half of every retrieval/RAG stack
+    (Robertson-Sparck Jones idf, Okapi tf saturation and length
+    normalization):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg|d|))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    Plan: doc lengths are one combiner aggregate; corpus stats (N,
+    avg length — decimal-exact mean) are a broadcast 1-row scalar; the
+    tf table is ONLY over query terms (the isin filter prunes before
+    the groupBy, so per-query work is |matching postings|, not corpus-
+    wide); ranking is a global top-k (``TakeOrderedAndProject``).  At
+    100 TB the standing asset is the (doc, term, tf) posting table a
+    deployment precomputes — this operator then skips straight to the
+    score join.
+
+    Determinism: scores sum ≤|query| per-term doubles (identical IEEE
+    expressions both engines) and are RANKED at 9 dp with an id
+    tie-break, emitted at 6 dp."""
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(terms))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("_term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_term_score"), 9).alias("_s9"))
+    )
+    return (
+        scored.orderBy(F.desc("_s9"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round("_s9", 6).alias("score"),
+        )
+    )

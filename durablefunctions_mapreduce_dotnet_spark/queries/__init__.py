@@ -154,6 +154,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "join_asof_tolerance",
     "dedup_minhash_incremental",
     "ts_motif_topk",
+    "text_bm25",
 )
 
 

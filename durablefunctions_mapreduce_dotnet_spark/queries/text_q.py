@@ -353,7 +353,60 @@ SELECT * FROM ({union}) ORDER BY rank
 """
 
 
+
+
+_BM25_TERMS = ("merge", "spark", "window")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed three-term query
+    (operators.textops.bm25_topk) — lexical ranked retrieval, mirrored
+    formula-for-formula (idf, tf saturation, length normalization) in
+    the oracle."""
+    from ..operators.textops import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), k=10).orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
+def _bm25_oracle_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w IN ({terms})
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {k1 + 1.0})
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / stats.avgdl))
+         ), 9) AS s9
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s9, 6) AS score
+FROM scored ORDER BY s9 DESC, doc_id LIMIT {k}
+"""
+
+
 QUERIES = {
+    "text_bm25": q_text_bm25,
     "text_bpe_merges": q_text_bpe_merges,
     "text_lm_score": q_text_lm_score,
     "text_lm_score_fast": q_text_lm_score_fast,
@@ -369,6 +422,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_bm25": _bm25_oracle_sql(),
     "text_bpe_merges": _bpe_oracle_sql(),
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,

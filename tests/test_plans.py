@@ -67,6 +67,9 @@ _BNLJ_OK = {
     # joins (textops.lm_bigram_score, curation.temperature_mix)
     "text_lm_score",
     "curation_temperature_mix",
+    # corpus-stats scalar (N, avg doc length): broadcast 1-row cross
+    # join (textops.bm25_topk)
+    "text_bm25",
     # bucket-histogram totals scalar: broadcast 1-row cross join
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
