@@ -72,6 +72,7 @@ HEADLINE = [
     "curation_boilerplate_ngrams",
     "curation_pipeline_end2end",
     "ts_motif_topk",
+    "text_bm25",
 ]
 
 
