@@ -679,6 +679,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.5,
+    max_postings: int = 500,
+) -> DataFrame:
+    """DIRECTED n-gram containment C(a→b) = |S(a)∩S(b)| / |S(a)| ≥ τ —
+    the sub-document-duplication detector Jaccard structurally misses:
+    a short doc fully embedded in a much longer one has tiny Jaccard
+    (union is dominated by the long doc) but containment ≈ 1.  This is
+    the Broder (1997) containment coefficient, the standard quote/
+    boilerplate/excerpt screen in web-corpus curation.
+
+    Same inverted-index shape and df-cut approximation as
+    :func:`ngram_jaccard_pairs` (postings with df in [2, max_postings];
+    singleton grams can't match, stop-grams are dropped — scores are ≤
+    true containment, mirrored exactly in the oracle).  Directional:
+    both (a,b) and (b,a) are evaluated; only directions clearing τ are
+    emitted.  The postings self-join is linear in (capped) postings
+    mass, the same 100 TB posture as the Jaccard path."""
+    df = _widen(df)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
+                f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df").between(2, max_postings)
+    ).select("gram")
+    g = grams.join(hot, "gram")
+    a = g.select(F.col("gram"), F.col(id_col).alias("id_a"))
+    b = g.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 

@@ -640,6 +640,171 @@ def learn_bpe_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus — the tokenizer
+    APPLICATION step that pairs with :func:`learn_bpe_merges` (train
+    once, encode everything; the per-document token count is what
+    sequence packing and context-length budgeting consume downstream).
+    Returns (id, n_words, n_tokens) per document; docs with no words
+    zero-fill.
+
+    Execution shape — encode the VOCABULARY, not the corpus: the
+    merge table collapses to a driver-side list (tokenizer-sized, ≤ a
+    few 10k rows even for production BPE — a broadcast-scale object by
+    construction), each DISTINCT word is spelled into the sentinel
+    symbol string and pushed through the merges as one chained
+    codegen'd ``replace`` expression, and the corpus then just joins
+    word → token-count.  Per-word string work is O(vocab · merges),
+    sublinear in corpus size; the corpus-sized side only tokenizes on
+    whitespace and aggregates.  At 100 TB the vocab side stays
+    broadcastable (distinct words grow ~Heaps-law, not linearly).
+
+    Merge semantics match :func:`learn_bpe_merges` exactly (replace-
+    BPE: left-to-right non-overlapping ``replace`` of the space-joined
+    pair, applied cumulatively in rank order), so encoding a corpus
+    with merges learned from it is self-consistent and the whole
+    learn→encode pipeline stays engine-mirrorable: token counts are
+    pure integers, hash-exact against an unrolled-CTE oracle."""
+    pairs = [
+        r["pair"]
+        for r in merges.orderBy("rank").select("rank", "pair").collect()
+    ]
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for pair in pairs:
+        a, b = pair.split(" ")
+        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(sym), " ")).alias("nt"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual
+    information — the phrase-mining step of vocabulary construction
+    (Church & Hanks 1990; word2vec's phrase pass uses the same score):
+
+        pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )
+                 = ln( c_ab·N_uni² / (N_big·c_a·c_b) )
+
+    with a ``min_count`` support floor (rare co-occurrences have
+    unboundedly inflated PMI — the standard cut).
+
+    Plan: bigram and unigram tables are combiner aggregates over one
+    tokenize pass; corpus totals are a broadcast 1-row scalar; the
+    unigram side joins in twice (left word, right word — broadcast:
+    vocabulary-sized); ranking is a global top-k
+    (``TakeOrderedAndProject``).  Nothing is corpus-sized after the
+    first aggregation, so the shape is the same as word-count — the
+    cheapest possible distributed pattern.
+
+    Determinism: counts are exact integers; the PMI double is the
+    IDENTICAL expression tree in both engines (left-associative
+    products, one ln), ranked at 9 dp with a bigram tie-break, emitted
+    at 6 dp."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        df.select(F.explode(pairs).alias("bigram")).agg(
+            F.count(F.lit(1)).alias("n_big")
+        )
+    )
+    ua = uni.select(F.col("w").alias("_wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("_wb"), F.col("c").alias("c_b"))
+    scored = (
+        big.withColumn("_wa", F.split(F.col("bigram"), " ")[0])
+        .withColumn("_wb", F.split(F.col("bigram"), " ")[1])
+        .join(F.broadcast(ua), "_wa")
+        .join(F.broadcast(ub), "_wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "n_ab",
+            F.log(
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                )
+                / (
+                    F.col("n_big").cast("double")
+                    * F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                )
+            ).alias("_pmi"),
+        )
+    )
+    return (
+        scored.select(
+            "bigram",
+            "n_ab",
+            F.round("_pmi", 9).alias("_p9"),
+        )
+        .orderBy(F.desc("_p9"), "bigram")
+        .limit(k)
+        .select("bigram", "n_ab", F.round(F.col("_p9"), 6).alias("pmi"))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

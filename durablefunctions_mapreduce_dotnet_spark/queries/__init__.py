@@ -155,6 +155,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "ts_motif_topk",
     "text_bm25",
+    "text_bpe_encode",
+    "dedup_containment",
 )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    containment_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_near_dup_pairs,
@@ -90,6 +91,40 @@ SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-4-gram containment ≥ 0.5 (Broder containment
+    coefficient) — the sub-document duplication screen; df-cut at 500
+    mirrored exactly in the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, n=4, threshold=0.5, max_postings=500
+    ).orderBy("id_a", "id_b")
+
+
+_DEDUP_CONTAIN_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 1) + 1),
+                   i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+3], ' '))
+  )) AS gram
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 500),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN hot USING (gram)
+  JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) >= 0.5
+ORDER BY id_a, id_b
 """
 
 
@@ -458,6 +493,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -474,5 +510,6 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_containment": _DEDUP_CONTAIN_SQL,
     "dedup_embedding": _DEDUP_EMBEDDING_SQL,
 }

@@ -312,8 +312,10 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(d, n_merges=_BPE_MERGES).orderBy("rank")
 
 
-def _bpe_oracle_sql(n: int = _BPE_MERGES) -> str:
-    its, finals = [], []
+def _bpe_learn_ctes(n: int = _BPE_MERGES) -> str:
+    """The unrolled BPE-learning CTE chain (w0..wN, b1..bN) shared by
+    the merge-learning and the encode oracles — bI is the rank-I merge."""
+    its = []
     for i in range(1, n + 1):
         prev = f"w{i - 1}"
         its.append(f"""
@@ -334,13 +336,8 @@ w{i} AS (
          freq
   FROM {prev} CROSS JOIN b{i} b
 )""")
-        finals.append(
-            f"SELECT CAST({i} AS BIGINT) AS rank, pair, cnt AS freq FROM b{i}"
-        )
     body = ",".join(its)
-    union = " UNION ALL ".join(finals)
-    return f"""
-WITH w0 AS (
+    return f"""w0 AS (
   SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
          freq
   FROM (
@@ -348,8 +345,72 @@ WITH w0 AS (
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
     WHERE w <> '' GROUP BY w
   )
-),{body}
+),{body}"""
+
+
+def _bpe_oracle_sql(n: int = _BPE_MERGES) -> str:
+    finals = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, pair, cnt AS freq FROM b{i}"
+        for i in range(1, n + 1)
+    ]
+    union = " UNION ALL ".join(finals)
+    return f"""
+WITH {_bpe_learn_ctes(n)}
 SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merges, then ENCODE the corpus with them
+    (operators.textops.bpe_encode): per-doc word and token counts —
+    the full train-tokenizer → tokenize-everything pipeline, vocab-side
+    encoding so corpus work is whitespace-split + join only.  Token
+    counts are integers, so the unrolled learn+encode oracle
+    hash-matches exactly."""
+    from ..operators.textops import bpe_encode, learn_bpe_merges
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_MERGES)
+    return bpe_encode(d, merges).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql(n: int = _BPE_MERGES) -> str:
+    # chain the learned merges over the distinct-word vocabulary, in
+    # rank order, with the same replace semantics as learning
+    vs = []
+    for i in range(1, n + 1):
+        vs.append(f""",
+v{i} AS (
+  SELECT w,
+         replace(sym, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+  FROM v{i - 1} CROSS JOIN b{i} b
+)""")
+    chain = "".join(vs)
+    return f"""
+WITH {_bpe_learn_ctes(n)},
+dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+v0 AS (
+  SELECT DISTINCT w,
+         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+  FROM dw
+){chain},
+enc AS (SELECT w, len(string_split(trim(sym), ' ')) AS nt FROM v{n}),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM dw JOIN enc USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_words, 0) AS n_words,
+       COALESCE(n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -408,6 +469,7 @@ FROM scored ORDER BY s9 DESC, doc_id LIMIT {k}
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_bpe_merges": q_text_bpe_merges,
+    "text_bpe_encode": q_text_bpe_encode,
     "text_lm_score": q_text_lm_score,
     "text_lm_score_fast": q_text_lm_score_fast,
     "text_entropy": q_text_entropy,
@@ -424,6 +486,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25": _bm25_oracle_sql(),
     "text_bpe_merges": _bpe_oracle_sql(),
+    "text_bpe_encode": _bpe_encode_oracle_sql(),
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,

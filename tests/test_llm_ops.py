@@ -606,6 +606,73 @@ def test_bpe_merges_match_python_reference(spark):
     assert got == ref_bpe(texts, 6)
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode vs a pure-Python application of the learned merges:
+    per-doc token counts must equal spelling each word, replaying the
+    merges in rank order with replace semantics, and counting symbols;
+    empty docs zero-fill."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lower",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=6)
+    pairs = [r["pair"] for r in merges.orderBy("rank").collect()]
+
+    def ref_encode(word):
+        sym = " " + " ".join(word) + " "
+        for p in pairs:
+            a, b = p.split(" ")
+            sym = sym.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(sym.strip().split(" "))
+
+    expect = []
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split(" ") if w]
+        expect.append((i, len(ws), sum(ref_encode(w) for w in ws)))
+    got = [
+        (r["doc_id"], r["n_words"], r["n_tokens"])
+        for r in bpe_encode(df, merges).orderBy("doc_id").collect()
+    ]
+    assert got == expect
+
+
+def test_containment_is_directional(spark):
+    """A short doc embedded verbatim in a long doc must score high
+    containment short→long but low long→short — the asymmetry that
+    motivates containment over Jaccard for sub-document duplication."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"pad{i} word{i} extra{i}" for i in range(30))
+    rows = [
+        (1, core),
+        (2, core + " " + filler),
+        (3, "unrelated text with nothing shared at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, n=4, threshold=0.5, max_postings=500
+        ).collect()
+    }
+    assert got.get((1, 2), 0.0) == 1.0  # short fully inside long
+    assert (2, 1) not in got  # long→short containment is tiny
+    assert all(3 not in k for k in got)
+
+
 def test_minhash_incremental_matches_filtered_full_run(spark):
     """Incremental near-dedup must equal the FULL pipeline's pairs
     restricted to those touching the new batch — no history-history
