@@ -157,6 +157,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_bm25",
     "text_bpe_encode",
     "dedup_containment",
+    "text_collocations",
 )
 
 

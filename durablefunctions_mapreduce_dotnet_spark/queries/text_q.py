@@ -416,6 +416,57 @@ ORDER BY d.doc_id
 
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI word-bigram collocations with a support floor of 5
+    (operators.textops.pmi_collocations) — phrase mining for vocabulary
+    construction, formula-mirrored in the oracle (identical
+    left-associative double products, ranked at 9 dp)."""
+    from ..operators.textops import pmi_collocations
+
+    d = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, k=20, min_count=5)
+
+
+_TEXT_COLLOC_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+),
+allbig AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])
+                     ELSE [] END) AS bigram
+  FROM toks
+),
+big AS (
+  SELECT bigram, COUNT(*) AS n_ab FROM allbig GROUP BY bigram
+  HAVING COUNT(*) >= 5
+),
+totals AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT COUNT(*) FROM allbig) AS n_big
+),
+scored AS (
+  SELECT bigram, n_ab,
+         ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                   * CAST(n_uni AS DOUBLE))
+                  / (CAST(n_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                     * CAST(ub.c AS DOUBLE))), 9) AS p9
+  FROM big
+  JOIN uni ua ON ua.word = string_split(bigram, ' ')[1]
+  JOIN uni ub ON ub.word = string_split(bigram, ' ')[2]
+  CROSS JOIN totals
+)
+SELECT bigram, n_ab, ROUND(p9, 6) AS pmi
+FROM scored ORDER BY p9 DESC, bigram LIMIT 20
+"""
+
+
 _BM25_TERMS = ("merge", "spark", "window")
 
 
@@ -470,6 +521,7 @@ QUERIES = {
     "text_bm25": q_text_bm25,
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
+    "text_collocations": q_text_collocations,
     "text_lm_score": q_text_lm_score,
     "text_lm_score_fast": q_text_lm_score_fast,
     "text_entropy": q_text_entropy,
@@ -487,6 +539,7 @@ ORACLES = {
     "text_bm25": _bm25_oracle_sql(),
     "text_bpe_merges": _bpe_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),
+    "text_collocations": _TEXT_COLLOC_SQL,
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,

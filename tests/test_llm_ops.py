@@ -646,6 +646,66 @@ def test_bpe_encode_matches_python_reference(spark):
     assert got == expect
 
 
+def test_pmi_collocations_match_python_reference(spark):
+    """pmi_collocations vs a hand computation on a tiny corpus: the
+    always-together pair must outrank independent co-occurrences and
+    the PMI values must match ln(c_ab·N_uni²/(N_big·c_a·c_b))."""
+    import math
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        pmi_collocations,
+    )
+
+    # "strong glue" always adjacent; "the cat" co-occurs but both words
+    # also roam free
+    texts = [
+        "strong glue the cat sat",
+        "strong glue cat the mat",
+        "the dog strong glue cat",
+        "cat the strong glue sat",
+        "the cat strong glue dog",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r["bigram"], r["n_ab"], r["pmi"])
+        for r in pmi_collocations(df, k=5, min_count=3).collect()
+    ]
+    uni, big, n_uni, n_big = {}, {}, 0, 0
+    for t in texts:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+            n_uni += 1
+        for a, b in zip(ws, ws[1:]):
+            big[f"{a} {b}"] = big.get(f"{a} {b}", 0) + 1
+            n_big += 1
+    expect = sorted(
+        (
+            (
+                bg,
+                c,
+                round(
+                    round(
+                        math.log(
+                            c * n_uni * n_uni
+                            / (n_big * uni[bg.split()[0]] * uni[bg.split()[1]])
+                        ),
+                        9,
+                    ),
+                    6,
+                ),
+            )
+            for bg, c in big.items()
+            if c >= 3
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:5]
+    assert got[0][0] == "strong glue"
+    assert got == expect
+
+
 def test_containment_is_directional(spark):
     """A short doc embedded verbatim in a long doc must score high
     containment short→long but low long→short — the asymmetry that
