@@ -387,3 +387,68 @@ def triangle_counts(
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, the GraphFrames/Pregel formulation): every node starts as
+    its own label; each round every node adopts the most frequent label
+    among its neighbors, ties broken toward the SMALLEST label.  Fixed
+    ``iters`` rounds of the synchronous schedule + total-order tie-break
+    make the result fully deterministic and engine-mirrorable
+    (asynchronous LPA — the usual convergence accelerant — is schedule-
+    dependent and would be neither).
+
+    Returns (node, label): nodes sharing a label after the final round
+    are one community.  Contrast with :func:`connected_components`:
+    CC merges anything touching, LPA splits a connected graph into
+    densely-linked regions — the community structure a curation
+    pipeline uses for topic-aware sampling where CC's transitive
+    closure would collapse everything reachable.
+
+    Scale shape: one labels frame (node-sized), per round one
+    edge-labels equi-join + one (node, label) combiner count + one
+    argmax aggregate — the same per-iteration cost as a PageRank step,
+    all shuffle-partitioned on node id, lineage cut every round.  The
+    vote argmax is a single ``max(struct(cnt, -label))`` aggregate, not
+    a window, so no per-node sort materializes.
+    """
+    und = checkpoint(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    labels = both.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            both.join(labels, both["s"] == labels["node"])
+            .select(F.col("d"), F.col("label"))
+            .groupBy("d", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = checkpoint(
+            votes.groupBy("d")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("d").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+    return labels

@@ -158,6 +158,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_bpe_encode",
     "dedup_containment",
     "text_collocations",
+    "graph_label_propagation",
 )
 
 

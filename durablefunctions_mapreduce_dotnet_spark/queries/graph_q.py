@@ -81,19 +81,12 @@ SELECT node, ROUND(rank, 9) AS rank FROM r{iters} ORDER BY node
 """
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the part AFFINITY graph — parts
-    co-ordered in ≥2 distinct orders (the market-basket support cut:
-    single co-occurrences in a dense catalog are noise and would make
-    the graph near-complete; support pruning is what keeps a
-    co-purchase graph analyzable at any scale).  Degree-ordered wedge
-    closing (operators.graph.triangle_counts).  Pure integer output, so
-    the brute-force three-way-join oracle hash-matches exactly."""
-    from ..operators.graph import triangle_counts
-
+def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 part co-order affinity edges (shared by the triangle
+    and label-propagation queries)."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
+    return (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .groupBy(
@@ -104,8 +97,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_c") >= 2)
         .drop("_c")
     )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part AFFINITY graph — parts
+    co-ordered in ≥2 distinct orders (the market-basket support cut:
+    single co-occurrences in a dense catalog are noise and would make
+    the graph near-complete; support pruning is what keeps a
+    co-purchase graph analyzable at any scale).  Degree-ordered wedge
+    closing (operators.graph.triangle_counts).  Pure integer output, so
+    the brute-force three-way-join oracle hash-matches exactly."""
+    from ..operators.graph import triangle_counts
+
     return (
-        triangle_counts(pairs)
+        triangle_counts(_affinity_pairs(spark, sf_dir))
         .select(F.col("n").alias("node"), "n_triangles")
         .orderBy("node")
     )
@@ -136,11 +141,62 @@ GROUP BY node ORDER BY node
 """
 
 
+_LPA_ITERS = 4
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 4 rounds of synchronous label propagation
+    over the part affinity graph (operators.graph.label_propagation) —
+    deterministic via the synchronous schedule + smallest-label
+    tie-break, so the unrolled-CTE oracle hash-matches the integer
+    (node, label) assignment exactly."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(
+        _affinity_pairs(spark, sf_dir), iters=_LPA_ITERS
+    ).orderBy("node")
+
+
+def _lpa_oracle_sql(iters: int = _LPA_ITERS) -> str:
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+c{i} AS (
+  SELECT b.d AS node, l.label, COUNT(*) AS cnt
+  FROM bi b JOIN l{i - 1} l ON l.node = b.s
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    body = "".join(its)
+    return f"""
+WITH e0 AS (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+bi AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM bi){body}
+SELECT node, label FROM l{iters} ORDER BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_label_propagation": q_graph_label_propagation,
 }
 ORACLES = {
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_triangles": _TRIANGLES_SQL,
+    "graph_label_propagation": _lpa_oracle_sql(),
 }

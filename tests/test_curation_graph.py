@@ -193,3 +193,61 @@ def test_triangle_counts_hand_graph(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous LPA with smallest-label tie-break vs an independent
+    pure-Python simulation on a two-clique + bridge graph, including
+    reverse/self-loop noise that must canonicalize away."""
+    import random
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(4, 10), (7, 7), (2, 1)]
+
+    def ref_lpa(es, iters):
+        adj = {}
+        for a, b in es:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(iters):
+            nxt = {}
+            for n, nbrs in adj.items():
+                votes = {}
+                for m in nbrs:
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                nxt[n] = min(votes, key=lambda L: (-votes[L], L))
+            lab = nxt
+        return lab
+
+    rng = random.Random(7)
+    for iters in (1, 2, 4):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(edges, "id_a bigint, id_b bigint"),
+                iters=iters,
+            ).collect()
+        }
+        assert got == ref_lpa(edges, iters), f"iters={iters}"
+
+    # and on a random graph: 30 nodes, 60 random edges
+    redges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+    ]
+    redges = [e for e in redges if e[0] != e[1]]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(redges, "id_a bigint, id_b bigint"),
+            iters=3,
+        ).collect()
+    }
+    assert got == ref_lpa(redges, 3)
