@@ -159,6 +159,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_containment",
     "text_collocations",
     "graph_label_propagation",
+    "dedup_semantic",
 )
 
 

@@ -94,6 +94,46 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: spherical k-means (k=8, 2 Lloyd rounds — the
+    hash-checked kmeans_clusters pipeline) then cosine-≥0.45 pairs
+    within each cluster (operators.dedup.semantic_dedup_pairs).  The
+    oracle reuses the unrolled k-means CTE and brute-forces
+    within-cluster pairs — ids-only output keeps it hash-exact."""
+    from ..operators.dedup import semantic_dedup_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, k=8, iters=2, threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+def _semantic_oracle_sql() -> str:
+    from .similarity_q import _kmeans_oracle_sql
+
+    return f"""
+WITH km AS ({_kmeans_oracle_sql(k=8, iters=2)}),
+e2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+en2 AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS vn
+  FROM e2
+),
+a AS (
+  SELECT km.vec_id, km.cluster, en2.vn
+  FROM km JOIN en2 USING (vec_id)
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster
+FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> x.vn[i] * y.vn[i])) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed word-4-gram containment ≥ 0.5 (Broder containment
     coefficient) — the sub-document duplication screen; df-cut at 500
@@ -494,6 +534,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_containment": q_dedup_containment,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -511,5 +552,6 @@ ORACLES = {
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_containment": _DEDUP_CONTAIN_SQL,
+    "dedup_semantic": _semantic_oracle_sql(),
     "dedup_embedding": _DEDUP_EMBEDDING_SQL,
 }

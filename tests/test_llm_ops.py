@@ -646,6 +646,38 @@ def test_bpe_encode_matches_python_reference(spark):
     assert got == expect
 
 
+def test_semantic_dedup_subset_and_cluster_complete(spark):
+    """SemDeDup pairs must be exactly the exact-cosine pairs whose
+    endpoints landed in the same k-means cluster — a subset of the
+    global exact pairs (boundary pairs missed by design), complete
+    within clusters."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+        spherical_kmeans,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(e, k=8, iters=2, threshold=0.45).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(e, threshold=0.45).collect()
+    }
+    cl = {
+        r["vec_id"]: r["cluster"]
+        for r in spherical_kmeans(e, k=8, iters=2).collect()
+    }
+    expect = {(a, b) for a, b in exact if cl[a] == cl[b]}
+    assert sem == expect
+    assert sem <= exact
+
+
 def test_pmi_collocations_match_python_reference(spark):
     """pmi_collocations vs a hand computation on a tiny corpus: the
     always-together pair must outrank independent co-occurrences and
