@@ -73,6 +73,11 @@ HEADLINE = [
     "curation_pipeline_end2end",
     "ts_motif_topk",
     "text_bm25",
+    "text_bpe_encode",
+    "text_collocations",
+    "dedup_containment",
+    "dedup_semantic",
+    "graph_label_propagation",
 ]
 
 

@@ -407,3 +407,89 @@ def sax_similar_subsequences(
             F.round("_d9", 6).alias("dist"),
         )
     )
+
+
+def seasonal_decompose(
+    df,
+    ts_col: str = "ts",
+    period: int = 7,
+):
+    """Classical additive seasonal decomposition of the DAILY EVENT
+    COUNT series: y = trend + seasonal + residual (the moving-average
+    method behind statsmodels' ``seasonal_decompose``), distributed.
+
+    - trend: centered ``period``-day moving average, defined only where
+      all ``period`` calendar days exist (edges stay NULL);
+    - seasonal: mean detrended value per period PHASE (epoch-day mod
+      ``period`` — phase, not a calendar-weekday convention, so the two
+      engines can't disagree on week-start);
+    - residual: y − trend − seasonal where trend is defined.
+
+    Determinism is engineered integer-first: the centered window sum
+    ``t7`` and the scaled detrended value ``period·y − t7`` are exact
+    integers all the way through the per-phase aggregation, so the ONLY
+    floating-point ops are final divisions of exact integers — the same
+    IEEE expression in both engines (no order-dependent double sums
+    anywhere; outputs rounded at 9 dp).
+
+    Scale shape: one combiner count per day collapses the corpus to a
+    days-sized frame (O(years) rows at 100 TB); the centered window is
+    an explode(±half-period) + equi-join on calendar day over that tiny
+    frame — no SinglePartition window over anything event-sized; phase
+    means broadcast back.  Unknown-period data would front a
+    periodogram step; here the period is a parameter.
+    """
+    half = period // 2
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    nb = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    tr = (
+        daily.select(
+            "d",
+            "y",
+            F.explode(F.sequence(F.lit(-half), F.lit(half))).alias("off"),
+        )
+        .withColumn("dj", F.date_add(F.col("d"), F.col("off")))
+        .join(nb, F.col("dj") == F.col("d2"))
+        .groupBy("d", "y")
+        .agg(F.sum("y2").alias("t7"), F.count(F.lit(1)).alias("c7"))
+    )
+    phase = F.pmod(
+        F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))), F.lit(period)
+    ).cast("bigint")
+    full = F.col("c7") == period
+    seas = (
+        tr.where(full)
+        .select(phase.alias("phase"), (F.lit(period) * F.col("y") - F.col("t7")).alias("d7"))
+        .groupBy("phase")
+        .agg(F.sum("d7").alias("s7"), F.count(F.lit(1)).alias("sc"))
+    )
+    p = float(period)
+    return (
+        tr.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "y",
+            "t7",
+            "c7",
+            phase.alias("phase"),
+        )
+        .join(F.broadcast(seas), "phase", "left")
+        .select(
+            "day",
+            "y",
+            F.when(
+                F.col("c7") == period, F.round(F.col("t7") / F.lit(p), 9)
+            ).alias("trend"),
+            F.round(F.col("s7") / (F.lit(p) * F.col("sc")), 9).alias("seasonal"),
+            F.when(
+                F.col("c7") == period,
+                F.round(
+                    F.col("y")
+                    - F.col("t7") / F.lit(p)
+                    - F.col("s7") / (F.lit(p) * F.col("sc")),
+                    9,
+                ),
+            ).alias("residual"),
+        )
+    )

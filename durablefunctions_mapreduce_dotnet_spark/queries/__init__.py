@@ -160,6 +160,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_collocations",
     "graph_label_propagation",
     "dedup_semantic",
+    "time_seasonal_decompose",
 )
 
 

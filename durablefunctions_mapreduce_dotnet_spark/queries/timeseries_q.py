@@ -292,8 +292,48 @@ ORDER BY event_type, rank
 """
 
 
+def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series
+    (period 7): y = trend + seasonal + residual
+    (operators.timeseries.seasonal_decompose).  Integer-exact until the
+    final divisions, so the mirror is hash-exact at 9 dp."""
+    from ..operators.timeseries import seasonal_decompose
+
+    e = read_table(spark, sf_dir, "events")
+    return seasonal_decompose(e, period=7).orderBy("day")
+
+
+_TIME_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT a.d, a.y, CAST(SUM(b.y) AS BIGINT) AS t7, COUNT(*) AS c7
+  FROM daily a
+  CROSS JOIN range(-3, 4) o(off)
+  JOIN daily b ON b.d = a.d + CAST(o.off AS INTEGER)
+  GROUP BY a.d, a.y
+),
+seas AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS phase,
+         CAST(SUM(7 * y - t7) AS BIGINT) AS s7, COUNT(*) AS sc
+  FROM tr WHERE c7 = 7 GROUP BY 1
+)
+SELECT strftime(tr.d, '%Y-%m-%d') AS day, y,
+       CASE WHEN c7 = 7 THEN ROUND(t7 / 7.0, 9) END AS trend,
+       ROUND(s7 / (7.0 * sc), 9) AS seasonal,
+       CASE WHEN c7 = 7
+            THEN ROUND(y - t7 / 7.0 - s7 / (7.0 * sc), 9) END AS residual
+FROM tr LEFT JOIN seas
+  ON seas.phase = CAST(date_diff('day', DATE '1970-01-01', tr.d) % 7 AS BIGINT)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "ts_motif_topk": q_ts_motifs,
+    "time_seasonal_decompose": q_time_seasonal,
     "anomaly_mad": q_anomaly_mad,
     "time_rollup_ohlc": q_time_rollup_ohlc,
     "distinct_users_salted": q_distinct_users_salted,
@@ -302,6 +342,7 @@ QUERIES = {
 }
 ORACLES = {
     "ts_motif_topk": _ts_motifs_oracle_sql(),
+    "time_seasonal_decompose": _TIME_SEASONAL_SQL,
     "anomaly_mad": _ANOMALY_MAD_SQL,
     "time_rollup_ohlc": _TIME_ROLLUP_SQL,
     "distinct_users_salted": _DISTINCT_SALTED_SQL,

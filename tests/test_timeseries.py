@@ -164,3 +164,36 @@ def test_sax_motif_finds_planted_scaled_motif(spark):
     assert top["dist"] < 1e-6
     for r in out:
         assert r["start_b"] >= r["start_a"] + 16
+
+
+def test_seasonal_decompose_reconstructs_and_is_phase_constant(spark):
+    """Interior days must satisfy y = trend + seasonal + residual up to
+    the 9-dp output rounding; seasonal must be a pure function of the
+    period phase; edge days (incomplete centered window) have NULL
+    trend/residual."""
+    from datetime import date
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "events")
+    rows = seasonal_decompose(e, period=7).orderBy("day").collect()
+    assert len(rows) == 30
+    by_phase = {}
+    n_interior = 0
+    for r in rows:
+        d = date.fromisoformat(r["day"])
+        phase = d.toordinal() % 7  # same modulus stream as epoch-day % 7
+        if r["seasonal"] is not None:
+            by_phase.setdefault(phase, set()).add(r["seasonal"])
+        if r["trend"] is None:
+            assert r["residual"] is None
+            continue
+        n_interior += 1
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 3e-9
+    assert n_interior == 24  # 30 days - 3 edge days each side
+    assert all(len(v) == 1 for v in by_phase.values())
