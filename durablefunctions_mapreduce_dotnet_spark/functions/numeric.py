@@ -124,3 +124,61 @@ def grouped_moments(
             ).alias("corr_xy"),
         )
     )
+
+
+def grouped_regression(
+    df,
+    group_cols: list[str],
+    x: str,
+    y: str,
+):
+    """Per-group least-squares line of ``y`` on ``x`` — the
+    REGR_SLOPE / REGR_INTERCEPT / REGR_R2 family, deterministic.
+
+    Same two-pass centered machinery as :func:`grouped_moments` (exact
+    decimal means, per-row centered products cast to fixed-scale
+    decimal, exact additive accumulation): slope = Sxy/Sxx,
+    intercept = μy − slope·μx, r² = Sxy²/(Sxx·Syy).  The built-in
+    ``regr_*`` aggregates in both engines accumulate doubles
+    order-dependently and cross-engine FMA-differently — this form is
+    bit-stable under any partitioning and hash-equal to the oracle.
+    ``try_divide`` nulls degenerate groups (zero x-variance) instead of
+    an ANSI abort.  Mirrors: ``_sql.regression_sql``.
+    """
+    cx, cy = F.col(x), F.col(y)
+    means = df.groupBy(*group_cols).agg(
+        davg(cx, "_mux"), davg(cy, "_muy")
+    )
+    j = df.join(F.broadcast(means), group_cols)
+    ctr_x = cx - F.col("_mux")
+    ctr_y = cy - F.col("_muy")
+    sums = (
+        j.select(
+            *group_cols,
+            "_mux",
+            "_muy",
+            (ctr_x * ctr_x).cast(DECIMAL).alias("_dxx"),
+            (ctr_y * ctr_y).cast(DECIMAL).alias("_dyy"),
+            (ctr_x * ctr_y).cast(DECIMAL).alias("_dxy"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.first("_mux").alias("_mux"),
+            F.first("_muy").alias("_muy"),
+            F.sum("_dxx").cast("double").alias("_sxx"),
+            F.sum("_dyy").cast("double").alias("_syy"),
+            F.sum("_dxy").cast("double").alias("_sxy"),
+        )
+    )
+    slope = F.try_divide(F.col("_sxy"), F.col("_sxx"))
+    return sums.select(
+        *group_cols,
+        F.round(slope, 9).alias("slope"),
+        F.round(F.col("_muy") - slope * F.col("_mux"), 6).alias("intercept"),
+        F.round(
+            F.try_divide(
+                F.col("_sxy") * F.col("_sxy"), F.col("_sxx") * F.col("_syy")
+            ),
+            9,
+        ).alias("r2"),
+    )

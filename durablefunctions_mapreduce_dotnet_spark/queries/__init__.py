@@ -161,6 +161,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "graph_label_propagation",
     "dedup_semantic",
     "time_seasonal_decompose",
+    "agg_regression",
 )
 
 

@@ -34,3 +34,32 @@ SELECT {group},
          / nullif(SQRT(CAST(SUM(_dxx) AS DOUBLE)) * SQRT(CAST(SUM(_dyy) AS DOUBLE)), 0), 9) AS corr_xy
 FROM centered GROUP BY {group}
 """
+
+
+def regression_sql(table: str, group: str, x: str, y: str) -> str:
+    """Mirror of ``functions.numeric.grouped_regression``: two-pass
+    centered OLS with exact-decimal means/sums; only final divisions are
+    floating-point."""
+    return f"""
+WITH means AS (
+  SELECT {group}, {davg(x)} AS _mux, {davg(y)} AS _muy
+  FROM {table} GROUP BY {group}
+), centered AS (
+  SELECT t.{group}, _mux, _muy,
+         CAST(({x} - _mux) * ({x} - _mux) AS DECIMAL(38,6)) AS _dxx,
+         CAST(({y} - _muy) * ({y} - _muy) AS DECIMAL(38,6)) AS _dyy,
+         CAST(({x} - _mux) * ({y} - _muy) AS DECIMAL(38,6)) AS _dxy
+  FROM {table} t JOIN means USING ({group})
+), sums AS (
+  SELECT {group}, ANY_VALUE(_mux) AS _mux, ANY_VALUE(_muy) AS _muy,
+         CAST(SUM(_dxx) AS DOUBLE) AS _sxx,
+         CAST(SUM(_dyy) AS DOUBLE) AS _syy,
+         CAST(SUM(_dxy) AS DOUBLE) AS _sxy
+  FROM centered GROUP BY {group}
+)
+SELECT {group},
+       ROUND(_sxy / nullif(_sxx, 0), 9) AS slope,
+       ROUND(_muy - (_sxy / nullif(_sxx, 0)) * _mux, 6) AS intercept,
+       ROUND((_sxy * _sxy) / nullif(_sxx * _syy, 0), 9) AS r2
+FROM sums
+"""

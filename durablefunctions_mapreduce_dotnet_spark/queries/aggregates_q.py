@@ -14,10 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, grouped_moments
+from ..functions.numeric import dsum, grouped_moments, grouped_regression
 from ..sources.readers import read_table
 from ._sql import dsum as sql_dsum
-from ._sql import moments_sql
+from ._sql import moments_sql, regression_sql
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,6 +115,33 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOMENTS_SQL = (
     moments_sql("lineitem", "l_returnflag", "l_quantity", "l_extendedprice")
     + " ORDER BY l_returnflag"
+)
+
+
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time
+    (REGR_SLOPE / REGR_INTERCEPT / REGR_R2 surface) — two-pass centered
+    OLS with exact-decimal accumulation
+    (functions.numeric.grouped_regression); the built-in ``regr_*``
+    aggregates drift with partitioning and FMA contraction."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        "value",
+    )
+    return grouped_regression(ev, ["event_type"], "xs", "value").orderBy(
+        "event_type"
+    )
+
+
+_REGRESSION_SQL = (
+    regression_sql(
+        "(SELECT event_type, epoch_us(ts) // 1000000 AS xs, value FROM events)",
+        "event_type",
+        "xs",
+        "value",
+    )
+    + " ORDER BY event_type"
 )
 
 
@@ -222,6 +249,7 @@ QUERIES = {
     "agg_argminmax": q_argminmax,
     "agg_percentiles": q_percentiles,
     "agg_moments": q_moments,
+    "agg_regression": q_regression,
     "agg_bool_conditional": q_bool_aggs,
     "agg_collect_set": q_collect_set,
 }
@@ -231,6 +259,7 @@ ORACLES = {
     "agg_argminmax": _ARGMINMAX_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_moments": _MOMENTS_SQL,
+    "agg_regression": _REGRESSION_SQL,
     "agg_bool_conditional": _BOOL_AGGS_SQL,
     "agg_collect_set": _COLLECT_SET_SQL,
 }

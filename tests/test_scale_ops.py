@@ -245,6 +245,33 @@ def test_grouped_moments_degenerate_groups_yield_null(spark):
     assert got["flat"]["var_x"] == 0.0 and got["flat"]["corr_xy"] is None
 
 
+def test_grouped_regression_matches_numpy(spark):
+    """OLS slope/intercept/r2 must agree with numpy's lstsq fit to ~1e-6
+    relative (exact-decimal path vs float64 reference), and degenerate
+    zero-x-variance groups must yield NULL, not an ANSI abort."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.functions.numeric import (
+        grouped_regression,
+    )
+
+    rng = np.random.RandomState(11)
+    xs = rng.uniform(0, 1000, 200)
+    ys = 3.25 * xs - 41.5 + rng.normal(0, 5.0, 200)
+    rows = [("g", float(x), float(y)) for x, y in zip(xs, ys)] + [
+        ("flat", 7.0, 1.0),
+        ("flat", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in grouped_regression(df, ["k"], "x", "y").collect()}
+    slope, icpt = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["g"]["slope"] - slope) < 1e-6 * abs(slope)
+    assert abs(got["g"]["intercept"] - icpt) < 1e-4 * abs(icpt)
+    assert abs(got["g"]["r2"] - r * r) < 1e-6
+    assert got["flat"]["slope"] is None and got["flat"]["r2"] is None
+
+
 def _asof_both_paths(spark, left_rows, right_rows, skew_keys, bucket_seconds, inner):
     from durablefunctions_mapreduce_dotnet_spark.operators.joins import (
         asof_join_backward,
