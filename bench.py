@@ -1,7 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver captures only the LAST ~2,000 chars of
+stdout — r06's single fat line outgrew that and the official bench
+record was lost): stdout carries TWO JSON lines.  The first is the full
+detail (4-dp per-query times + scale curve; also written to the
+gitignored .bench_detail.json); the LAST line is the compact official
+record {"metric", "value", "unit", "sf", "n_queries"} plus the per-query
+dict at 2 dp ONLY if the serialized line stays under _LINE_BUDGET chars
+(tests/test_bench_contract.py pins the budget).
 
 Each query is executed to a noop sink so the full plan runs without
 driver-side transfer skewing the numbers.
@@ -111,6 +119,11 @@ SCALE_PROBE = [
     "text_lm_score_fast",
     "curation_pipeline_end2end",
     "graph_triangles",
+    # r07: the chunked-window claim (~1.02x shuffle blowup) and the
+    # shared minhash+CC core are the newest 100TB stories — pin their
+    # 10x ratios.
+    "ts_motif_topk",
+    "dedup_keep_best",
 ]
 SCALE_FACTOR = 10
 
@@ -191,6 +204,30 @@ def _ensure_scale_dir(repo_dir: str) -> str:
     return out
 
 
+#: hard ceiling for the FINAL stdout line — the driver keeps only the
+#: last ~2,000 chars, so the official record must fit with headroom.
+_LINE_BUDGET = 1500
+
+
+def compact_result(result: dict) -> dict:
+    """The official last-line record: totals always; the per-query dict
+    (2 dp) only if the serialized line stays under ``_LINE_BUDGET`` —
+    otherwise per-query times live in the detail line / file only."""
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": result.get("n_queries", len(result.get("queries", {}))),
+        "detail": ".bench_detail.json",
+    }
+    with_q = dict(compact)
+    with_q["queries"] = {k: round(v, 2) for k, v in result.get("queries", {}).items()}
+    if len(json.dumps(with_q, separators=(",", ":"))) <= _LINE_BUDGET:
+        return with_q
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -243,6 +280,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "n_queries": len(times),
     }
     # Scale curve (only on the default sf0.1 run; skip for quick dev
     # loops at other SFs or with SPARK_GRAFT_SCALE=0): best-of-3 at a
@@ -271,7 +309,20 @@ def main() -> None:
                     "ratio": round(best / times[name], 2),
                 }
             result["scale_curve"] = {"data_factor": SCALE_FACTOR, "queries": curve}
-    print(json.dumps(result))
+    # Detail record: full 4-dp times + scale curve — an EARLY stdout
+    # line (survives in builder logs) and a gitignored file; never the
+    # last line, which must stay under the driver's tail capture.
+    detail_line = json.dumps(result)
+    print(detail_line)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_detail.json"),
+            "w",
+        ) as fh:
+            fh.write(detail_line + "\n")
+    except OSError:
+        pass
+    print(json.dumps(compact_result(result), separators=(",", ":")))
     spark.stop()
 
 

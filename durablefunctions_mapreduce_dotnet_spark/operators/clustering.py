@@ -242,6 +242,12 @@ def pca_project(
     import pandas as pd
 
     cov_rows = embedding_covariance(df, vec_col, id_col).collect()
+    if not cov_rows:
+        # Empty input: no covariance, no components — return an empty
+        # frame with the declared schema rather than max() exploding.
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, components array<double>"
+        )
     dim = max(r["j"] for r in cov_rows) + 1
     C = np.zeros((dim, dim))
     for r in cov_rows:

@@ -1178,7 +1178,16 @@ def minhash_near_dup_incremental(
     transform), so a boilerplate-heavy history bucket costs
     |new|·|bucket| pairs, not |bucket|².  Exact-Jaccard verification is
     unchanged.  Output: (id_a, id_b, jaccard) with the NEW doc always
-    present in each pair."""
+    present in each pair.
+
+    Id overlap between batch and history (a re-ingested doc) is resolved
+    NEW-VERSION-WINS: history rows whose id appears in the batch are
+    anti-joined away before signature work, so an overlapping id can't
+    produce duplicate signature rows or degenerate self-pairs; the pair
+    transform additionally refuses a == b as defense in depth."""
+    history = history.join(
+        new_batch.select(id_col), id_col, "left_anti"
+    )
     nb = checkpoint(
         shingle_minhash_table_fast(new_batch, text_col, id_col, shingle_k, num_hashes)
     ).withColumn("_new", F.lit(True))
@@ -1213,7 +1222,7 @@ def minhash_near_dup_incremental(
                 "           y -> struct(least(x._id, y._id) AS a,"
                 "                       greatest(x._id, y._id) AS b,"
                 "                       x._new OR y._new AS keep)),"
-                "         p -> p.keep)))"
+                "         p -> p.keep AND p.a != p.b)))"
             )
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()

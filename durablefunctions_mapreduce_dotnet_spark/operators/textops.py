@@ -763,10 +763,13 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_count)
     )
+    # n_big = total bigram occurrences = Σ_doc max(n_words-1, 0): computed
+    # from token COUNTS per doc (no second explode pass — the r06 plan
+    # re-exploded `pairs` corpus-wide just to count rows).  Same integer.
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        df.select(F.explode(pairs).alias("bigram")).agg(
-            F.count(F.lit(1)).alias("n_big")
-        )
+        df.select(
+            F.greatest(n - 1, F.lit(0)).alias("_np")
+        ).agg(F.sum("_np").alias("n_big"))
     )
     ua = uni.select(F.col("w").alias("_wa"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("_wb"), F.col("c").alias("c_b"))
@@ -834,7 +837,9 @@ def bm25_topk(
     Determinism: scores sum ≤|query| per-term doubles (identical IEEE
     expressions both engines) and are RANKED at 9 dp with an id
     tie-break, emitted at 6 dp."""
-    terms = sorted(set(query_terms))
+    # Normalize query terms to the corpus casing (tokens are lowercased
+    # below) — a mixed-case query term must match, not silently score 0.
+    terms = sorted({t.lower() for t in query_terms})
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),

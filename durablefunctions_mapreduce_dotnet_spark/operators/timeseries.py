@@ -439,6 +439,16 @@ def seasonal_decompose(
     means broadcast back.  Unknown-period data would front a
     periodogram step; here the period is a parameter.
     """
+    # Only ODD periods: the centered window spans 2·half+1 days, which
+    # equals `period` only when period is odd.  An even period needs the
+    # classical 2×period centered MA (two passes) — not implemented, and
+    # silently dividing a (period+1)-day partial sum by `period` would be
+    # wrong, so refuse loudly.
+    if period % 2 != 1:
+        raise ValueError(
+            f"seasonal_decompose requires an odd period (got {period}); "
+            "even periods need a 2x-period centered moving average"
+        )
     half = period // 2
     daily = df.groupBy(
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")

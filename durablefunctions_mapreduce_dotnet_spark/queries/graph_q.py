@@ -82,8 +82,11 @@ SELECT node, ROUND(rank, 9) AS rank FROM r{iters} ORDER BY node
 
 
 def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-≥2 part co-order affinity edges (shared by the triangle
-    and label-propagation queries)."""
+    """Part co-order affinity edges with support ≥ 2 CO-OCCURRENCE ROW
+    PAIRS (shared by the triangle and label-propagation queries).  Note
+    the support counts self-join row pairs, not distinct orders: a part
+    pair appearing twice within ONE order clears the cut — the oracle
+    mirrors the same computation."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     return (
@@ -100,8 +103,8 @@ def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the part AFFINITY graph — parts
-    co-ordered in ≥2 distinct orders (the market-basket support cut:
+    """Per-node triangle counts over the part AFFINITY graph — part
+    pairs with ≥2 co-occurrence row pairs (the market-basket support cut:
     single co-occurrences in a dense catalog are noise and would make
     the graph near-complete; support pruning is what keeps a
     co-purchase graph analyzable at any scale).  Degree-ordered wedge

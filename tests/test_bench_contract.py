@@ -1,0 +1,63 @@
+"""The driver records only the LAST ~2,000 chars of bench.py stdout —
+r06's official bench record was lost because the single JSON line grew
+past that.  Pin the compact-last-line contract so it can't regress."""
+
+import json
+
+import bench
+
+
+def _serialized(result: dict) -> str:
+    return json.dumps(bench.compact_result(result), separators=(",", ":"))
+
+
+def test_current_headline_set_fits_budget():
+    """With every current headline query at a worst-case 3-digit time,
+    the final line must stay under the driver's capture window."""
+    result = {
+        "metric": "headline_queries_total",
+        "value": 12345.6789,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(bench.HEADLINE),
+        "queries": {name: 123.4567 for name in bench.HEADLINE},
+    }
+    line = _serialized(result)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 12345.6789
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+
+
+def test_oversized_query_dict_is_dropped_not_truncated():
+    """200 long-named queries cannot fit: the compact record must drop
+    the per-query dict entirely (detail file keeps it) and still parse."""
+    result = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 200,
+        "queries": {f"very_long_query_name_number_{i:03d}": 1.2345 for i in range(200)},
+    }
+    line = _serialized(result)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert "queries" not in parsed
+    assert parsed["n_queries"] == 200
+    assert parsed["detail"] == ".bench_detail.json"
+
+
+def test_scale_curve_never_reaches_final_line():
+    """The scale curve belongs to the detail record only."""
+    result = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 1,
+        "queries": {"flagship_faithful": 0.5},
+        "scale_curve": {"data_factor": 10, "queries": {}},
+    }
+    assert "scale_curve" not in bench.compact_result(result)

@@ -70,6 +70,9 @@ _BNLJ_OK = {
     # corpus-stats scalar (N, avg doc length): broadcast 1-row cross
     # join (textops.bm25_topk)
     "text_bm25",
+    # corpus-totals scalar (N_uni, N_big): broadcast 1-row cross join
+    # (textops.pmi_collocations)
+    "text_collocations",
     # bucket-histogram totals scalar: broadcast 1-row cross join
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
