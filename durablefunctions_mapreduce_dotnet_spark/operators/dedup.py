@@ -817,6 +817,8 @@ def semantic_dedup_pairs(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_cluster_rows: int | None = None,
+    max_cluster: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with
     spherical k-means, then find cosine-≥ τ near-duplicate pairs ONLY
@@ -830,21 +832,42 @@ def semantic_dedup_pairs(
     higher recall (``embedding_near_dup_pairs`` is the exact-audit
     fallback).
 
-    Emits (id_a, id_b, cluster) with id_a < id_b.  Per-cluster scoring
-    is one BLAS gemm inside ``applyInPandas`` — cluster-sized task
-    memory; a pathologically hot cluster would use the same hash-tile
-    split as ``embedding_near_dup_lsh``'s oversized buckets.
+    Emits (id_a, id_b, cluster) with id_a < id_b.
+
+    **k must scale with the corpus** (production SemDeDup runs k in the
+    tens of thousands): at fixed k the per-cluster pair work is still
+    Θ(n²/k).  Pass ``target_cluster_rows`` to raise k automatically to
+    ceil(n / target) — the ``embedding_near_dup_lsh``
+    ``target_bucket_rows`` precedent — so expected cluster occupancy
+    (and with it total pair work ≈ n·target) stays flat as n grows.
+
+    **Task memory is bounded by ``max_cluster``, not the cluster**: a
+    hot cluster (k-means on real corpora skews) is split into
+    hash-salted sub-blocks and scored as sub-block TILE pairs — each
+    unordered in-cluster pair lands in exactly one tile, so the split
+    is RESULT-PRESERVING; only task granularity changes (the same
+    decomposition as ``embedding_near_dup_lsh``'s oversized buckets).
+    Per-tile gemm work within a degenerate cluster remains Θ(cluster²)
+    — that is what scaling k addresses.
 
     FP note: ids-only output, so cross-engine FP enters solely via the
     threshold comparison (gemm vs fold accumulation ~1e-15 relative;
     measured corpus margin ≈1e-4 — the dedup_embedding argument) and
     via the k-means assignment (own margin argument in the kmeans
     oracle: top-2 cell gaps O(1e-2))."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from .clustering import spherical_kmeans
 
+    if target_cluster_rows is not None:
+        n = embeddings.count()
+        k = min(
+            65_536,
+            max(k, math.ceil(max(n, 1) / max(target_cluster_rows, 1))),
+        )
     assign = spherical_kmeans(
         embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
@@ -854,25 +877,30 @@ def semantic_dedup_pairs(
         assign.select(F.col(id_col).alias("_id"), "cluster"), "_id"
     )
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "id_a": pd.Series(dtype="int64"),
                 "id_b": pd.Series(dtype="int64"),
                 "cluster": pd.Series(dtype="int32"),
             }
         )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["_id"].to_numpy(dtype=np.int64)
-        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+
+    def _norm(rows: pd.Series) -> "np.ndarray":
+        m = np.stack(rows.to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         nrm[nrm == 0.0] = 1.0
-        m = m / nrm
+        return m / nrm
+
+    def _self_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty()
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = _norm(pdf["_v"])
         keep = (m @ m.T >= threshold) & (ids[None, :] > ids[:, None])
         ai, bj = np.nonzero(keep)
         if not len(ai):
-            return empty
+            return _empty()
         return pd.DataFrame(
             {
                 "id_a": ids[ai],
@@ -881,8 +909,64 @@ def semantic_dedup_pairs(
             }
         )
 
-    return src.groupBy("cluster").applyInPandas(
-        pairs, "id_a bigint, id_b bigint, cluster int"
+    if max_cluster is None:
+        return src.groupBy("cluster").applyInPandas(
+            _self_pairs, "id_a bigint, id_b bigint, cluster int"
+        )
+
+    # Memory-capped path (identical tiling to embedding_near_dup_lsh's
+    # oversized buckets): clusters above max_cluster split into nsub
+    # hash-salted sub-blocks; a row of sub-block s is the LEFT side of
+    # tiles (s, j) for j >= s and the RIGHT side of tiles (i, s) for
+    # i < s, so every unordered in-cluster pair appears in exactly one
+    # tile.  A small cluster has nsub=1 → one diagonal tile == the
+    # uncapped behavior.  The size lookup is one row per cluster —
+    # broadcast.
+    sizes = src.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    salted = (
+        src.join(F.broadcast(sizes), "cluster")
+        .withColumn("_nsub", F.ceil(F.col("_n") / F.lit(max_cluster)).cast("int"))
+        .withColumn("_sub", F.pmod(F.xxhash64("_id"), F.col("_nsub")).cast("int"))
+    )
+    as_left = salted.select(
+        "cluster", "_id", "_v",
+        F.col("_sub").alias("_i"),
+        F.explode(F.sequence(F.col("_sub"), F.col("_nsub") - 1)).alias("_j"),
+        F.lit(0).alias("_r"),
+    )
+    as_right = salted.where(F.col("_sub") > 0).select(
+        "cluster", "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_sub") - 1)).alias("_i"),
+        F.col("_sub").alias("_j"),
+        F.lit(1).alias("_r"),
+    )
+
+    def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_r"] == 0]
+        b = pdf[pdf["_r"] == 1]
+        if len(b) == 0:
+            return _self_pairs(a)  # diagonal tile (i == j)
+        if len(a) == 0:
+            return _empty()
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        ids_b = b["_id"].to_numpy(dtype=np.int64)
+        ai, bj = np.nonzero((_norm(a["_v"]) @ _norm(b["_v"]).T) >= threshold)
+        if not len(ai):
+            return _empty()
+        x, y = ids_a[ai], ids_b[bj]
+        # sub-blocks are disjoint id sets: normalize order, no self-pairs
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(x, y),
+                "id_b": np.maximum(x, y),
+                "cluster": np.full(len(ai), pdf["cluster"].iloc[0], dtype="int32"),
+            }
+        )
+
+    return (
+        as_left.unionByName(as_right)
+        .groupBy("cluster", "_i", "_j")
+        .applyInPandas(_tile_pairs, "id_a bigint, id_b bigint, cluster int")
     )
 
 

@@ -678,6 +678,54 @@ def test_semantic_dedup_subset_and_cluster_complete(spark):
     assert sem <= exact
 
 
+def test_semantic_dedup_cluster_cap_split_is_result_preserving(spark):
+    """max_cluster splits a hot cluster into gemm tiles; every unordered
+    in-cluster pair lands in exactly one tile, so even an absurdly small
+    cap must return the EXACT same (id_a, id_b, cluster) set — the split
+    trades task granularity, not recall.  k=1 forces the whole corpus
+    into ONE cluster: the pathological skew SemDeDup must survive."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    uncapped = {
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_dedup_pairs(
+            e, k=1, iters=1, threshold=0.45, max_cluster=None
+        ).collect()
+    }
+    tiny_cap = {
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_dedup_pairs(
+            e, k=1, iters=1, threshold=0.45, max_cluster=7
+        ).collect()
+    }
+    assert tiny_cap == uncapped and uncapped
+
+
+def test_semantic_dedup_target_cluster_rows_scales_k(spark):
+    """target_cluster_rows raises k to ceil(n/target) (the
+    embedding_near_dup_lsh target_bucket_rows precedent) — with target
+    n/4 the corpus must land in >= 4 distinct clusters, bounding
+    expected per-task pair work as the corpus grows."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    out = semantic_dedup_pairs(
+        e, k=2, iters=1, threshold=-1.0, target_cluster_rows=max(n // 4, 1)
+    )
+    # threshold=-1 keeps every in-cluster pair, so distinct clusters in
+    # the output reflect the assignment's spread
+    n_clusters = out.select("cluster").distinct().count()
+    assert n_clusters >= 3  # k raised from 2 to ~4 (minus empty cells)
+
+
 def test_pmi_collocations_match_python_reference(spark):
     """pmi_collocations vs a hand computation on a tiny corpus: the
     always-together pair must outrank independent co-occurrences and
