@@ -224,6 +224,7 @@ def shingle_minhash_table_fast(
     shingle_k: int = 9,
     num_hashes: int = 63,
     seed: int = 42,
+    bands: int | None = None,
 ) -> DataFrame:
     """(id, hs, sig) in ONE Arrow pass over the raw text — the fused
     fast path for the MinHash pipeline (same shape as the
@@ -246,7 +247,17 @@ def shingle_minhash_table_fast(
     default 21×3) holds for any uniform family.  Exact-Jaccard
     verification downstream keeps precision exact either way;
     tests/test_llm_ops.py pins fast == slow on the FINAL verified
-    pairs."""
+    pairs.
+
+    ``bands`` (optional) additionally emits a ``buckets array<bigint>``
+    column — the per-band LSH bucket keys, hashed from the signature
+    slices while the batch is hot — so the banding stage downstream is a
+    plain explode instead of an interpreted
+    transform/xxhash64/slice expression chain over every signature
+    (measured: the expression-side banding was the single largest cost
+    of the pipeline at sf0.1).  Bucket keys embed the band index; any
+    uniform family preserves the banding recall bound, so the family
+    need not match the expression path's xxhash64."""
     import numpy as np
     import pandas as pd
 
@@ -258,15 +269,40 @@ def shingle_minhash_table_fast(
         pows[i] = pows[i + 1] * base  # uint64 wraparound is the modulus
     empty = np.array([], dtype=np.int64)
     sig_empty = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+    if bands is not None:
+        rows_per_band = num_hashes // bands
+        # vectorized bucket key: band-index base + polynomial combine of
+        # the band's signature rows (uint64 wraparound modulus) — any
+        # uniform family works, bucket keys only ever feed grouping
+        bmul = np.empty((bands, rows_per_band), dtype=np.uint64)
+        for bi in range(bands):
+            for r in range(rows_per_band):
+                bmul[bi, r] = np.uint64(
+                    pow(0x9E3779B97F4A7C15, bi * rows_per_band + r + 1, 1 << 64)
+                )
+        boff = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+
+        def _bucket_keys(sigv: "np.ndarray") -> "np.ndarray":
+            sl = sigv.view(np.uint64)[: bands * rows_per_band].reshape(
+                bands, rows_per_band
+            )
+            return ((sl * bmul).sum(axis=1, dtype=np.uint64) + boff).view(np.int64)
+
+        buckets_empty = _bucket_keys(sig_empty)
 
     def batches(it):
         for pdf in it:
             ids = pdf[id_col]
             hs_out, sig_out = [], []
+            bk_out = [] if bands is not None else None
             for t in pdf[text_col]:
                 if t is None:
                     hs_out.append(empty)
                     sig_out.append(sig_empty)
+                    if bk_out is not None:
+                        bk_out.append(buckets_empty)
                     continue
                 codes = np.frombuffer(
                     t.lower().encode("utf-32-le"), dtype=np.uint32
@@ -287,16 +323,21 @@ def shingle_minhash_table_fast(
                 hr = hs % np.uint64(_MERSENNE)
                 # hr < 2^31, a < 2^31 ⇒ products < 2^62: no wraparound
                 m = (hr[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+                sigv = m.min(axis=0).astype(np.int64)
                 hs_out.append(hs.view(np.int64))
-                sig_out.append(m.min(axis=0).astype(np.int64))
-            yield pd.DataFrame(
-                {id_col: ids, "hs": hs_out, "sig": sig_out}
-            )
+                sig_out.append(sigv)
+                if bk_out is not None:
+                    bk_out.append(_bucket_keys(sigv))
+            cols = {id_col: ids, "hs": hs_out, "sig": sig_out}
+            if bk_out is not None:
+                cols["buckets"] = bk_out
+            yield pd.DataFrame(cols)
 
     src = _widen(df.select(F.col(id_col), F.col(text_col)))
-    return src.mapInPandas(
-        batches, f"{id_col} bigint, hs array<bigint>, sig array<bigint>"
-    )
+    schema = f"{id_col} bigint, hs array<bigint>, sig array<bigint>"
+    if bands is not None:
+        schema += ", buckets array<bigint>"
+    return src.mapInPandas(batches, schema)
 
 
 def banded_pairs_from_sig(
@@ -323,6 +364,34 @@ def banded_pairs_from_sig(
     # cap the bucket (skew guard), emit in-bucket pair combinations with
     # a per-row nested transform.  No self-join → the signature pipeline
     # runs exactly once.
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+
+
+def banded_pairs_from_buckets(
+    tbl: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Banding tail over PRECOMPUTED per-band bucket keys (the fused
+    kernel's ``buckets`` column): explode → group → in-bucket pair
+    combinations — same shuffle shape as :func:`banded_pairs_from_sig`
+    minus the interpreted signature-slicing expressions."""
+    banded = tbl.select(
+        F.col(id_col).alias("_id"), F.explode("buckets").alias("bucket")
+    )
     buckets = (
         banded.groupBy("bucket")
         .agg(F.collect_list("_id").alias("ids"))
@@ -429,11 +498,11 @@ def minhash_near_dup_pairs(
     if fast:
         tbl = checkpoint(
             shingle_minhash_table_fast(
-                df, text_col, id_col, shingle_k, num_hashes
+                df, text_col, id_col, shingle_k, num_hashes, bands=bands
             )
         )
-        cand = banded_pairs_from_sig(
-            tbl.select(id_col, "sig"), id_col, bands, num_hashes // bands, max_bucket
+        cand = banded_pairs_from_buckets(
+            tbl.select(id_col, "buckets"), id_col, max_bucket
         )
         return jaccard_verify(
             df, cand, text_col, id_col, shingle_k, threshold,
@@ -1273,22 +1342,20 @@ def minhash_near_dup_incremental(
         new_batch.select(id_col), id_col, "left_anti"
     )
     nb = checkpoint(
-        shingle_minhash_table_fast(new_batch, text_col, id_col, shingle_k, num_hashes)
+        shingle_minhash_table_fast(
+            new_batch, text_col, id_col, shingle_k, num_hashes, bands=bands
+        )
     ).withColumn("_new", F.lit(True))
     hs = checkpoint(
-        shingle_minhash_table_fast(history, text_col, id_col, shingle_k, num_hashes)
+        shingle_minhash_table_fast(
+            history, text_col, id_col, shingle_k, num_hashes, bands=bands
+        )
     ).withColumn("_new", F.lit(False))
     both = nb.unionByName(hs)
-    rows_per_band = num_hashes // bands
     banded = both.select(
         F.col(id_col).alias("_id"),
         "_new",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("bucket"),
+        F.explode("buckets").alias("bucket"),
     )
     buckets = (
         banded.groupBy("bucket")

@@ -68,6 +68,7 @@ def connected_components(
     checkpoint: CheckpointFn = local_checkpoint,
     pointer_jumping: bool = False,
     steps_per_probe: int = 2,
+    pairs_distinct_ordered: bool = False,
 ) -> DataFrame:
     """(node, component) where component = MIN node id reachable via the
     undirected pair relation — min-label propagation to fixpoint.
@@ -99,6 +100,15 @@ def connected_components(
     monotone per node, so the total strictly decreases iff ANY of the
     batched steps changed a label).
 
+    ``pairs_distinct_ordered=True`` declares the input pairs DISTINCT
+    with ``src < dst`` on every row (true of any verified-pair table
+    whose candidates were deduped — the MinHash pipelines): the
+    symmetrized edge set is then union-disjoint by construction and the
+    edge-building ``distinct()`` shuffle is skipped.  Correctness does
+    not depend on the claim (duplicate edges only repeat min-label
+    work), but a false claim wastes the saving, so only callers that
+    KNOW the shape should set it.
+
     Raises ``RuntimeError`` if ``max_iter`` propagation steps pass
     without reaching the fixpoint — unconverged labels are
     silently-wrong clusters, never returned.
@@ -108,11 +118,13 @@ def connected_components(
     # the convergence probe, so each round costs one pass over labels, not
     # two.  Opaque custom fns fall back to the eager two-job path.
     cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = cut_lazy(
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
+    # Cut the incoming pair pipeline BEFORE symmetrizing: the union
+    # consumes `pairs` twice, and without this cut an expensive upstream
+    # (e.g. the MinHash verify join) would be computed once per branch
+    # in the materialization job.
+    one = cut_lazy(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sym = one.union(one.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = cut_lazy(sym if pairs_distinct_ordered else sym.distinct())
     labels = cut_lazy(
         edges.select(F.col("u").alias("n")).distinct().withColumn(
             "component", F.col("n")
@@ -184,13 +196,19 @@ def canonicalize_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint: CheckpointFn = local_checkpoint,
+    pairs_distinct_ordered: bool = False,
 ) -> DataFrame:
     """Full dedup keep-list: every row of ``universe`` labeled with its
     near-dup cluster id (its own id when it has no duplicate) and a
     ``keep`` flag for the canonical (minimum-id) representative —
     the operator a training-data pipeline actually applies after pair
-    generation."""
-    comp = connected_components(pairs, src, dst, checkpoint=checkpoint)
+    generation.  ``pairs_distinct_ordered`` forwards to
+    :func:`connected_components` (skip the edge-distinct shuffle when
+    the pair table is already distinct with src < dst)."""
+    comp = connected_components(
+        pairs, src, dst, checkpoint=checkpoint,
+        pairs_distinct_ordered=pairs_distinct_ordered,
+    )
     return (
         universe.select(id_col)
         .join(comp.withColumnRenamed("n", id_col), id_col, "left")

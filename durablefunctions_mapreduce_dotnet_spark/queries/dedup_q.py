@@ -206,7 +206,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
-    return canonicalize_clusters(d, pairs).orderBy("doc_id")
+    # verified pairs are distinct with id_a < id_b by construction
+    # (candidates deduped, verify is a join+filter) — skip CC's
+    # edge-distinct shuffle
+    return canonicalize_clusters(
+        d, pairs, pairs_distinct_ordered=True
+    ).orderBy("doc_id")
 
 
 _DEDUP_CLUSTERS_SQL = """
@@ -401,7 +406,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
-    comp = connected_components(pairs).withColumnRenamed("n", "doc_id")
+    comp = connected_components(
+        pairs, pairs_distinct_ordered=True
+    ).withColumnRenamed("n", "doc_id")
     labeled = (
         d.select("doc_id", "n_chars")
         .join(comp, "doc_id", "left")
