@@ -700,3 +700,50 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    redacted: str = "*",
+) -> DataFrame:
+    """k-anonymity enforcement over quasi-identifier columns — the
+    privacy gate a training-data pipeline runs before releasing
+    metadata-bearing corpora (Sweeney 2002): any row whose
+    quasi-identifier EQUIVALENCE CLASS (the exact combination of
+    ``quasi_cols`` values) holds fewer than ``k`` rows is re-identifiable
+    by linkage, so its quasi values are suppressed (replaced with
+    ``redacted``) rather than dropped — content survives, linkage keys
+    don't.
+
+    Returns the input frame with each quasi column rewritten
+    (string-cast; suppression is a string-domain operation) plus
+    ``class_size`` (the pre-suppression class population) and
+    ``suppressed``.
+
+    Scale shape: one combiner-reduced groupBy over the quasi columns
+    produces the class-size table — at most |distinct combinations|
+    rows, orders of magnitude below the corpus for real quasi spaces —
+    broadcast back onto the stream; no corpus-sized shuffle.  (A window
+    count over the same keys computes the identical thing with a full
+    shuffle of the corpus; the broadcast formulation is the 100 TB
+    plan.)  NULL quasi values form their own class (null-safe grouping),
+    matching SQL GROUP BY semantics in both engines.
+    """
+    qs = [F.col(c).cast("string") for c in quasi_cols]
+    sizes = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("class_size"))
+    cond = [df[c].cast("string").eqNullSafe(sizes[c]) for c in quasi_cols]
+    joined = df.join(F.broadcast(sizes.select(*quasi_cols, "class_size")), cond, "left")
+    small = F.col("class_size") < k
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(small, F.lit(redacted))
+                .otherwise(df[c].cast("string"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(df[c])
+    return joined.select(*out_cols, "class_size", small.alias("suppressed"))

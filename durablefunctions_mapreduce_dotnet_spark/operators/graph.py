@@ -470,3 +470,128 @@ def label_propagation(
             .select(F.col("d").alias("node"), (-F.col("m.nl")).alias("label"))
         )
     return labels
+
+
+def common_neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Node-pair structural similarity: for every pair (x, y) sharing at
+    least ``min_common`` neighbors, Jaccard over neighbor sets
+        J(x, y) = |N(x)∩N(y)| / (|N(x)| + |N(y)| − |N(x)∩N(y)|)
+    — the classic link-prediction / entity-resolution score (two parts
+    bought alongside the same third parts are substitutes even if never
+    co-ordered themselves).
+
+    Scale shape: symmetrize once; the wedge pairs (x, y) through each
+    CENTER node come from a per-center ``collect_list`` + in-task pair
+    transform — the banding-tail pattern, so candidate pairs are never
+    join-row materialized and per-task memory is bounded by the center's
+    degree.  Wedge work is Θ(Σ deg(c)²): for hub-skewed graphs pass
+    ``max_center_degree`` to drop super-hub centers (documented recall
+    trade — a hub's common-neighbor evidence is weak anyway, the same
+    argument as the MinHash ``max_bucket`` cap); the shipped affinity
+    graphs are support-pruned, so the default is exact.
+
+    Output: (node_a, node_b, n_common, jaccard) with node_a < node_b;
+    the double is the identical single-division expression both
+    engines."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    adj = bi.groupBy("u").agg(F.collect_list("v").alias("ns"))
+    if max_center_degree is not None:
+        adj = adj.where(F.size("ns") <= max_center_degree)
+    wedges = adj.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> transform(slice(ns, i + 2, size(ns)),"
+                " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    )
+    cn = (
+        wedges.groupBy(
+            F.col("p.a").alias("node_a"), F.col("p.b").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("u").alias("node_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("deg").alias("_db"))
+    return (
+        cn.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """The k-CORE of the undirected graph: the maximal subgraph in which
+    every node has degree ≥ k, found by iterative peeling (remove all
+    nodes with degree < k, delete their edges, repeat to fixpoint) — the
+    standard dense-region extractor for community mining and spam/bot
+    subgraph detection.  The fixpoint is ORDER-INDEPENDENT (the k-core
+    is unique), so any peeling schedule — including an unrolled
+    fixed-round SQL mirror — lands on the same subgraph.
+
+    Per round: one degree aggregate (combiner-reduced, node-sized) and
+    one semi-join of the edge list against surviving nodes on EACH
+    endpoint — all equi-shuffles on node id; lineage cut per round.
+    Rounds to fixpoint ≤ graph degeneracy-peel depth, which is small for
+    real (heavy-tailed) graphs; the probe is the surviving-edge count
+    (strictly decreasing until the fixpoint).
+
+    Returns (node, degree): nodes of the k-core with their WITHIN-CORE
+    degree.  Raises ``RuntimeError`` if ``max_rounds`` passes without a
+    fixpoint — a truncated peel is a silently-wrong (too large) core.
+    """
+    cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
+    one = cut_lazy(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    bi = cut_lazy(
+        one.union(one.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    n_edges = bi.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return bi.select(F.col("u").alias("node")).distinct().withColumn(
+                "degree", F.lit(0).cast("bigint")
+            ).where(F.lit(False))
+        alive = bi.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")).where(
+            F.col("_deg") >= k
+        ).select("u")
+        bi = cut_lazy(
+            bi.join(alive, "u", "left_semi").join(
+                alive.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        )
+        new_edges = bi.count()
+        if new_edges == n_edges:
+            return (
+                bi.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .select(F.col("u").alias("node"), "degree")
+            )
+        n_edges = new_edges
+    raise RuntimeError(
+        f"kcore: no fixpoint after max_rounds={max_rounds} peel rounds — "
+        "the partial subgraph would overstate the core; raise max_rounds"
+    )

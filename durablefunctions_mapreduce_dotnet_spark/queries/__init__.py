@@ -144,7 +144,10 @@ _ROTATION = _HALF_B + _HALF_A
 _WINDOW_FIRST: tuple[str, ...] = (
     # (r06 window came back all green — every prior pin earned its row:
     #  22 hash-exact + ann_ivf_refined / embedding_pca rows-only by design)
-    # r07 newcomers join here as they are registered.
+    # r07 newcomers:
+    "curation_kanonymity",
+    "graph_common_neighbors",
+    "graph_kcore",
 )
 
 

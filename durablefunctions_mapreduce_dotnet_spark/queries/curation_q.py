@@ -783,7 +783,51 @@ SELECT stage, n_docs FROM (
 """
 
 
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) over the metadata quasi-identifiers (lang,
+    source, 500-char length bucket): rows in an equivalence class
+    smaller than k get their quasi values suppressed to '*'
+    (operators.curation.k_anonymize) — the pre-release privacy gate for
+    metadata-bearing corpora.  Class sizes are a combiner aggregate
+    broadcast back; pure integer/string output, hash-exact."""
+    from ..operators.curation import k_anonymize
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(500)).alias("len_bucket"),
+    )
+    return k_anonymize(d, ["lang", "source", "len_bucket"], k=5).orderBy(
+        "doc_id"
+    )
+
+
+_KANONYMITY_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, source, CAST(FLOOR(n_chars / 500) AS BIGINT) AS len_bucket
+  FROM documents
+), sizes AS (
+  SELECT lang, source, len_bucket, COUNT(*) AS class_size
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT b.doc_id,
+       CASE WHEN s.class_size < 5 THEN '*' ELSE CAST(b.lang AS VARCHAR) END AS lang,
+       CASE WHEN s.class_size < 5 THEN '*' ELSE CAST(b.source AS VARCHAR) END AS source,
+       CASE WHEN s.class_size < 5 THEN '*' ELSE CAST(b.len_bucket AS VARCHAR) END AS len_bucket,
+       s.class_size,
+       s.class_size < 5 AS suppressed
+FROM base b
+JOIN sizes s
+  ON b.lang IS NOT DISTINCT FROM s.lang
+ AND b.source IS NOT DISTINCT FROM s.source
+ AND b.len_bucket IS NOT DISTINCT FROM s.len_bucket
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
+    "curation_kanonymity": q_kanonymity,
     "curation_pipeline_end2end": q_pipeline_end2end,
     "curation_boilerplate_ngrams": q_boilerplate,
     "curation_ngram_novelty": q_ngram_novelty,
@@ -807,6 +851,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_kanonymity": _KANONYMITY_SQL,
     "curation_pipeline_end2end": _PIPELINE_SQL,
     "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
     "curation_ngram_novelty": _NOVELTY_SQL,

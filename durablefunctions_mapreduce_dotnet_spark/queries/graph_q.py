@@ -193,13 +193,117 @@ SELECT node, label FROM l{iters} ORDER BY node
 """
 
 
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most structurally similar part pairs by neighbor-set
+    Jaccard over the affinity graph (operators.graph.
+    common_neighbor_jaccard) — the link-prediction primitive: two parts
+    co-ordered with the same third parts are substitutes even if never
+    co-ordered together.  n_common ≥ 2 support cut; ranked at 9 dp with
+    a (node_a, node_b) tie-break, emitted at 6 dp — the division is the
+    identical single IEEE op in both engines."""
+    from ..operators.graph import common_neighbor_jaccard
+
+    sim = common_neighbor_jaccard(_affinity_pairs(spark, sf_dir), min_common=2)
+    return (
+        sim.select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(F.col("jaccard"), 9).alias("_j9"),
+        )
+        .orderBy(F.desc("_j9"), "node_a", "node_b")
+        .limit(20)
+        .select(
+            "node_a", "node_b", "n_common", F.round("_j9", 6).alias("jaccard")
+        )
+    )
+
+
+_COMMON_NEIGHBORS_SQL = """
+WITH e0 AS (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+bi AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+deg AS (SELECT s, COUNT(*) AS deg FROM bi GROUP BY 1),
+cn AS (
+  SELECT a.d AS node_a, b.d AS node_b, COUNT(*) AS n_common
+  FROM bi a JOIN bi b ON a.s = b.s AND a.d < b.d
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT node_a, node_b, n_common, ROUND(j9, 6) AS jaccard FROM (
+  SELECT node_a, node_b, n_common,
+         ROUND(CAST(n_common AS DOUBLE)
+               / CAST(da.deg + db.deg - n_common AS DOUBLE), 9) AS j9
+  FROM cn
+  JOIN deg da ON da.s = node_a
+  JOIN deg db ON db.s = node_b
+)
+ORDER BY j9 DESC, node_a, node_b LIMIT 20
+"""
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part affinity graph (operators.graph.kcore): the
+    maximal subgraph where every part keeps ≥3 affinity partners after
+    iteratively peeling weaker nodes — the dense-region extractor.  The
+    k-core is UNIQUE (peeling order irrelevant), so the Spark
+    run-to-fixpoint loop and the fixed-unroll SQL mirror land on the
+    same integer (node, degree) set, hash-exact."""
+    from ..operators.graph import kcore
+
+    return kcore(_affinity_pairs(spark, sf_dir), k=3).orderBy("node")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peel: each round keeps edges whose BOTH endpoints still
+    have degree >= k.  ``rounds`` must exceed the peel depth at the
+    tested SF — extra rounds are no-ops once the fixpoint is reached
+    (the k-core is unique), so over-unrolling is safe, under-unrolling
+    fails parity loudly."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one three times (the degree cut + both endpoint joins), so default
+    # CTE inlining would expand 3^rounds copies of the base scan.
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+a{i} AS MATERIALIZED (SELECT s FROM r{i - 1} GROUP BY s HAVING COUNT(*) >= {k}),
+r{i} AS MATERIALIZED (
+  SELECT r.s, r.d FROM r{i - 1} r
+  JOIN a{i} x ON r.s = x.s
+  JOIN a{i} y ON r.d = y.s
+)""")
+    body = "".join(its)
+    return f"""
+WITH e0 AS (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+r0 AS MATERIALIZED (SELECT u AS s, v AS d FROM e0
+                    UNION ALL SELECT v AS s, u AS d FROM e0){body}
+SELECT s AS node, COUNT(*) AS degree FROM r{rounds} GROUP BY s ORDER BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_label_propagation": q_graph_label_propagation,
+    "graph_common_neighbors": q_graph_common_neighbors,
+    "graph_kcore": q_graph_kcore,
 }
 ORACLES = {
+    "graph_kcore": _kcore_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_triangles": _TRIANGLES_SQL,
     "graph_label_propagation": _lpa_oracle_sql(),
+    "graph_common_neighbors": _COMMON_NEIGHBORS_SQL,
 }

@@ -251,3 +251,62 @@ def test_label_propagation_matches_python_reference(spark):
         ).collect()
     }
     assert got == ref_lpa(redges, 3)
+
+
+def test_kcore_hand_graph(spark):
+    """K4 with a pendant chain: 3-core = exactly the K4 (the chain peels
+    in cascading rounds — node 5 falls, then 6 loses its last support),
+    and within-core degrees are reported.  2-core of a pure cycle is the
+    whole cycle."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6)]
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(k4 + chain, "id_a bigint, id_b bigint"), k=3
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got2 = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(cycle, "id_a bigint, id_b bigint"), k=2
+        ).collect()
+    }
+    assert got2 == {1: 2, 2: 2, 3: 2, 4: 2}
+
+    # k above the max degree: empty core, with the empty-result schema
+    assert (
+        kcore(
+            spark.createDataFrame(cycle, "id_a bigint, id_b bigint"), k=5
+        ).count()
+        == 0
+    )
+
+
+def test_common_neighbor_jaccard_hand_graph(spark):
+    """Star + triangle: leaves of a star share the hub (1 common
+    neighbor, degree 1 each -> J = 1/(1+1-1) = 1.0); triangle nodes
+    share exactly one neighbor with J = 1/3."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        common_neighbor_jaccard,
+    )
+
+    star = [(10, 1), (10, 2)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+        for r in common_neighbor_jaccard(
+            spark.createDataFrame(star + tri, "id_a bigint, id_b bigint")
+        ).collect()
+    }
+    assert got[(1, 2)] == (1, 1.0)
+    assert got[(20, 21)] == (1, 1 / 3)
+    assert got[(20, 22)] == (1, 1 / 3)
+    assert got[(21, 22)] == (1, 1 / 3)
+    # hub pairs with nobody (leaves have no second neighbor)
+    assert not any(10 in p for p in got)
