@@ -503,3 +503,106 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def holt_winters_fit(
+    df,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+):
+    """Additive Holt-Winters (triple exponential smoothing) over the
+    DENSIFIED daily event-count series per group — the classical
+    forecasting recurrence (Winters 1960; the ETS(A,A,A) fit):
+
+        level_t = α·(y_t − seas_{t−p}) + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        seas_t  = γ·(y_t − level_t) + (1−γ)·seas_{t−p}
+        fitted_t = level_{t−1} + trend_{t−1} + seas_{t−p}
+
+    Initialization (documented convention, mirrored verbatim by the
+    oracle): level₀ = mean(y[0..p−1]), trend₀ = (mean(y[p..2p−1]) −
+    mean(y[0..p−1]))/p, seas_i = y_i − level₀ for the first period; the
+    recurrence runs from t = p.  Groups shorter than 2·p days raise
+    (the init windows would be undefined).
+
+    Scale shape: the corpus-sized work is ONE combiner count collapsing
+    events to (group, day) — O(groups × days) rows ever after; missing
+    days densify to y = 0 (counts, not samples) via a per-group
+    sequence explode.  The recurrence itself is inherently sequential
+    per series, so it runs as a per-group Arrow task over the
+    days-sized frame — thousands of independent series parallelize
+    across executors; a single series costs a trivial Python loop over
+    O(days) floats.
+
+    FP determinism: the loop applies the exact literal expressions
+    above in fixed order; the SQL mirror embeds ``repr()`` of the SAME
+    Python constants (α, 1−α, …) so both engines fold to bit-identical
+    doubles.  Emitted raw; callers round (F.round HALF_UP both
+    engines).  Output: (group, day, y, fitted, level, trend) for
+    t ≥ p."""
+    import pandas as pd
+
+    p = period
+    a, b, g = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - b, 1.0 - g
+
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    bounds = daily.groupBy("g").agg(
+        F.min("d").alias("_d0"), F.max("d").alias("_d1")
+    )
+    dense = (
+        bounds.select(
+            "g", F.explode(F.sequence("_d0", "_d1")).alias("d")
+        )
+        .join(daily, ["g", "d"], "left")
+        .select("g", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * p:
+            raise ValueError(
+                f"holt_winters_fit: group {pdf['g'].iloc[0]!r} has {n} days; "
+                f"initialization needs at least {2 * p}"
+            )
+        ys = [float(v) for v in pdf["y"]]
+        level = sum(ys[:p]) / float(p)
+        trend = (sum(ys[p : 2 * p]) / float(p) - sum(ys[:p]) / float(p)) / float(p)
+        seas = [ys[i] - level for i in range(p)]
+        rows = []
+        for t in range(p, n):
+            s = seas[t - p]
+            fitted = level + trend + s
+            new_level = a * (ys[t] - s) + one_a * (level + trend)
+            new_trend = b * (new_level - level) + one_b * trend
+            seas.append(g * (ys[t] - new_level) + one_g * s)
+            level, trend = new_level, new_trend
+            rows.append(
+                (
+                    pdf["g"].iloc[0],
+                    pdf["d"].iloc[t].strftime("%Y-%m-%d"),
+                    int(ys[t]),
+                    fitted,
+                    level,
+                    trend,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["g", "day", "y", "fitted", "level", "trend"]
+        )
+
+    return dense.groupBy("g").applyInPandas(
+        fit,
+        "g string, day string, y bigint, fitted double, level double, trend double",
+    ).withColumnRenamed("g", group_col)

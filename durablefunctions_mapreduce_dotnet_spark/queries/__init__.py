@@ -148,6 +148,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_kanonymity",
     "graph_common_neighbors",
     "graph_kcore",
+    "ts_holtwinters",
 )
 
 

@@ -331,7 +331,99 @@ ORDER BY day
 """
 
 
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
+
+
+def q_ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters fit (α=0.3, β=0.1, γ=0.2, period 7) of the
+    daily event-count series per event_type
+    (operators.timeseries.holt_winters_fit) — level/trend/seasonal
+    smoothing, the ETS forecasting primitive.  The sequential recurrence
+    runs per-series over the days-sized frame; the oracle replays the
+    IDENTICAL recurrence in a recursive CTE carrying the rolling
+    seasonal list, with repr()-embedded constants so both engines fold
+    bit-identical doubles — hash-exact at 9 dp."""
+    from ..operators.timeseries import holt_winters_fit
+
+    e = read_table(spark, sf_dir, "events")
+    fit = holt_winters_fit(
+        e, period=7, alpha=_HW_ALPHA, beta=_HW_BETA, gamma=_HW_GAMMA
+    )
+    return fit.select(
+        "event_type",
+        "day",
+        "y",
+        F.round("fitted", 9).alias("fitted"),
+        F.round("level", 9).alias("level"),
+        F.round("trend", 9).alias("trend"),
+    ).orderBy("event_type", "day")
+
+
+def _hw_oracle_sql(
+    period: int = 7,
+    alpha: float = _HW_ALPHA,
+    beta: float = _HW_BETA,
+    gamma: float = _HW_GAMMA,
+) -> str:
+    p = period
+    a, b, g = repr(float(alpha)), repr(float(beta)), repr(float(gamma))
+    one_a, one_b, one_g = (
+        repr(1.0 - float(alpha)),
+        repr(1.0 - float(beta)),
+        repr(1.0 - float(gamma)),
+    )
+    # level_t referenced by trend_t and seas_t: repeat the expression
+    # textually (identical IEEE ops, deterministic)
+    lvl = f"{a} * (i.y - r.seas[1]) + {one_a} * (r.lvl + r.tr)"
+    return f"""
+WITH RECURSIVE counts AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM counts GROUP BY 1),
+alldays AS (
+  SELECT event_type, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+idx AS MATERIALIZED (
+  SELECT a.event_type, a.d, COALESCE(c.y, 0) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a.event_type ORDER BY a.d) - 1 AS BIGINT) AS t
+  FROM alldays a LEFT JOIN counts c ON c.event_type = a.event_type AND c.d = a.d
+),
+init AS MATERIALIZED (
+  SELECT event_type, level0,
+         (m2 - level0) / {p}.0 AS trend0,
+         list_transform(ys, v -> v - level0) AS seas
+  FROM (
+    SELECT event_type,
+           SUM(CASE WHEN t < {p} THEN y END) / {p}.0 AS level0,
+           SUM(CASE WHEN t >= {p} AND t < {2 * p} THEN y END) / {p}.0 AS m2,
+           list(y ORDER BY t) FILTER (WHERE t < {p}) AS ys
+    FROM idx WHERE t < {2 * p} GROUP BY event_type
+  )
+),
+rec AS (
+  SELECT event_type, CAST({p - 1} AS BIGINT) AS t, CAST(NULL AS DATE) AS d,
+         CAST(NULL AS BIGINT) AS y, CAST(NULL AS DOUBLE) AS fitted,
+         level0 AS lvl, trend0 AS tr, seas
+  FROM init
+  UNION ALL
+  SELECT r.event_type, r.t + 1, i.d, i.y,
+         r.lvl + r.tr + r.seas[1],
+         {lvl},
+         {b} * (({lvl}) - r.lvl) + {one_b} * r.tr,
+         list_append(r.seas[2:{p}], {g} * (i.y - ({lvl})) + {one_g} * r.seas[1])
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, y,
+       ROUND(fitted, 9) AS fitted, ROUND(lvl, 9) AS level, ROUND(tr, 9) AS trend
+FROM rec WHERE t >= {p}
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
+    "ts_holtwinters": q_ts_holtwinters,
     "ts_motif_topk": q_ts_motifs,
     "time_seasonal_decompose": q_time_seasonal,
     "anomaly_mad": q_anomaly_mad,
@@ -341,6 +433,7 @@ QUERIES = {
     "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
+    "ts_holtwinters": _hw_oracle_sql(),
     "ts_motif_topk": _ts_motifs_oracle_sql(),
     "time_seasonal_decompose": _TIME_SEASONAL_SQL,
     "anomaly_mad": _ANOMALY_MAD_SQL,

@@ -197,3 +197,65 @@ def test_seasonal_decompose_reconstructs_and_is_phase_constant(spark):
         assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 3e-9
     assert n_interior == 24  # 30 days - 3 edge days each side
     assert all(len(v) == 1 for v in by_phase.values())
+
+
+def test_holt_winters_constant_series_is_flat(spark):
+    """On a constant daily series the fit must be exact: seasonal init
+    is all-zero, level stays at the constant, trend stays 0, and every
+    one-step-ahead fitted value equals y."""
+    import datetime
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        holt_winters_fit,
+    )
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1 + d, 12, 0, 0))
+        for d in range(21)
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = holt_winters_fit(df, period=7).collect()
+    assert len(out) == 14  # t = 7..20
+    for r in out:
+        assert r["y"] == 5
+        assert abs(r["fitted"] - 5.0) < 1e-12
+        assert abs(r["level"] - 5.0) < 1e-12
+        assert abs(r["trend"]) < 1e-12
+
+
+def test_holt_winters_short_series_raises(spark):
+    """Fewer than 2*period days cannot initialize — loud error, not a
+    silently-wrong fit."""
+    import datetime
+
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        holt_winters_fit,
+    )
+
+    rows = [("a", datetime.datetime(2024, 1, 1 + d, 12, 0, 0)) for d in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    with pytest.raises(Exception, match="initialization needs"):
+        holt_winters_fit(df, period=7).collect()
+
+
+def test_holt_winters_densifies_missing_days(spark):
+    """A silent day inside the span must enter the series as y=0 (counts
+    densify), not be skipped — the day after the hole sees a 0 in its
+    seasonal lag."""
+    import datetime
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        holt_winters_fit,
+    )
+
+    days = [d for d in range(21) if d != 10]
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1 + d, 12, 0, 0)) for d in days
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["day"]: r["y"] for r in holt_winters_fit(df, period=7).collect()}
+    assert out["2024-01-11"] == 0
+    assert out["2024-01-12"] == 1
