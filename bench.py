@@ -86,6 +86,12 @@ HEADLINE = [
     "dedup_containment",
     "dedup_semantic",
     "graph_label_propagation",
+    # round-7 additions
+    "curation_kanonymity",
+    "graph_common_neighbors",
+    "graph_kcore",
+    "ts_holtwinters",
+    "ann_pq_rescored",
 ]
 
 

@@ -149,6 +149,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "graph_common_neighbors",
     "graph_kcore",
     "ts_holtwinters",
+    "ann_pq_rescored",
 )
 
 

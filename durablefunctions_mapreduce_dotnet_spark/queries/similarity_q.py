@@ -393,11 +393,30 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rescoring
+    (operators.similarity.pq_rescored_topk): PQ codes (m=8 subspaces ×
+    64 codewords ≈ 32× compression vs float32) prefilter the corpus by
+    asymmetric-distance cosine, the top-50 candidates per query are
+    rescored with exact cosine — FAISS's ADC + refine recipe.
+    Rows-only contract: the codebooks are data-dependent k-means means
+    (same argument as ann_ivf_refined); prefilter/rescored recall
+    floors and a numpy ADC parity check are pytest-pinned
+    (tests/test_llm_ops.py)."""
+    from ..operators.similarity import pq_rescored_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return pq_rescored_topk(e, _queries_subset(e), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_refined": q_ann_ivf_refined,
+    "ann_pq_rescored": q_ann_pq_rescored,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
     "ann_quantized_topk": q_ann_quantized,

@@ -835,3 +835,85 @@ def test_minhash_incremental_matches_filtered_full_run(spark):
         if r.id_a % 2 == 1 or r.id_b % 2 == 1
     }
     assert inc == full and all(a % 2 == 1 or b % 2 == 1 for a, b, _ in inc)
+
+
+def test_pq_rescored_recall_floor(spark):
+    """Two-stage PQ (ADC prefilter 50 -> exact rescore top-5) must
+    recover >= 0.8 of the exact brute-force top-5; raw ADC itself must
+    clear >= 0.25 (measured raw/rescored: 0.32/0.92 at sf0.001,
+    0.54/1.0 at sf0.01 — ADC recall is corpus-dependent; the rescored
+    number is the one the production pipeline ships)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rescored_topk,
+        pq_topk,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"]) for r in pq_topk(e, q, k=5).collect()
+    }
+    rescored = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_rescored_topk(e, q, k=5, prefilter_k=50).collect()
+    }
+    assert len(raw & exact) / len(exact) >= 0.25
+    assert len(rescored & exact) / len(exact) >= 0.8
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """pq_encode's distributed code assignment must equal a driver-side
+    numpy argmin against the SAME codebooks, and ADC with those codes
+    must approximate true cosine (mean |err| bounded by reconstruction
+    quality)."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cb = pq_train(e)
+    m, ksub, dsub = cb.shape
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cb).collect()
+    }
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xs = X.reshape(len(X), m, dsub)
+    err = []
+    for i, vid in enumerate(ids):
+        want = []
+        for mm in range(m):
+            d = (cb[mm] ** 2).sum(1) - 2.0 * (cb[mm] @ Xs[i, mm, :])
+            want.append(int(np.argmin(d)))
+        assert got[int(vid)] == want
+        rec = np.concatenate([cb[mm][want[mm]] for mm in range(m)])
+        err.append(np.linalg.norm(rec - X[i]) / np.linalg.norm(X[i]))
+    # 64 codewords per subspace on this corpus: relative reconstruction
+    # error well under 1 on average (sanity, not a tight ML claim)
+    assert float(np.mean(err)) < 0.6
+
+
+def test_pq_train_shape_and_guards(spark):
+    """Codebook tensor shape is (m, ksub, d/m); invalid m errors."""
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import pq_train
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    cb = pq_train(e, m=4, ksub=8, iters=1)
+    assert cb.shape == (4, 8, 16)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(e, m=7, ksub=8, iters=0)
