@@ -311,3 +311,58 @@ def cdc_apply(
             *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
         )
     )
+
+
+def sequence_pattern_matches(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    pattern: list[str],
+    max_span_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE / CEP-style event-sequence extraction: every
+    occurrence where a user's CONSECUTIVE events — on the stream
+    filtered to the pattern's types — spell out ``pattern`` in order
+    within ``max_span_seconds``.  The complement of ``funnel_counts``:
+    the funnel asks "did the user ever progress" (min-timestamp chain,
+    intervening noise ignored); this asks "where exactly did the strict
+    sequence occur" (Flink CEP's ``next``/strict contiguity on the
+    filtered stream), emitting one row PER OCCURRENCE with every step's
+    timestamp — the session-replay / attribution-audit shape.
+
+    Plan: filter to the pattern's types (pushed to the scan), ONE
+    (user)-keyed window exchange, ``lead(k)`` per remaining step on
+    that single sort — no self-joins, no pair explosion; a user's cost
+    is their own filtered event count.  Emits integer epoch
+    microseconds (hash-exact, no timestamp-dtype scaffolding).
+
+    Ordering ties: (ts, id) — total and engine-portable."""
+    steps = len(pattern)
+    if steps < 2:
+        raise ValueError("sequence_pattern_matches: pattern needs >= 2 steps")
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    base = df.where(F.col(type_col).isin(list(pattern))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_t"),
+        F.unix_micros(ts).alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "_id")
+    out = base
+    conds = F.col("_t") == pattern[0]
+    cols = [F.col("_us").alias("t_1")]
+    for i in range(1, steps):
+        out = out.withColumn(f"_t{i}", F.lead("_t", i).over(w)).withColumn(
+            f"_us{i}", F.lead("_us", i).over(w)
+        )
+        conds = conds & (F.col(f"_t{i}") == pattern[i])
+        cols.append(F.col(f"_us{i}").alias(f"t_{i + 1}"))
+    conds = conds & (
+        (F.col(f"_us{steps - 1}") - F.col("_us"))
+        <= F.lit(int(max_span_seconds) * 1_000_000).cast("bigint")
+    )
+    return out.where(conds).select("user_id", *cols)

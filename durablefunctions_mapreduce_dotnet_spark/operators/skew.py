@@ -91,3 +91,66 @@ def salted_equi_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df,
+    key_cols: list[str],
+    top_n: int = 10,
+    n_quantiles: int = 4,
+) -> "DataFrame":
+    """Join/agg-key skew diagnostic — the measurement that decides
+    between a plain shuffle, a broadcast, and a salted join BEFORE the
+    job runs at 100 TB: per-key row counts summarized as one row of
+    distribution statistics plus the ``top_n`` heaviest keys.
+
+    Output (one row per heavy key, stats repeated — a flat frame a
+    dashboard or a planner heuristic consumes directly):
+    (key, key_count, n_keys, total_rows, max_count, avg_count_x100,
+    skew_ratio_x100, rank).  ``skew_ratio_x100`` = 100·max/avg rounded
+    to an integer — >300 is the usual "salt it" threshold; integer
+    outputs keep the oracle hash-exact (the x100 fixed-point avoids FP
+    division scaffolding).
+
+    Plan: ONE combiner-reduced groupBy over the keys, then a tiny
+    (distinct-key-sized) aggregate + top-k (``TakeOrderedAndProject``)
+    — the diagnostic never reshuffles the corpus."""
+    from pyspark.sql import functions as F
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("key_count"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("total_rows"),
+        F.max("key_count").alias("max_count"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_count",
+        F.floor(F.lit(100) * F.col("total_rows") / F.col("n_keys"))
+        .cast("bigint")
+        .alias("avg_count_x100"),
+        F.floor(
+            F.lit(100) * F.col("max_count") * F.col("n_keys") / F.col("total_rows")
+        )
+        .cast("bigint")
+        .alias("skew_ratio_x100"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("key_count"), F.asc("key"))
+    top = (
+        counts.orderBy(F.desc("key_count"), F.asc("key"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "key_count",
+        "n_keys",
+        "total_rows",
+        "max_count",
+        "avg_count_x100",
+        "skew_ratio_x100",
+        "rank",
+    )

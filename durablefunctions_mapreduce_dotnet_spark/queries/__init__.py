@@ -150,6 +150,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "graph_kcore",
     "ts_holtwinters",
     "ann_pq_rescored",
+    "diag_skew_report",
+    "pattern_sequence",
+    "agg_hll_incremental",
 )
 
 

@@ -242,7 +242,34 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch incremental distinct (Spark 4 DataSketches HLL):
+    per-(event_type, day) user sketches — the PERSISTED asset of an
+    incremental pipeline: each new day appends one sketch row instead
+    of re-scanning history — merged per type with ``hll_union_agg`` and
+    estimated, alongside the exact distinct for self-audit.  Rows-only
+    contract (the estimate is Spark's HLL implementation — no SQL
+    engine reproduces it bit-for-bit); the ≤5% error bound is
+    pytest-pinned (tests/test_llm_ops.py)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select("event_type", "users_est", "users_exact")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "agg_hll_incremental": q_hll_incremental,
     "agg_grouping_sets": q_grouping_sets,
     "agg_bitmap_distinct": q_bitmap_distinct,
     "agg_approx_sketches": q_approx_sketches,

@@ -222,7 +222,79 @@ ORDER BY user_id
 """
 
 
+def q_diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over lineitem.l_suppkey
+    (operators.skew.skew_report): top-10 heaviest keys + fixed-point
+    distribution stats — the pre-flight measurement that picks plain
+    vs broadcast vs salted join at scale.  Integer-only output,
+    hash-exact."""
+    from ..operators.skew import skew_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_suppkey"], top_n=10).orderBy("rank")
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS key_count
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(key_count) AS BIGINT) AS total_rows,
+         CAST(MAX(key_count) AS BIGINT) AS max_count
+  FROM counts
+),
+top AS (
+  SELECT key, key_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC, key ASC) AS BIGINT) AS rank
+  FROM counts ORDER BY key_count DESC, key LIMIT 10
+)
+SELECT key, key_count, n_keys, total_rows, max_count,
+       CAST(FLOOR(100 * total_rows / n_keys) AS BIGINT) AS avg_count_x100,
+       CAST(FLOOR(100 * max_count * n_keys / total_rows) AS BIGINT) AS skew_ratio_x100,
+       rank
+FROM top CROSS JOIN stats
+ORDER BY rank
+"""
+
+
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict view→click→purchase occurrences within 3 days per user
+    (operators.analytics.sequence_pattern_matches) — CEP / session-
+    replay extraction, one row per occurrence with all step times in
+    epoch micros.  Integer output, hash-exact."""
+    from ..operators.analytics import sequence_pattern_matches
+
+    e = read_table(spark, sf_dir, "events")
+    return sequence_pattern_matches(
+        e, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], 3 * 86400,
+    ).orderBy("user_id", "t_1")
+
+
+_PATTERN_SEQ_SQL = """
+WITH f AS (
+  SELECT user_id, event_type AS t, epoch_us(ts) AS us, event_id AS id
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+led AS (
+  SELECT user_id, t, us,
+         LEAD(t, 1) OVER w AS t1, LEAD(us, 1) OVER w AS us1,
+         LEAD(t, 2) OVER w AS t2, LEAD(us, 2) OVER w AS us2
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, id)
+)
+SELECT user_id, us AS t_1, us1 AS t_2, us2 AS t_3
+FROM led
+WHERE t = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND us2 - us <= CAST(3 AS BIGINT) * 86400 * 1000000
+ORDER BY user_id, t_1
+"""
+
+
 QUERIES = {
+    "diag_skew_report": q_diag_skew_report,
+    "pattern_sequence": q_pattern_sequence,
     "cdc_apply": q_cdc_apply,
     "window_concurrency": q_window_concurrency,
     "window_concurrency_global": q_window_concurrency_global,
@@ -231,6 +303,8 @@ QUERIES = {
     "window_scd2": q_window_scd2,
 }
 ORACLES = {
+    "diag_skew_report": _SKEW_REPORT_SQL,
+    "pattern_sequence": _PATTERN_SEQ_SQL,
     "cdc_apply": _CDC_APPLY_SQL,
     "window_concurrency": _CONCURRENCY_SQL,
     "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,

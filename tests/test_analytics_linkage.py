@@ -636,3 +636,52 @@ def test_asof_tolerance_matches_pandas(spark):
         exp2 = exp[["id", "matched"]].sort_values("id")
         assert got["id"].tolist() == exp2["id"].tolist(), direction
         assert got["matched"].tolist() == pytest.approx(exp2["matched"].tolist()), direction
+
+
+def test_sequence_pattern_strict_contiguity(spark):
+    """Strict contiguity is on the FILTERED stream: events of
+    non-pattern types between steps don't break a match, but an
+    out-of-order pattern-type event does; the span cutoff excludes
+    slow sequences; overlapping occurrences each emit."""
+    import datetime
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.analytics import (
+        sequence_pattern_matches,
+    )
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m, 0)
+
+    rows = [
+        # user 1: view -> (error ignored) -> click -> purchase : match
+        (1, "view", t(0), 1),
+        (1, "error", t(1), 2),
+        (1, "click", t(2), 3),
+        (1, "purchase", t(3), 4),
+        # user 2: view -> click -> CLICK -> purchase : view's next-next
+        # is click, not purchase -> no match at view; no other match
+        (2, "view", t(0), 5),
+        (2, "click", t(1), 6),
+        (2, "click", t(2), 7),
+        (2, "purchase", t(3), 8),
+        # user 3: pattern present but too slow (span 10s)
+        (3, "view", t(0), 9),
+        (3, "click", t(1), 10),
+        (3, "purchase", t(30), 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    )
+    got = sequence_pattern_matches(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"], 600
+    ).collect()
+    assert [(r["user_id"],) for r in got] == [(1,)]
+    r = got[0]
+    assert r["t_2"] - r["t_1"] == 120_000_000
+    assert r["t_3"] - r["t_1"] == 180_000_000
+
+    # span large enough: user 3 matches too
+    wide = sequence_pattern_matches(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"], 3600
+    ).collect()
+    assert sorted(r["user_id"] for r in wide) == [1, 3]

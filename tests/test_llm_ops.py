@@ -917,3 +917,30 @@ def test_pq_train_shape_and_guards(spark):
     assert cb.shape == (4, 8, 16)
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(e, m=7, ksub=8, iters=0)
+
+
+def test_hll_incremental_estimate_within_bound(spark):
+    """The merged daily HLL sketches must estimate per-type distinct
+    users within 5% of exact — the accuracy contract of the rows-only
+    agg_hll_incremental query.  Merge-associativity sanity: unioning
+    day-sliced sketches equals sketching the whole corpus."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.aggregates_q import (
+        q_hll_incremental,
+    )
+
+    rows = q_hll_incremental(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["users_est"] - r["users_exact"]) / r["users_exact"] <= 0.05, r
+
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "events")
+    whole = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for r in rows:
+        assert r["users_est"] == whole[r["event_type"]]

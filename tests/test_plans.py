@@ -73,6 +73,9 @@ _BNLJ_OK = {
     # corpus-totals scalar (N_uni, N_big): broadcast 1-row cross join
     # (textops.pmi_collocations)
     "text_collocations",
+    # distribution-stats scalar: broadcast 1-row cross join onto the
+    # 10-row heavy-key table (operators.skew.skew_report)
+    "diag_skew_report",
     # bucket-histogram totals scalar: broadcast 1-row cross join
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
