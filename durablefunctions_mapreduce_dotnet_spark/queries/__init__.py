@@ -153,6 +153,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "diag_skew_report",
     "pattern_sequence",
     "agg_hll_incremental",
+    "window_scd2_snapshot",
+    "subq_having_global",
 )
 
 

@@ -292,9 +292,92 @@ ORDER BY user_id, t_1
 """
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot series over the SCD2 dimension: each
+    user's state (last event_type) at every midnight of the corpus span
+    — the as-of lookup a feature store / reporting layer runs against a
+    type-2 history.  Composition: scd2_intervals build + a per-user
+    day-grid probe (1-row bounds broadcast + sequence explode, no
+    cartesian) left-joined into the validity intervals on
+    (user, from ≤ probe < to) — per-user interval counts bound the join
+    fan-out, no range-bin machinery needed.  Probes before a user's
+    first interval keep NULL state."""
+    from ..operators.analytics import scd2_intervals
+
+    e = read_table(spark, sf_dir, "events")
+    dim = scd2_intervals(e, "user_id", "ts", "event_type", "event_id").select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("_d0"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("_d1"),
+    )
+    probes = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("_d0", "_d1")).alias("_day"),
+        )
+        .select("user_id", F.col("_day").cast("timestamp").alias("_pts"))
+    )
+    snap = probes.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("_pts"))
+        & (F.col("valid_to").isNull() | (F.col("_pts") < F.col("valid_to"))),
+        "left",
+    )
+    return snap.select(
+        "user_id",
+        F.date_format("_pts", "yyyy-MM-dd").alias("day"),
+        "state",
+    ).orderBy("user_id", "day")
+
+
+_SCD2_SNAPSHOT_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG({'v': event_type}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+surv AS (
+  SELECT user_id, event_type, ts, event_id FROM log
+  WHERE prev IS NULL OR NOT (prev.v IS NOT DISTINCT FROM event_type)
+),
+dim AS (
+  SELECT user_id AS d_user, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM surv
+),
+bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+probes AS (
+  SELECT u.user_id,
+         CAST(CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS TIMESTAMP) AS pts
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN bounds
+)
+SELECT p.user_id, strftime(p.pts, '%Y-%m-%d') AS day, d.state
+FROM probes p
+LEFT JOIN dim d
+  ON d.d_user = p.user_id
+ AND d.valid_from <= p.pts
+ AND (d.valid_to IS NULL OR p.pts < d.valid_to)
+ORDER BY p.user_id, day
+"""
+
+
 QUERIES = {
     "diag_skew_report": q_diag_skew_report,
     "pattern_sequence": q_pattern_sequence,
+    "window_scd2_snapshot": q_scd2_snapshot,
     "cdc_apply": q_cdc_apply,
     "window_concurrency": q_window_concurrency,
     "window_concurrency_global": q_window_concurrency_global,
@@ -305,6 +388,7 @@ QUERIES = {
 ORACLES = {
     "diag_skew_report": _SKEW_REPORT_SQL,
     "pattern_sequence": _PATTERN_SEQ_SQL,
+    "window_scd2_snapshot": _SCD2_SNAPSHOT_SQL,
     "cdc_apply": _CDC_APPLY_SQL,
     "window_concurrency": _CONCURRENCY_SQL,
     "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import davg
 from ..sources.readers import read_table
 from ._sql import davg as sql_davg
+from ._sql import dsum as sql_dsum
 
 
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,13 +113,64 @@ FROM {customer} c, LATERAL (
 _SUBQ_LATERAL_SQL = _SUBQ_LATERAL_TMPL.format(customer="customer", orders="orders")
 
 
+def q_subq_having_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped 'important parts': per-part revenue HAVING a
+    share above 1.5× the AVERAGE part's share of global revenue — the
+    group-aggregate-vs-global-scalar pattern (HAVING against an
+    uncorrelated scalar subquery), with a scale-invariant cut (a fixed
+    fraction would empty out as the part count grows with SF).  Both
+    sums ride ONE combiner aggregate each; the global total+count is a
+    1-row broadcast; revenue decimal-summed so the cut and the emitted
+    doubles are engine-exact."""
+    from ..functions.numeric import dsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev, "part_rev"))
+    total = li.agg(
+        dsum(rev, "_total"), F.countDistinct("l_partkey").alias("_nparts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_rev")
+            > F.lit(1.5) * F.col("_total") / F.col("_nparts")
+        )
+        .select(
+            "l_partkey",
+            F.round("part_rev", 4).alias("part_rev"),
+        )
+        .orderBy(F.desc("part_rev"), "l_partkey")
+    )
+
+
+_SUBQ_HAVING_GLOBAL_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS part_rev
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS t,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nparts
+  FROM lineitem
+)
+SELECT l_partkey, ROUND(part_rev, 4) AS part_rev
+FROM per_part CROSS JOIN total
+WHERE part_rev > 1.5 * t / nparts
+ORDER BY part_rev DESC, l_partkey
+"""
+
+
 QUERIES = {
+    "subq_having_global": q_subq_having_global,
     "subq_scalar_avg": q_subq_scalar,
     "subq_in_region": q_subq_in,
     "subq_correlated_max": q_subq_correlated,
     "subq_lateral_topn": q_subq_lateral,
 }
 ORACLES = {
+    "subq_having_global": _SUBQ_HAVING_GLOBAL_SQL,
     "subq_scalar_avg": _SUBQ_SCALAR_SQL,
     "subq_in_region": _SUBQ_IN_SQL,
     "subq_correlated_max": _SUBQ_CORRELATED_SQL,

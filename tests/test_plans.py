@@ -54,6 +54,9 @@ def test_topk_plans_take_ordered(spark):
 #: assignment (bounded cross product against an n_lists-row broadcast).
 _BNLJ_OK = {
     "subq_scalar_avg",
+    # global revenue total + part count scalar: broadcast 1-row cross
+    # join (q_subq_having_global)
+    "subq_having_global",
     "join_range_band",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -76,6 +79,9 @@ _BNLJ_OK = {
     # distribution-stats scalar: broadcast 1-row cross join onto the
     # 10-row heavy-key table (operators.skew.skew_report)
     "diag_skew_report",
+    # day-grid bounds scalar: broadcast 1-row cross join feeding the
+    # per-user sequence explode (q_scd2_snapshot)
+    "window_scd2_snapshot",
     # bucket-histogram totals scalar: broadcast 1-row cross join
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
