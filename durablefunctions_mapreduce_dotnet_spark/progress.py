@@ -213,3 +213,40 @@ def run_cancellable(
     handle immediately (the reference's 202-with-terminate-URI shape:
     submission returns control; the handle carries status + terminate)."""
     return CancellableQuery(spark, action, label=label, status=status)
+
+
+def run_with_observed_metrics(
+    df,
+    metrics,
+    action: Callable[[Any], Any] | None = None,
+) -> tuple[Any, dict[str, Any]]:
+    """Execute ``df`` once while collecting named aggregate metrics IN
+    THE SAME PASS via Spark's ``Observation`` API — the idiomatic
+    replacement for the reference's per-mapper row-count logging
+    (``Sample.cs:170-189`` counts total and invalid rows as a side
+    effect of the scan): no second job, no accumulator races (observed
+    metrics are exactly-once per successful action, unlike raw
+    accumulators which double-count on task retries — the reason this
+    API exists).
+
+    ``metrics``: dict of name -> aggregate Column (e.g. ``{"rows":
+    F.count(F.lit(1)), "invalid": F.count(F.when(...))}``).
+    ``action``: callable receiving the observed DataFrame and running
+    ONE action on it (default: noop-format write — the bench
+    convention).  Returns (action result, {metric: value}).
+
+    At 100 TB this is the only sane way to audit a pipeline run: the
+    counters ride the existing scan; a separate count() job would
+    double the I/O.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("observed_metrics")
+    named = [c.alias(n) for n, c in metrics.items()]
+    observed = df.observe(obs, *named)
+    if action is None:
+        def action(d):
+            d.write.format("noop").mode("overwrite").save()
+            return None
+    result = action(observed)
+    return result, dict(obs.get)

@@ -122,3 +122,50 @@ def test_cancel_after_completion_is_noop(spark):
     handle.cancel(reason="late terminate")
     assert handle.status.get()["phase"] == "finished"
     assert handle.result(timeout=5) == 7
+
+
+def test_run_with_observed_metrics_single_pass(spark):
+    """Observed metrics ride the SAME job as the action: the flagship
+    validity counters (total rows, filtered rows) come back without a
+    second scan, and match an independent count."""
+    from pyspark.sql import functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.progress import (
+        run_with_observed_metrics,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    _, m = run_with_observed_metrics(
+        li,
+        {
+            "rows": F.count(F.lit(1)),
+            "zero_qty": F.count(F.when(F.col("l_quantity") <= 0, 1)),
+            "revenue": F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ),
+        },
+    )
+    assert m["rows"] == li.count()
+    assert m["zero_qty"] == li.where(F.col("l_quantity") <= 0).count()
+    assert m["revenue"] is not None
+
+
+def test_run_with_observed_metrics_custom_action(spark):
+    """The action's own return value passes through; metrics reflect
+    the rows the action consumed."""
+    from pyspark.sql import functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.progress import (
+        run_with_observed_metrics,
+    )
+
+    df = spark.range(100)
+    got, m = run_with_observed_metrics(
+        df, {"n": F.count(F.lit(1))}, action=lambda d: d.count()
+    )
+    assert got == 100 and m["n"] == 100
