@@ -155,6 +155,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_hll_incremental",
     "window_scd2_snapshot",
     "subq_having_global",
+    "agg_kll_quantiles",
+    "agg_theta_overlap",
+    "agg_audience_overlap",
 )
 
 

@@ -268,8 +268,87 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Spark 4.1 DataSketches KLL): per-day
+    value sketches merged per event_type, then p50/p90/p99 read from
+    the merged sketch — the incremental-percentile asset (append one
+    day's sketch instead of re-scanning history; same pattern as
+    agg_hll_incremental).  Rows-only contract; the KLL rank-error bound
+    (~1.7% at k=200) vs exact percentiles is pytest-pinned."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("msk")
+    )
+    return merged.select(
+        "event_type",
+        F.round(F.kll_sketch_get_quantile_double("msk", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("msk", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("msk", F.lit(0.99)), 6).alias("p99"),
+    ).orderBy("event_type")
+
+
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via Theta sketches (Spark 4.1
+    DataSketches): per-event-type distinct-user sketches, then
+    |view ∩ t| estimated with theta_intersection for every other type —
+    set-operation cardinalities from mergeable sketches, the query
+    exact methods need a distinct self-join for.  Rows-only contract;
+    accuracy vs the exact overlap (agg_audience_overlap) is
+    pytest-pinned."""
+    e = read_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    view = sk.where(F.col("event_type") == "view").select(
+        F.col("sk").alias("view_sk")
+    )
+    return (
+        sk.where(F.col("event_type") != "view")
+        .crossJoin(F.broadcast(view))
+        .select(
+            "event_type",
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk", "view_sk")
+            ).alias("overlap_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap — the ground truth q_theta_overlap
+    estimates: distinct users per event type intersected with the
+    'view' audience via one distinct self-join.  Integer counts,
+    hash-exact."""
+    e = read_table(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    view = ut.where(F.col("event_type") == "view").select("user_id")
+    return (
+        ut.where(F.col("event_type") != "view")
+        .join(view, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .orderBy("event_type")
+    )
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+v AS (SELECT user_id FROM ut WHERE event_type = 'view')
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS overlap
+FROM ut
+WHERE event_type != 'view' AND user_id IN (SELECT user_id FROM v)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_hll_incremental": q_hll_incremental,
+    "agg_kll_quantiles": q_kll_quantiles,
+    "agg_theta_overlap": q_theta_overlap,
+    "agg_audience_overlap": q_audience_overlap,
     "agg_grouping_sets": q_grouping_sets,
     "agg_bitmap_distinct": q_bitmap_distinct,
     "agg_approx_sketches": q_approx_sketches,
@@ -281,6 +360,7 @@ QUERIES = {
     "agg_collect_set": q_collect_set,
 }
 ORACLES = {
+    "agg_audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,

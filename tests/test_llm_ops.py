@@ -944,3 +944,41 @@ def test_hll_incremental_estimate_within_bound(spark):
     }
     for r in rows:
         assert r["users_est"] == whole[r["event_type"]]
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """Merged KLL sketch quantiles must land within ~2% RANK error of
+    exact: the exact CDF evaluated at the sketch's p50/p90 answers must
+    sit within [p-0.02, p+0.02]."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.aggregates_q import (
+        q_kll_quantiles,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    rows = {r["event_type"]: r for r in q_kll_quantiles(spark, SF_DIR).collect()}
+    e = read_table(spark, SF_DIR, "events")
+    for et, r in rows.items():
+        vals = [
+            x["value"] for x in e.where(F.col("event_type") == et).select("value").collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        for p, est in ((0.5, r["p50"]), (0.9, r["p90"])):
+            rank = sum(1 for v in vals if v <= est) / n
+            assert abs(rank - p) <= 0.02, (et, p, est, rank)
+
+
+def test_theta_overlap_close_to_exact(spark):
+    """Theta-sketch intersection estimates must track the exact
+    audience overlap within 5% (small distinct counts: the sketch is
+    exact until it saturates its nominal entries)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.aggregates_q import (
+        q_audience_overlap,
+        q_theta_overlap,
+    )
+
+    est = {r["event_type"]: r["overlap_est"] for r in q_theta_overlap(spark, SF_DIR).collect()}
+    exact = {r["event_type"]: r["overlap"] for r in q_audience_overlap(spark, SF_DIR).collect()}
+    assert set(est) == set(exact)
+    for et in exact:
+        assert abs(est[et] - exact[et]) / exact[et] <= 0.05, (et, est[et], exact[et])
