@@ -158,6 +158,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_kll_quantiles",
     "agg_theta_overlap",
     "agg_audience_overlap",
+    "agg_listagg_ordered",
 )
 
 

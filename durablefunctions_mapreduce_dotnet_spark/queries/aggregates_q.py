@@ -344,8 +344,38 @@ ORDER BY event_type
 """
 
 
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4.1): per-nation customer
+    market segments as an ORDER-BY-deterministic delimited string —
+    unlike collect_list, the within-group sort makes the aggregate
+    partition-order-invariant by construction (duplicates preserved,
+    secondary c_custkey tie-break pins equal segments).  Mirrors
+    DuckDB's string_agg ORDER BY; hash-exact."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_mktsegment, ',') WITHIN GROUP "
+                "(ORDER BY c_mktsegment, c_custkey)"
+            ).alias("segments")
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_LISTAGG_SQL = """
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey) AS segments
+FROM customer WHERE c_custkey % 10 = 0
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "agg_hll_incremental": q_hll_incremental,
+    "agg_listagg_ordered": q_listagg_ordered,
     "agg_kll_quantiles": q_kll_quantiles,
     "agg_theta_overlap": q_theta_overlap,
     "agg_audience_overlap": q_audience_overlap,
@@ -361,6 +391,7 @@ QUERIES = {
 }
 ORACLES = {
     "agg_audience_overlap": _AUDIENCE_OVERLAP_SQL,
+    "agg_listagg_ordered": _LISTAGG_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,

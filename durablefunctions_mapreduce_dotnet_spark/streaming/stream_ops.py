@@ -376,3 +376,65 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
     )
+
+
+def run_to_files_idempotent(
+    agg: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+    mode: str = "update",
+) -> DataFrame:
+    """Exactly-once-UNDER-REPLAY streaming sink: each micro-batch
+    MERGEs (upserts) into a hive-partitioned parquet table keyed on
+    ``key_cols``, with a per-batch commit ledger so a REPLAYED batch is
+    a no-op.
+
+    Why :func:`run_to_files` isn't enough: Spark's checkpoint gives
+    exactly-once OFFSET tracking, but ``foreachBatch`` bodies run at
+    least once — after a crash between the sink write and the
+    checkpoint commit, the SAME batch id is re-delivered on restart.
+    A blind append duplicates it.  The production contract
+    (Structured Streaming docs' "use batchId to deduplicate") is
+    exactly this ledger: a marker file per committed batch id inside
+    the target, checked before writing; the merge itself is
+    additionally per-key idempotent, so even a crash INSIDE the merge
+    re-runs cleanly.
+
+    State never transits the driver; only the partitions a batch
+    touches are rewritten (``merge_upsert_partitioned``).  Returns a
+    batch frame over the final table."""
+    import os
+
+    from ..sources.sinks import merge_upsert_partitioned
+
+    spark = agg.sparkSession
+    ledger_dir = os.path.join(path, "_ledger")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger_dir, exist_ok=True)
+        marker = os.path.join(ledger_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already committed
+        if batch_df.isEmpty():
+            with open(marker, "w") as fh:
+                fh.write("empty")
+            return
+        merge_upsert_partitioned(
+            spark, os.path.join(path, "data"), batch_df, key_cols, partition_col
+        )
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(os.path.join(path, "data"))
