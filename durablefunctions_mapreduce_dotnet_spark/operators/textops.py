@@ -892,3 +892,86 @@ def bm25_topk(
             F.round("_s9", 6).alias("score"),
         )
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectorization
+    (Weinberger et al. 2009; scikit-learn's HashingVectorizer): each
+    token hashes to one of ``dims`` buckets with a ±1 sign drawn from a
+    second hash bit, giving a fixed-width sparse vector with NO
+    vocabulary state — the model-free embedding that makes similarity /
+    clustering / linear classifiers possible on a corpus too large to
+    fit a vocabulary, and the standard baseline before a learned
+    embedder.
+
+    Output: (id, dim, weight) rows — signed INTEGER token-count sums
+    (exact, engine-portable via the md5-prefix hash; normalization is
+    the caller's one extra map).  Plan: wordcount shape — one tokenize
+    explode, one (id, dim) combiner aggregate; nothing corpus-sized
+    after it.  Zero-weight dims are absent (sparse contract)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    dim = F.pmod(h, F.lit(dims))
+    # sign bit from a DIFFERENT hash region, so sign and bucket are
+    # independent (the hashing-trick unbiasedness argument)
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("w")), 9, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), dim.alias("dim"), sign.alias("_s"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("_s").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+#: frozen "trained" weights for the logistic quality model — literals by
+#: design (a deployed quality classifier ships as constants; training it
+#: is offline).  Feature order: [bias, ln(1+n_tokens), stopword_ratio,
+#: punct_ratio, avg_token_len].
+QUALITY_LR_WEIGHTS = (-2.0, 0.55, 6.0, -9.0, -0.08)
+
+
+def logistic_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring: a frozen logistic regression over
+    the ``text_stats`` feature battery — the shape of every deployed
+    fastText/LR quality filter (CCNet, Gopher reproductions): engineered
+    features → fixed dot product → sigmoid, scored corpus-wide as pure
+    codegen'd row expressions (broadcast-free: the "model" is five
+    literals in the plan).
+
+    score = σ(w₀ + w₁·ln(1+n_tokens) + w₂·stop_ratio + w₃·punct_ratio
+             + w₄·avg_token_len)
+
+    NULL features (empty docs) score NULL — the caller's gate decides
+    their fate explicitly rather than a silent 0.  Emitted at 6 dp
+    (ln/exp are libm-rounded; 6 dp absorbs the ulp differences between
+    engines — the ``dsir_weights`` precedent)."""
+    w0, w1, w2, w3, w4 = QUALITY_LR_WEIGHTS
+    s = text_stats(df, text_col, id_col)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        + F.lit(w2) * F.col("stopword_ratio")
+        + F.lit(w3) * F.col("punct_ratio")
+        + F.lit(w4) * F.col("avg_token_len")
+    )
+    return s.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_score"),
+    )

@@ -159,6 +159,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_theta_overlap",
     "agg_audience_overlap",
     "agg_listagg_ordered",
+    "text_feature_hashing",
+    "text_quality_logistic",
 )
 
 

@@ -517,7 +517,76 @@ FROM scored ORDER BY s9 DESC, doc_id LIMIT {k}
 """
 
 
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (operators.textops.
+    feature_hash_vectors): 16-dim signed token-count vectors with NO
+    vocabulary state — the model-free embedding baseline.  md5-prefix
+    hashing makes bucket and sign engine-portable; weights are exact
+    signed integers, hash-exact."""
+    from ..operators.textops import feature_hash_vectors
+
+    d = read_table(spark, sf_dir, "documents")
+    return feature_hash_vectors(d, dims=16).orderBy("doc_id", "dim")
+
+
+_FEATURE_HASHING_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 16 AS dim,
+         CASE WHEN CAST('0x' || substring(md5(w), 9, 1) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, dim
+HAVING SUM(s) != 0
+ORDER BY doc_id, dim
+"""
+
+
+def q_text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen logistic-regression quality scores
+    (operators.textops.logistic_quality_score): the deployed-classifier
+    shape — engineered features, literal weights, sigmoid — as pure
+    codegen'd row expressions.  6 dp rounding absorbs cross-engine
+    ln/exp ulps (dsir_weights precedent)."""
+    from ..operators.textops import logistic_quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return logistic_quality_score(d).orderBy("doc_id")
+
+
+def _quality_logistic_sql() -> str:
+    from ..operators.textops import QUALITY_LR_WEIGHTS
+
+    w0, w1, w2, w3, w4 = (repr(float(w)) for w in QUALITY_LR_WEIGHTS)
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS DOUBLE)
+           / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0) AS avg_token_len,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / nullif(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+           / nullif(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE), 0) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({w0} + {w1} * ln(1.0 + CAST(n_tokens AS DOUBLE))
+                                + {w2} * stopword_ratio + {w3} * punct_ratio
+                                + {w4} * avg_token_len))), 6) AS quality_score
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_feature_hashing": q_text_feature_hashing,
+    "text_quality_logistic": q_text_quality_logistic,
     "text_bm25": q_text_bm25,
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -540,6 +609,8 @@ ORACLES = {
     "text_bpe_merges": _bpe_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),
     "text_collocations": _TEXT_COLLOC_SQL,
+    "text_feature_hashing": _FEATURE_HASHING_SQL,
+    "text_quality_logistic": _quality_logistic_sql(),
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,
