@@ -161,6 +161,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_listagg_ordered",
     "text_feature_hashing",
     "text_quality_logistic",
+    "ts_rolling_corr",
 )
 
 

@@ -12,7 +12,7 @@ hash aggregate as the sums, no window function and no second pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
@@ -422,7 +422,96 @@ ORDER BY event_type, day
 """
 
 
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between the daily 'view' and
+    'purchase' count series — the co-movement monitor of a metrics
+    stack.  All five window sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    bigint sums of daily counts, so the only FP is the final
+    correlation expression — the identical IEEE tree both engines
+    (the classic one-pass-cancellation warning doesn't apply to exact
+    integer sums).  Windows shorter than 7 days emit NULL (partial
+    correlations mislead); degenerate (zero-variance) windows emit
+    NULL via try_divide/nullif.
+
+    The un-partitioned window runs AFTER the corpus collapses to the
+    days-sized frame (O(years) rows at any corpus size), so the
+    SinglePartition sort is over ~10³ rows — the same days-frame
+    argument as seasonal_decompose, not an event-sized window."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wide = (
+        daily.groupBy("d")
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.first("n"))
+        .select(
+            "d",
+            F.coalesce("view", F.lit(0)).alias("x"),
+            F.coalesce("purchase", F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return (
+        wide.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "x",
+            "y",
+            F.when(
+                n == 7, F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 9)
+            ).alias("corr7"),
+        )
+        .orderBy("day")
+    )
+
+
+_TS_ROLLING_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT d,
+         COALESCE(MAX(CASE WHEN event_type = 'view' THEN n END), 0) AS x,
+         COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS y
+  FROM daily GROUP BY d
+),
+rolled AS (
+  SELECT d, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+  FROM wide WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, x, y,
+       CASE WHEN n = 7 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 9)
+       END AS corr7
+FROM rolled ORDER BY day
+"""
+
+
 QUERIES = {
+    "ts_rolling_corr": q_ts_rolling_corr,
     "ts_holtwinters": q_ts_holtwinters,
     "ts_motif_topk": q_ts_motifs,
     "time_seasonal_decompose": q_time_seasonal,
@@ -433,6 +522,7 @@ QUERIES = {
     "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
+    "ts_rolling_corr": _TS_ROLLING_CORR_SQL,
     "ts_holtwinters": _hw_oracle_sql(),
     "ts_motif_topk": _ts_motifs_oracle_sql(),
     "time_seasonal_decompose": _TIME_SEASONAL_SQL,
