@@ -162,6 +162,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_feature_hashing",
     "text_quality_logistic",
     "ts_rolling_corr",
+    "curation_chunk_dedup",
 )
 
 

@@ -826,8 +826,64 @@ ORDER BY b.doc_id
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity cross-document dedup: slide 128/16-overlap
+    chunks over every doc (curation.chunk_documents), fingerprint each
+    chunk (md5 of the normalized chunk), and report fingerprints
+    appearing in ≥2 DISTINCT documents with their spread — the RAG-
+    index hygiene pass exact DOC-level dedup misses (shared boilerplate
+    sections inside otherwise-distinct docs).  Only (fingerprint,
+    doc_id) scalars shuffle — chunk text never leaves the map side.
+    Integer counts + hex strings, hash-exact."""
+    from ..operators.curation import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_chars=128, overlap_chars=16)
+    fp = chunks.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("chunk_text"), r"\s+", " "))
+        ).alias("fp"),
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_chunks"), "fp")
+    )
+
+
+_CHUNK_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), s AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil((n - 128) / 112.0) AS BIGINT), 0) AS k
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+         substring(text, CAST(i * 112 + 1 AS INTEGER), 128) AS chunk_text
+  FROM s, unnest(range(0, k + 1)) AS u(i)
+), fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(chunk_text), '\\s+', ' ', 'g'))) AS fp
+  FROM chunks
+)
+SELECT fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM fp GROUP BY fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_chunks DESC, fp
+"""
+
+
 QUERIES = {
     "curation_kanonymity": q_kanonymity,
+    "curation_chunk_dedup": q_chunk_dedup,
     "curation_pipeline_end2end": q_pipeline_end2end,
     "curation_boilerplate_ngrams": q_boilerplate,
     "curation_ngram_novelty": q_ngram_novelty,
@@ -852,6 +908,7 @@ QUERIES = {
 }
 ORACLES = {
     "curation_kanonymity": _KANONYMITY_SQL,
+    "curation_chunk_dedup": _CHUNK_DEDUP_SQL,
     "curation_pipeline_end2end": _PIPELINE_SQL,
     "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
     "curation_ngram_novelty": _NOVELTY_SQL,
