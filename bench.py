@@ -6,8 +6,9 @@ Output contract (the driver captures only the LAST ~2,000 chars of
 stdout — r06's single fat line outgrew that and the official bench
 record was lost): stdout carries TWO JSON lines.  The first is the full
 detail (4-dp per-query times + scale curve; also written to the
-gitignored .bench_detail.json); the LAST line is the compact official
-record {"metric", "value", "unit", "sf", "n_queries"} plus the per-query
+git-TRACKED BENCH_DETAIL.json so per-query numbers survive as a repo
+artifact even when the compact line drops them); the LAST line is the
+compact official record {"metric", "value", "unit", "sf", "n_queries"} plus the per-query
 dict at 2 dp ONLY if the serialized line stays under _LINE_BUDGET chars
 (tests/test_bench_contract.py pins the budget).
 
@@ -225,7 +226,7 @@ def compact_result(result: dict) -> dict:
         "unit": result["unit"],
         "sf": result["sf"],
         "n_queries": result.get("n_queries", len(result.get("queries", {}))),
-        "detail": ".bench_detail.json",
+        "detail": "BENCH_DETAIL.json",
     }
     with_q = dict(compact)
     with_q["queries"] = {k: round(v, 2) for k, v in result.get("queries", {}).items()}
@@ -322,7 +323,7 @@ def main() -> None:
     print(detail_line)
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_detail.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
             "w",
         ) as fh:
             fh.write(detail_line + "\n")

@@ -103,11 +103,17 @@ def connected_components(
     ``pairs_distinct_ordered=True`` declares the input pairs DISTINCT
     with ``src < dst`` on every row (true of any verified-pair table
     whose candidates were deduped — the MinHash pipelines): the
-    symmetrized edge set is then union-disjoint by construction and the
-    edge-building ``distinct()`` shuffle is skipped.  Correctness does
-    not depend on the claim (duplicate edges only repeat min-label
-    work), but a false claim wastes the saving, so only callers that
-    KNOW the shape should set it.
+    symmetrized edge set is then union-disjoint by construction, so the
+    edge build swaps ``distinct()`` for a plain ``repartition`` — same
+    single exchange, no hash-dedup state.  The exchange itself is
+    load-bearing either way and is NEVER skipped: the symmetrizing
+    union doubles the upstream partition count, and every propagation
+    round would re-pay that task overhead — one normalization shuffle
+    amortizes it (measured: skipping it entirely was ~20% SLOWER
+    end-to-end at sf0.1).  Correctness does not depend on the claim
+    (duplicate edges only repeat min-label work), but a false claim
+    wastes the dedup saving, so only callers that KNOW the shape
+    should set it.
 
     Raises ``RuntimeError`` if ``max_iter`` propagation steps pass
     without reaching the fixpoint — unconverged labels are
@@ -124,7 +130,9 @@ def connected_components(
     # in the materialization job.
     one = cut_lazy(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = one.union(one.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = cut_lazy(sym if pairs_distinct_ordered else sym.distinct())
+    edges = cut_lazy(
+        sym.repartition("u") if pairs_distinct_ordered else sym.distinct()
+    )
     labels = cut_lazy(
         edges.select(F.col("u").alias("n")).distinct().withColumn(
             "component", F.col("n")

@@ -46,7 +46,7 @@ def test_oversized_query_dict_is_dropped_not_truncated():
     parsed = json.loads(line)
     assert "queries" not in parsed
     assert parsed["n_queries"] == 200
-    assert parsed["detail"] == ".bench_detail.json"
+    assert parsed["detail"] == "BENCH_DETAIL.json"
 
 
 def test_scale_curve_never_reaches_final_line():
