@@ -56,8 +56,9 @@ def all_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 # The external correctness harness hashes a PREFIX of this registry
 # (50 rows per round).  The registry holds far more than 50 queries
-# (151 as of r07 — tests/test_window_contract.py asserts the real count),
-# so the modules are split into two halves that alternate facing the driver; whichever half
+# (169 at the end of r07; run ``len(all_queries())`` for the live count
+# rather than trusting this comment), so the modules are split into two
+# halves that alternate facing the driver; whichever half
 # is NOT in the window rests on the local oracle mirror
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
 # every registered query, run in pytest each round).
