@@ -82,6 +82,9 @@ _BNLJ_OK = {
     # day-grid bounds scalar: broadcast 1-row cross join feeding the
     # per-user sequence explode (q_scd2_snapshot)
     "window_scd2_snapshot",
+    # view-audience sketch scalar: broadcast 1-row cross join
+    # (q_theta_overlap)
+    "agg_theta_overlap",
     # bucket-histogram totals scalar: broadcast 1-row cross join
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
