@@ -164,6 +164,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_quality_logistic",
     "ts_rolling_corr",
     "curation_chunk_dedup",
+    "agg_weighted_median",
+    "funnel_latency",
+    "text_zipf_slope",
 )
 
 

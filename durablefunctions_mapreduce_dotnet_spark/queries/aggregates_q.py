@@ -11,7 +11,7 @@ and hash-equal to the serial DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, grouped_moments, grouped_regression
@@ -344,6 +344,53 @@ ORDER BY event_type
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED (lower) median per group: the smallest
+    l_extendedprice whose cumulative l_quantity weight reaches half the
+    group's total — the quantity-weighted price midpoint (a revenue
+    analyst's median price per sold unit, not per line).  Spark has no
+    weighted-percentile aggregate; the composition is ONE per-group
+    window pass over exact decimal cumulative weights + a min over
+    qualifying rows — integers/decimals all the way, hash-exact with no
+    FP scaffolding (the lower-median rule avoids interpolation
+    entirely)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(38,6)")
+    wcum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(wcum).alias("_cum"),
+        F.sum(wq).over(wtot).alias("_tot"),
+    )
+    return (
+        ranked.where(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+           PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
+FROM ranked WHERE cum * 2 >= tot
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI LISTAGG ... WITHIN GROUP (Spark 4.1): per-nation customer
     market segments as an ORDER-BY-deterministic delimited string —
@@ -376,6 +423,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 QUERIES = {
     "agg_hll_incremental": q_hll_incremental,
     "agg_listagg_ordered": q_listagg_ordered,
+    "agg_weighted_median": q_weighted_median,
     "agg_kll_quantiles": q_kll_quantiles,
     "agg_theta_overlap": q_theta_overlap,
     "agg_audience_overlap": q_audience_overlap,
@@ -392,6 +440,7 @@ QUERIES = {
 ORACLES = {
     "agg_audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "agg_listagg_ordered": _LISTAGG_SQL,
+    "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,

@@ -374,10 +374,61 @@ ORDER BY p.user_id, day
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, microseconds from first
+    'view' to the first 'purchase' at-or-after it, summarized as
+    converter count + exact p25/p50/p75 latency — the question funnel
+    COUNTS can't answer (how long conversion takes).  Two min-aggregates
+    on one user exchange; percentiles use the (p·(n−1)) interpolation
+    both engines share bit-for-bit over exact integer micros."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_p"))
+        .join(v, "user_id")
+        .where(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_p").alias("t_purchase"), F.min("t_view").alias("_tv"))
+    )
+    lat = p.select((F.col("t_purchase") - F.col("_tv")).alias("lat_us"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("lat_us", 0.25), 4).alias("p25_us"),
+        F.round(F.percentile("lat_us", 0.5), 4).alias("p50_us"),
+        F.round(F.percentile("lat_us", 0.75), 4).alias("p75_us"),
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase, MIN(v.t_view) AS tv
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+  GROUP BY e.user_id
+),
+lat AS (SELECT t_purchase - tv AS lat_us FROM p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       ROUND(quantile_cont(lat_us, 0.25), 4) AS p25_us,
+       ROUND(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+       ROUND(quantile_cont(lat_us, 0.75), 4) AS p75_us
+FROM lat
+"""
+
+
 QUERIES = {
     "diag_skew_report": q_diag_skew_report,
     "pattern_sequence": q_pattern_sequence,
     "window_scd2_snapshot": q_scd2_snapshot,
+    "funnel_latency": q_funnel_latency,
     "cdc_apply": q_cdc_apply,
     "window_concurrency": q_window_concurrency,
     "window_concurrency_global": q_window_concurrency_global,
@@ -389,6 +440,7 @@ ORACLES = {
     "diag_skew_report": _SKEW_REPORT_SQL,
     "pattern_sequence": _PATTERN_SEQ_SQL,
     "window_scd2_snapshot": _SCD2_SNAPSHOT_SQL,
+    "funnel_latency": _FUNNEL_LATENCY_SQL,
     "cdc_apply": _CDC_APPLY_SQL,
     "window_concurrency": _CONCURRENCY_SQL,
     "window_concurrency_global": _CONCURRENCY_GLOBAL_SQL,

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import hash_bucket
@@ -584,9 +584,81 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) over the top-2000 words — the
+    rank-frequency power-law exponent, the classic corpus-health
+    diagnostic (natural text ≈ −1; templated/synthetic corpora
+    flatten).  Word counts are one combiner aggregate; the rank window
+    runs on the vocabulary-sized frame; ln values are quantized
+    floor(ln·10⁶+0.5) to exact integers (the embedding_covariance
+    trick) so all OLS sums are decimal-exact and the single final
+    division is the only FP op — hash-exact at 6 dp."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(2000)
+    )
+    rank_w = Window.orderBy(F.desc("c"), "w")
+    q = counts.select(
+        F.floor(
+            F.log(F.row_number().over(rank_w).cast("double")) * 1e6 + F.lit(0.5)
+        ).cast("decimal(38,0)").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+_ZIPF_SQL = """
+WITH counts AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+  ) GROUP BY w ORDER BY c DESC, w LIMIT 2000
+),
+q AS (
+  SELECT CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) * 1e6 + 0.5) AS DECIMAL(38,0)) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS DECIMAL(38,0)) AS y
+  FROM counts
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM s
+"""
+
+
 QUERIES = {
     "text_feature_hashing": q_text_feature_hashing,
     "text_quality_logistic": q_text_quality_logistic,
+    "text_zipf_slope": q_text_zipf_slope,
     "text_bm25": q_text_bm25,
     "text_bpe_merges": q_text_bpe_merges,
     "text_bpe_encode": q_text_bpe_encode,
@@ -611,6 +683,7 @@ ORACLES = {
     "text_collocations": _TEXT_COLLOC_SQL,
     "text_feature_hashing": _FEATURE_HASHING_SQL,
     "text_quality_logistic": _quality_logistic_sql(),
+    "text_zipf_slope": _ZIPF_SQL,
     "text_lm_score": _TEXT_LM_SQL,
     "text_lm_score_fast": _TEXT_LM_SQL,
     "text_entropy": _TEXT_ENTROPY_SQL,
