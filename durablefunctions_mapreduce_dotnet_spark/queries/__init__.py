@@ -63,9 +63,9 @@ def all_oracles() -> dict[str, str]:
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
 # every registered query, run in pytest each round).
 #
-#   HALF_A (relational core + flagship, 50 queries):
-#       joins_q, windows_q, aggregates_q, relational_q, subquery_q,
-#       arrays_q, flagship_q
+#   HALF_A (relational core + flagship + raw-SQL face):
+#       sql_q, joins_q, windows_q, aggregates_q, relational_q,
+#       subquery_q, arrays_q, flagship_q
 #   HALF_B (LLM-pipeline surface, 65 queries):
 #       similarity_q, dedup_q, curation_q, text_q, multimodal_q,
 #       streaming_q, timeseries_q, udf_q, analytics_q, linkage_q,
@@ -113,6 +113,7 @@ def all_oracles() -> dict[str, str]:
 # behavior-touching fix since its last driver row — then keep that half in
 # (or interleave) until it re-earns a driver-green row.
 _HALF_A = (
+    "sql_q",
     "joins_q",
     "windows_q",
     "aggregates_q",
@@ -165,6 +166,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ts_rolling_corr",
     "curation_chunk_dedup",
     "agg_weighted_median",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
     "funnel_latency",
     "text_zipf_slope",
 )

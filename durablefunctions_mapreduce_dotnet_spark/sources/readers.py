@@ -89,3 +89,20 @@ def read_binary_files(
     if path_filter:
         r = r.option("pathGlobFilter", path_filter)
     return r.load(glob)
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark, sf_dir: str, prefix: str = "") -> None:
+    """Register every corpus table as a temp view so users can drive the
+    engine through plain ``spark.sql(...)`` — the SQL face of the
+    DataFrame API (same scans, same Catalyst plans; a view is just a
+    named logical plan, so predicate pushdown / pruning work
+    identically).  ``prefix`` namespaces the views when a session hosts
+    several scale factors at once."""
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"{prefix}{t}")
