@@ -652,6 +652,20 @@ def simhash_candidates(
     sh = src.select(F.col(id_col), token_hashes_expr(text_col).alias("hs")).select(
         F.col(id_col), simhash_from_hashes_udf()(F.col("hs")).alias("simhash")
     )
+    return hamming_pairs_from_hashes(sh, id_col, "simhash", max_hamming)
+
+
+def hamming_pairs_from_hashes(
+    sig_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """EXACT-recall hamming-≤h pairs over ANY 64-bit signature column
+    (SimHash, perceptual image dHash, audio fingerprints): the shared
+    pigeonhole tail — partition the signature into h+1 disjoint chunks
+    (two signatures within h differing bits share ≥1 chunk unchanged),
+    equi-join on chunk values, filter with ``bit_count(xor)``."""
     n_chunks = max_hamming + 1
     base, rem = divmod(64, n_chunks)
     pieces, off = [], 0
@@ -661,16 +675,16 @@ def simhash_candidates(
         # truncates back to the w-bit field, so every chunk is exact.
         # A full-width chunk (max_hamming=0) is the signature itself —
         # and 2^64-1 wouldn't fit a long literal anyway.
-        v = F.col("simhash")
+        v = F.col(hash_col)
         if w < 64:
             v = F.shiftright(v, off).bitwiseAND(F.lit((1 << w) - 1))
         pieces.append(F.struct(F.lit(i).alias("c"), v.alias("v")))
         off += w
-    chunked = sh.select(
-        id_col, "simhash", F.explode(F.array(*pieces)).alias("chunk")
-    ).select(id_col, "simhash", F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))
-    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "v")
-    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "v")
+    chunked = sig_df.select(
+        id_col, hash_col, F.explode(F.array(*pieces)).alias("chunk")
+    ).select(id_col, hash_col, F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"), "c", "v")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"), "c", "v")
     return (
         a.join(b, ["c", "v"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -254,3 +254,60 @@ def decode_image_auto(binary_df: DataFrame) -> DataFrame:
         stacklevel=2,
     )
     return decode_image_meta(binary_df)
+
+
+def perceptual_dhash(binary_df: DataFrame) -> DataFrame:
+    """64-bit difference-hash (dHash) per binary payload — the standard
+    perceptual image near-dup fingerprint (resize to a 9×8 grayscale
+    grid, set one bit per adjacent-cell brightness comparison; small
+    visual edits flip few bits, so near-duplicate images sit at small
+    hamming distance).
+
+    The DECODE stage is the documented deterministic stand-in (no
+    Pillow in this container): the "grayscale grid" is the payload's
+    byte stream resampled into 72 contiguous slices and averaged — so
+    byte-local edits perturb few cells and the hamming-distance
+    semantics the operator exists for are genuinely exercised.  The
+    real-decode swap is ONLY the grid construction; schema, Arrow
+    batching, bit packing, and the downstream pigeonhole join are
+    production-shaped.
+
+    Output: (doc_id, dhash bigint).  Empty/NULL payloads hash to 0."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for b in batch["content"]:
+                blob = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                if not blob:
+                    out.append(0)
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                cells = np.array([c.mean() if len(c) else 0.0 for c in np.array_split(arr, 72)])
+                grid = cells.reshape(8, 9)
+                bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)  # 8x8
+                h = np.uint64(0)
+                for bit in bits:
+                    h = (h << np.uint64(1)) | np.uint64(bool(bit))
+                out.append(int(h.view(np.int64)))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "dhash": pd.array(out, dtype="int64")})
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        gen, "doc_id bigint, dhash bigint"
+    )
+
+
+def phash_near_dup_pairs(
+    binary_df: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance:
+    :func:`perceptual_dhash` fingerprints + the EXACT-recall pigeonhole
+    chunk join shared with SimHash (``dedup.hamming_pairs_from_hashes``)
+    — the media twin of text near-dedup, sub-quadratic by the same
+    argument.  Output: (id_a, id_b, hamming)."""
+    from .dedup import hamming_pairs_from_hashes
+
+    sig = perceptual_dhash(binary_df)
+    return hamming_pairs_from_hashes(sig, "doc_id", "dhash", max_hamming)

@@ -171,6 +171,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sql_returned_items",
     "funnel_latency",
     "text_zipf_slope",
+    "curation_winsorize",
+    "multimodal_phash_dedup",
 )
 
 

@@ -881,9 +881,72 @@ ORDER BY n_docs DESC, n_chunks DESC, fp
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of the event value (clip at p05/p95): the
+    robustification pass feature pipelines run before training on
+    heavy-tailed signals.  Two exact grouped percentiles (bit-equal
+    across engines) broadcast back; the clip is a pure CASE — clipped
+    values COPY the exact percentile double, so the output hash-matches
+    with no rounding scaffolding.  Summarized per type (corpus-sized
+    output would just echo the input): n_clipped_low/high + decimal-
+    exact sum of the winsorized column."""
+    from ..functions.numeric import dsum
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    w = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        (F.col("value") < F.col("lo")).cast("int").alias("_l"),
+        (F.col("value") > F.col("hi")).cast("int").alias("_h"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.round(F.min("lo"), 9).alias("p05"),
+            F.round(F.min("hi"), 9).alias("p95"),
+            F.sum("_l").alias("n_clipped_low"),
+            F.sum("_h").alias("n_clipped_high"),
+            F.round(dsum(F.round(F.col("wv"), 6)), 4).alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSORIZE_SQL = """
+WITH e AS (SELECT event_type, value FROM events),
+cuts AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM e GROUP BY 1
+),
+w AS (
+  SELECT e.event_type, lo, hi,
+         CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END AS wv,
+         CASE WHEN value < lo THEN 1 ELSE 0 END AS l,
+         CASE WHEN value > hi THEN 1 ELSE 0 END AS h
+  FROM e JOIN cuts USING (event_type)
+)
+SELECT event_type,
+       ROUND(MIN(lo), 9) AS p05, ROUND(MIN(hi), 9) AS p95,
+       CAST(SUM(l) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(h) AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(ROUND(wv, 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS winsorized_sum
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "curation_kanonymity": q_kanonymity,
     "curation_chunk_dedup": q_chunk_dedup,
+    "curation_winsorize": q_winsorize,
     "curation_pipeline_end2end": q_pipeline_end2end,
     "curation_boilerplate_ngrams": q_boilerplate,
     "curation_ngram_novelty": q_ngram_novelty,
@@ -909,6 +972,7 @@ QUERIES = {
 ORACLES = {
     "curation_kanonymity": _KANONYMITY_SQL,
     "curation_chunk_dedup": _CHUNK_DEDUP_SQL,
+    "curation_winsorize": _WINSORIZE_SQL,
     "curation_pipeline_end2end": _PIPELINE_SQL,
     "curation_boilerplate_ngrams": _BOILERPLATE_SQL,
     "curation_ngram_novelty": _NOVELTY_SQL,

@@ -95,7 +95,22 @@ FROM (SELECT doc_id, nb, UNNEST(range(0, nf, 4)) AS i FROM m)
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs
+    (operators.multimodal.phash_near_dup_pairs): 64-bit dHash
+    fingerprints over the binary payloads + the exact-recall pigeonhole
+    hamming join shared with SimHash — the media twin of text
+    near-dedup.  Rows-only contract (the numpy grid/bit-packing kernel
+    is not SQL); recall-exactness vs brute-force signature comparison
+    and edit-locality are pytest-pinned (tests/test_llm_ops.py)."""
+    from ..operators.multimodal import phash_near_dup_pairs
+
+    b = attach_binary(read_table(spark, sf_dir, "documents"))
+    return phash_near_dup_pairs(b, max_hamming=10).orderBy("id_a", "id_b")
+
+
 QUERIES = {
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,

@@ -982,3 +982,54 @@ def test_theta_overlap_close_to_exact(spark):
     assert set(est) == set(exact)
     for et in exact:
         assert abs(est[et] - exact[et]) / exact[et] <= 0.05, (et, est[et], exact[et])
+
+
+def test_phash_edit_locality_and_exact_recall(spark):
+    """dHash semantics: a byte-local edit flips few bits (small
+    hamming), disjoint content is far; the pigeonhole join finds
+    EXACTLY the brute-force hamming-<=h pairs over the same
+    signatures."""
+    import itertools
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_dhash,
+        phash_near_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    edited = base.replace("lazy", "hazy", 1)  # one localized byte edit
+    other = ("completely different content about spark engines " * 20).strip()
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    b = attach_binary(df)
+    sig = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(b).collect()}
+    d12 = bin((sig[1] ^ sig[2]) & (2**64 - 1)).count("1")
+    d13 = bin((sig[1] ^ sig[3]) & (2**64 - 1)).count("1")
+    assert d12 <= 6, d12       # localized edit: few cells perturbed
+    assert d13 > d12           # unrelated content is farther
+
+    # exact recall at h=10 vs brute force over the signatures
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(b, max_hamming=10).collect()
+    }
+    want = {}
+    for a, c in itertools.combinations(sorted(sig), 2):
+        h = bin((sig[a] ^ sig[c]) & (2**64 - 1)).count("1")
+        if h <= 10:
+            want[(a, c)] = h
+    assert got == want and (1, 2) in got
+
+
+def test_phash_empty_payload_hashes_zero(spark):
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None)], "doc_id long, content binary"
+    )
+    out = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(df).collect()}
+    assert out == {1: 0, 2: 0}
