@@ -311,3 +311,65 @@ def phash_near_dup_pairs(
 
     sig = perceptual_dhash(binary_df)
     return hamming_pairs_from_hashes(sig, "doc_id", "dhash", max_hamming)
+
+
+def audio_frame_energy(
+    binary_df: DataFrame,
+    frame: int = 1024,
+    hop: int = 512,
+    silence_threshold: int = 1000,
+) -> DataFrame:
+    """Short-time frame ENERGY over an audio payload — the
+    silence-detection / voice-activity primitive of an audio curation
+    pipeline (segment, drop silence, balance speakers): hop-strided
+    frames of ``frame`` samples, per-frame energy Σ s², flagged silent
+    under ``silence_threshold`` (mean-square, so the flag is
+    frame-length independent).
+
+    DECODE stand-in (no ffmpeg/soundfile in this container): payload
+    bytes reinterpret as signed int8 PCM — deterministic, documented,
+    swap-for-real at the marked line only; framing, Arrow batching,
+    exact-integer energies and the output schema are the production
+    shape.  Energies are EXACT integers (int8² sums), so downstream
+    aggregation is engine-portable with no FP scaffolding.
+
+    Output: (doc_id, frame_idx, n_samples, energy, is_silence); short
+    final frames are kept (their real sample count reported)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fidx, ns, en = [], [], [], []
+            for doc_id, b in zip(batch["doc_id"], batch["content"]):
+                blob = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                # REAL-DECODE SWAP POINT: replace the next line with the
+                # actual PCM decode (ffmpeg/soundfile) on a real cluster.
+                pcm = np.frombuffer(blob, dtype=np.int8).astype(np.int64)
+                if not len(pcm):
+                    continue
+                for i, start in enumerate(range(0, len(pcm), hop)):
+                    fr = pcm[start : start + frame]
+                    if not len(fr):
+                        break
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    ns.append(len(fr))
+                    en.append(int((fr * fr).sum()))
+                    if start + frame >= len(pcm):
+                        break
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "energy": pd.array(en, dtype="int64"),
+                }
+            )
+
+    out = binary_df.select("doc_id", "content").mapInPandas(
+        gen, "doc_id bigint, frame_idx int, n_samples int, energy bigint"
+    )
+    return out.withColumn(
+        "is_silence",
+        F.col("energy") < F.lit(silence_threshold) * F.col("n_samples"),
+    )

@@ -173,6 +173,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_zipf_slope",
     "curation_winsorize",
     "multimodal_phash_dedup",
+    "multimodal_audio_energy",
 )
 
 

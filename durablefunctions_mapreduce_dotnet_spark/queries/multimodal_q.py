@@ -109,8 +109,31 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(b, max_hamming=10).orderBy("id_a", "id_b")
 
 
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type silence statistics from short-time audio frame energy
+    (operators.multimodal.audio_frame_energy over the binary payloads):
+    frames, silent frames, and the exact integer energy total per
+    document-source — the voice-activity screen of an audio pipeline.
+    Rows-only contract (the PCM framing kernel is numpy); exact-integer
+    energies and a numpy differential are pytest-pinned."""
+    from ..operators.multimodal import audio_frame_energy
+
+    b = attach_binary(read_table(spark, sf_dir, "documents"))
+    fr = audio_frame_energy(b, frame=1024, hop=512, silence_threshold=1000)
+    return (
+        fr.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count(F.when(F.col("is_silence"), 1)).alias("n_silent"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_audio_energy": q_multimodal_audio_energy,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,

@@ -1033,3 +1033,35 @@ def test_phash_empty_payload_hashes_zero(spark):
     )
     out = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(df).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_audio_frame_energy_matches_numpy(spark):
+    """Framing + exact-integer energies vs a numpy reference, including
+    the short final frame and the silence flag's mean-square rule."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    payload = bytes(range(256)) * 7  # 1792 int8 samples, deterministic
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"")), (3, None)],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["n_samples"], r["energy"], r["is_silence"])
+        for r in audio_frame_energy(df, frame=1024, hop=512, silence_threshold=1000).collect()
+    }
+    pcm = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+    want = {}
+    for i, start in enumerate(range(0, len(pcm), 512)):
+        fr = pcm[start : start + 1024]
+        if not len(fr):
+            break
+        e = int((fr * fr).sum())
+        want[(1, i)] = (len(fr), e, e < 1000 * len(fr))
+        if start + 1024 >= len(pcm):
+            break
+    assert got == want
+    assert len(want) >= 2 and any(n < 1024 for n, _, _ in want.values())
