@@ -93,6 +93,12 @@ HEADLINE = [
     "graph_kcore",
     "ts_holtwinters",
     "ann_pq_rescored",
+    "sql_local_supplier_volume",
+    "window_scd2_snapshot",
+    "pattern_sequence",
+    "text_feature_hashing",
+    "curation_chunk_dedup",
+    "multimodal_phash_dedup",
 ]
 
 
