@@ -507,7 +507,12 @@ def common_neighbor_jaccard(
     Output: (node_a, node_b, n_common, jaccard) with node_a < node_b;
     the double is the identical single-division expression both
     engines."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # self-loops would let a node serve as its own "common neighbor"
+    # (and inflate its degree) — canonicalize them away like
+    # triangle_counts does
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
     bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     adj = bi.groupBy("u").agg(F.collect_list("v").alias("ns"))
@@ -573,7 +578,15 @@ def kcore(
     fixpoint — a truncated peel is a silently-wrong (too large) core.
     """
     cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
-    one = cut_lazy(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # a self-loop would grant its node +2 un-peelable degree and could
+    # hold it in the core forever — canonicalize away; duplicate edges
+    # are the CALLER's contract (they count with multiplicity, matching
+    # the oracle's plain row semantics)
+    one = cut_lazy(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+            F.col(src) != F.col(dst)
+        )
+    )
     bi = cut_lazy(
         one.union(one.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )

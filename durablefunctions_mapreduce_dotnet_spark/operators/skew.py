@@ -114,7 +114,13 @@ def skew_report(
 
     Plan: ONE combiner-reduced groupBy over the keys, then a tiny
     (distinct-key-sized) aggregate + top-k (``TakeOrderedAndProject``)
-    — the diagnostic never reshuffles the corpus."""
+    — the diagnostic never reshuffles the corpus.
+
+    NULL caveat: the composite key is ``concat_ws``-joined, which
+    renders NULL components as empty strings — keys differing only in
+    NULL-vs-'' collapse into one diagnostic bucket.  Acceptable for a
+    DIAGNOSTIC (the skew magnitude is what matters); use null-safe
+    struct keys if exact class identity is needed."""
     from pyspark.sql import functions as F
 
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])

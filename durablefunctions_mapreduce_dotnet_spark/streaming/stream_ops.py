@@ -404,7 +404,13 @@ def run_to_files_idempotent(
 
     State never transits the driver; only the partitions a batch
     touches are rewritten (``merge_upsert_partitioned``).  Returns a
-    batch frame over the final table."""
+    batch frame over the final table.
+
+    Ledger-FS caveat: markers are written with driver-local ``os``
+    calls — correct wherever the driver sees the target path as a
+    filesystem (local, NFS, FUSE-mounted object store).  For raw
+    s3a/abfss targets swap the marker I/O for the Hadoop FS API (the
+    ``reliable_checkpoint`` pattern); the ledger LOGIC is unchanged."""
     import os
 
     from ..sources.sinks import merge_upsert_partitioned

@@ -310,3 +310,29 @@ def test_common_neighbor_jaccard_hand_graph(spark):
     assert got[(21, 22)] == (1, 1 / 3)
     # hub pairs with nobody (leaves have no second neighbor)
     assert not any(10 in p for p in got)
+
+
+def test_kcore_and_jaccard_ignore_self_loops(spark):
+    """A self-loop must not hold its node in the core (it would grant
+    +2 un-peelable degree) nor let a node act as its own common
+    neighbor."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        common_neighbor_jaccard,
+        kcore,
+    )
+
+    cycle = [(1, 2), (2, 3), (3, 1), (4, 4), (4, 1)]
+    core = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(cycle, "id_a bigint, id_b bigint"), k=2
+        ).collect()
+    }
+    # node 4's loop is dropped; its single real edge peels it away
+    assert core == {1: 2, 2: 2, 3: 2}
+
+    sim = common_neighbor_jaccard(
+        spark.createDataFrame([(5, 5), (5, 6), (5, 7)], "id_a bigint, id_b bigint")
+    ).collect()
+    got = {(r["node_a"], r["node_b"]): r["n_common"] for r in sim}
+    assert got == {(6, 7): 1}  # via center 5 only; the loop adds nothing
