@@ -98,7 +98,6 @@ HEADLINE = [
     "pattern_sequence",
     "text_feature_hashing",
     "curation_chunk_dedup",
-    "multimodal_phash_dedup",
 ]
 
 

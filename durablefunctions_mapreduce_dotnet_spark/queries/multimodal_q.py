@@ -100,13 +100,19 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.multimodal.phash_near_dup_pairs): 64-bit dHash
     fingerprints over the binary payloads + the exact-recall pigeonhole
     hamming join shared with SimHash — the media twin of text
-    near-dedup.  Rows-only contract (the numpy grid/bit-packing kernel
-    is not SQL); recall-exactness vs brute-force signature comparison
-    and edit-locality are pytest-pinned (tests/test_llm_ops.py)."""
+    near-dedup.  Radius 12: this corpus's planted near-dups carry
+    scattered edits (shingle-Jaccard 0.6), so their byte-grid dHashes
+    sit ~12-14 bits apart — recall stays EXACT at any radius, but
+    candidate volume grows as chunks narrow (~5 s at sf0.1 vs ~1 s at
+    radius 8; pick the radius to the corpus's edit density, exactly as
+    with real images).  Rows-only contract (the numpy grid/bit-packing
+    kernel is not SQL); recall-exactness vs brute-force signature
+    comparison and edit-locality are pytest-pinned
+    (tests/test_llm_ops.py)."""
     from ..operators.multimodal import phash_near_dup_pairs
 
     b = attach_binary(read_table(spark, sf_dir, "documents"))
-    return phash_near_dup_pairs(b, max_hamming=10).orderBy("id_a", "id_b")
+    return phash_near_dup_pairs(b, max_hamming=12).orderBy("id_a", "id_b")
 
 
 def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
