@@ -174,6 +174,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_winsorize",
     "multimodal_phash_dedup",
     "multimodal_audio_energy",
+    "ann_ivfpq_rescored",
 )
 
 

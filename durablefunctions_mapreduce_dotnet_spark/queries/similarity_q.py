@@ -411,7 +411,24 @@ def q_ann_pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC + exact refine (operators.similarity.
+    ivfpq_rescored_topk): coarse inverted-file probe × residual product
+    quantization × exact-cosine rescore — the composition completing
+    the ANN tier (brute / LSH / IVF / int8 / PQ / IVFPQ).  Rows-only
+    contract (k-means coarse + residual codebooks, same argument as
+    ann_ivf_refined / ann_pq_rescored); recall floors pytest-pinned at
+    the adversarial near-random corpus's measured levels."""
+    from ..operators.similarity import ivfpq_rescored_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_rescored_topk(e, _queries_subset(e), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
+    "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,

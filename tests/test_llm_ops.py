@@ -1065,3 +1065,35 @@ def test_audio_frame_energy_matches_numpy(spark):
             break
     assert got == want
     assert len(want) >= 2 and any(n < 1024 for n, _, _ in want.values())
+
+
+def test_ivfpq_rescored_recall_floor(spark):
+    """Full IVFADC: raw ADC recall >= 0.15 (coarse-probe x residual-PQ
+    on an adversarial near-random corpus; measured 0.22-0.3), rescored
+    >= 0.6 (measured 0.72-0.8) — and the rescored set must beat raw."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rescored_topk,
+        ivfpq_topk,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(e, q, k=5, n_probe=8).collect()
+    }
+    resc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_rescored_topk(e, q, k=5).collect()
+    }
+    r_raw = len(raw & exact) / len(exact)
+    r_resc = len(resc & exact) / len(exact)
+    assert r_raw >= 0.15, r_raw
+    assert r_resc >= 0.6, r_resc
+    assert r_resc >= r_raw
