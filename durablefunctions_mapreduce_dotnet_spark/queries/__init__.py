@@ -56,9 +56,8 @@ def all_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 # The external correctness harness hashes a PREFIX of this registry
 # (50 rows per round).  The registry holds far more than 50 queries
-# (169 at the end of r07; run ``len(all_queries())`` for the live count
-# rather than trusting this comment), so the modules are split into two
-# halves that alternate facing the driver; whichever half
+# (run ``len(all_queries())`` for the live count), so the modules are
+# split into two halves that alternate facing the driver; whichever half
 # is NOT in the window rests on the local oracle mirror
 # (tests/test_oracle_parity.py — the same DuckDB side-by-side check over
 # every registered query, run in pytest each round).
@@ -103,10 +102,16 @@ def all_oracles() -> dict[str, str]:
 #             integer-ts bucket fix in joins.py; r06 newcomers pinned
 #             via _WINDOW_FIRST; CORRECTNESS_r06 came back all green —
 #             47 hash-exact + 3 rows-only by design, 0 failures)
-#   r07:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#   r07:      HALF_B first
 #             (re-verifies the LLM surface, incl. the r06 fused MinHash
 #             kernel in dedup.py that HALF_B queries now route through;
-#             r07 newcomers pinned via _WINDOW_FIRST)
+#             r07 newcomers pinned via _WINDOW_FIRST; CORRECTNESS_r07
+#             came back all green — 40 hash-exact + 10 rows-only by
+#             design, 0 failures; every r07 pin earned its row)
+#   r08:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the relational core under rotation, incl. the
+#             new sql_q raw-SQL face for the first time in-window;
+#             r08 newcomers pinned via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -135,7 +140,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_B + _HALF_A
+_ROTATION = _HALF_A + _HALF_B
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -144,37 +149,9 @@ _ROTATION = _HALF_B + _HALF_A
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r06 window came back all green — every prior pin earned its row:
-    #  22 hash-exact + ann_ivf_refined / embedding_pca rows-only by design)
-    # r07 newcomers:
-    "curation_kanonymity",
-    "graph_common_neighbors",
-    "graph_kcore",
-    "ts_holtwinters",
-    "ann_pq_rescored",
-    "diag_skew_report",
-    "pattern_sequence",
-    "agg_hll_incremental",
-    "window_scd2_snapshot",
-    "subq_having_global",
-    "agg_kll_quantiles",
-    "agg_theta_overlap",
-    "agg_audience_overlap",
-    "agg_listagg_ordered",
-    "text_feature_hashing",
-    "text_quality_logistic",
-    "ts_rolling_corr",
-    "curation_chunk_dedup",
-    "agg_weighted_median",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
-    "funnel_latency",
-    "text_zipf_slope",
-    "curation_winsorize",
-    "multimodal_phash_dedup",
-    "multimodal_audio_energy",
-    "ann_ivfpq_rescored",
+    # (r07 window came back all green — every prior pin earned its row:
+    #  21 hash-exact + 7 rows-only by design)
+    # r08 newcomers go here.
 )
 
 
