@@ -725,16 +725,20 @@ def k_anonymize(
     Scale shape: one combiner-reduced groupBy over the quasi columns
     produces the class-size table — at most |distinct combinations|
     rows, orders of magnitude below the corpus for real quasi spaces —
-    broadcast back onto the stream; no corpus-sized shuffle.  (A window
-    count over the same keys computes the identical thing with a full
-    shuffle of the corpus; the broadcast formulation is the 100 TB
-    plan.)  NULL quasi values form their own class (null-safe grouping),
-    matching SQL GROUP BY semantics in both engines.
+    joined back onto the stream.  No forced broadcast hint: for
+    low-cardinality quasi spaces AQE auto-broadcasts the class-size
+    table (same plan as a hint), while a pathological near-unique quasi
+    space — where the table approaches corpus size — degrades to a
+    sort-merge join instead of OOMing the driver on a forced broadcast.
+    (A window count over the same keys computes the identical thing
+    with a full shuffle of the corpus either way.)  NULL quasi values
+    form their own class (null-safe grouping), matching SQL GROUP BY
+    semantics in both engines.
     """
     qs = [F.col(c).cast("string") for c in quasi_cols]
     sizes = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("class_size"))
     cond = [df[c].cast("string").eqNullSafe(sizes[c]) for c in quasi_cols]
-    joined = df.join(F.broadcast(sizes.select(*quasi_cols, "class_size")), cond, "left")
+    joined = df.join(sizes.select(*quasi_cols, "class_size"), cond, "left")
     small = F.col("class_size") < k
     out_cols = []
     for c in df.columns:

@@ -271,6 +271,15 @@ def shingle_minhash_table_fast(
     sig_empty = np.full(num_hashes, _MERSENNE, dtype=np.int64)
     if bands is not None:
         rows_per_band = num_hashes // bands
+        if rows_per_band == 0:
+            # bands > num_hashes would make every per-band key a pure band
+            # offset (identical across documents): banding degenerates into
+            # max_bucket-capped full-corpus buckets with silently collapsed
+            # recall/precision. Refuse loudly instead.
+            raise ValueError(
+                f"shingle_minhash_table_fast: bands={bands} exceeds "
+                f"num_hashes={num_hashes} (rows_per_band would be 0)"
+            )
         # vectorized bucket key: band-index base + polynomial combine of
         # the band's signature rows (uint64 wraparound modulus) — any
         # uniform family works, bucket keys only ever feed grouping
@@ -658,43 +667,151 @@ def simhash_candidates(
 def hamming_pairs_from_hashes(
     sig_df: DataFrame,
     id_col: str,
-    hash_col: str,
+    hash_col: "str | Sequence[str]",
     max_hamming: int,
+    max_bucket: int | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """EXACT-recall hamming-≤h pairs over ANY 64-bit signature column
-    (SimHash, perceptual image dHash, audio fingerprints): the shared
-    pigeonhole tail — partition the signature into h+1 disjoint chunks
-    (two signatures within h differing bits share ≥1 chunk unchanged),
-    equi-join on chunk values, filter with ``bit_count(xor)``."""
-    n_chunks = max_hamming + 1
-    base, rem = divmod(64, n_chunks)
-    pieces, off = [], 0
-    for i in range(n_chunks):
-        w = base + (1 if i < rem else 0)
-        # arithmetic shiftright sign-extends the top chunk; the mask
-        # truncates back to the w-bit field, so every chunk is exact.
-        # A full-width chunk (max_hamming=0) is the signature itself —
-        # and 2^64-1 wouldn't fit a long literal anyway.
-        v = F.col(hash_col)
-        if w < 64:
-            v = F.shiftright(v, off).bitwiseAND(F.lit((1 << w) - 1))
-        pieces.append(F.struct(F.lit(i).alias("c"), v.alias("v")))
-        off += w
-    chunked = sig_df.select(
-        id_col, hash_col, F.explode(F.array(*pieces)).alias("chunk")
-    ).select(id_col, hash_col, F.col("chunk.c").alias("c"), F.col("chunk.v").alias("v"))
-    a = chunked.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"), "c", "v")
-    b = chunked.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"), "c", "v")
+    """EXACT-recall hamming-≤h pairs over ANY 64-bit signature column —
+    or a MULTI-WORD signature (a sequence of 64-bit columns treated as
+    one concatenated bit string): SimHash, perceptual image dHash,
+    audio fingerprints.  The shared pigeonhole tail — partition the
+    signature into disjoint chunks, equi-join on chunk values, filter
+    with ``bit_count(xor)`` summed across words.
+
+    ``n_chunks`` picks the point on the chunk-width / probe-count
+    curve (multi-index hashing, Norouzi et al., CVPR'12):
+
+    * default ``max_hamming + 1`` — the classic design: two signatures
+      within h differing bits share ≥1 chunk UNCHANGED, so candidates
+      come from exact chunk equi-joins.  Chunk width 64/(h+1) is what
+      bounds candidates: at radius 12 over one word that leaves
+      4-5-bit chunks (16-32 distinct values — every bucket holds ~n/16
+      of the corpus and candidates grow ~n², the r07 VERDICT finding).
+    * fewer chunks + probes — with c chunks, a pair within h bits has
+      SOME chunk differing by at most d = floor(h/c) bits (if every
+      chunk differed by ≥ d+1, the total would exceed h).  The probe
+      side therefore also emits every value within d bit-flips of each
+      chunk; recall stays EXACT while chunks widen to 64/c bits.  At
+      radius 12, ``n_chunks=7`` gives 9-10-bit chunks (d=1, 65 extra
+      probe rows per signature) — ~32× fewer candidates per bucket for
+      a ~5× bigger probe side: the sub-quadratic operating point for
+      wide radii.  d > 2 is refused (probe expansion C(w, d) explodes;
+      raise n_chunks instead).
+
+    Chunks never straddle a word boundary (the per-word split keeps
+    the shift/mask arithmetic exact); pigeonhole needs only
+    disjointness, so an uneven per-word chunk count is fine.
+
+    ``max_bucket`` (None = exact recall) drops index-side chunk
+    buckets holding more than that many signatures — the same
+    documented recall trade as the MinHash banding path
+    (``banded_pairs_from_buckets``): a degenerate chunk value (e.g.
+    the all-zero chunk of constant-color images) would otherwise make
+    one bucket quadratic at corpus scale.  Pairs agreeing ONLY on
+    dropped-hot chunks are missed; pairs sharing any surviving chunk
+    are still found exactly."""
+    hash_cols = [hash_col] if isinstance(hash_col, str) else list(hash_col)
+    n_words = len(hash_cols)
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < 1:
+        raise ValueError(f"hamming_pairs_from_hashes: n_chunks={n_chunks} < 1")
+    sub_d = max_hamming // n_chunks
+    if sub_d > 2:
+        raise ValueError(
+            f"hamming_pairs_from_hashes: n_chunks={n_chunks} at radius "
+            f"{max_hamming} needs per-chunk probe distance {sub_d} > 2 "
+            f"(probe expansion explodes) — raise n_chunks"
+        )
+    idx_pieces, probe_pieces, ci = [], [], 0
+    for wi, hc in enumerate(hash_cols):
+        # even split of the chunks across words (first words take the
+        # remainder); a word with 0 chunks is skipped — recall only
+        # needs the chunks to be DISJOINT, not to cover every bit.
+        w_chunks = n_chunks // n_words + (1 if wi < n_chunks % n_words else 0)
+        if w_chunks == 0:
+            continue
+        base, rem = divmod(64, w_chunks)
+        off = 0
+        for j in range(w_chunks):
+            w = base + (1 if j < rem else 0)
+            # arithmetic shiftright sign-extends the top chunk; the mask
+            # truncates back to the w-bit field, so every chunk is exact.
+            # A full-width chunk (max_hamming=0) is the signature itself —
+            # and 2^64-1 wouldn't fit a long literal anyway.
+            v = F.col(hc)
+            if w < 64:
+                v = F.shiftright(v, off).bitwiseAND(F.lit((1 << w) - 1))
+            idx_pieces.append(F.struct(F.lit(ci).alias("c"), v.alias("v")))
+            masks = []
+            if sub_d >= 1:
+                masks += [1 << i for i in range(w)]
+            if sub_d >= 2:
+                masks += [
+                    (1 << i) | (1 << j2)
+                    for i in range(w)
+                    for j2 in range(i + 1, w)
+                ]
+            probe_pieces.append(F.struct(F.lit(ci).alias("c"), v.alias("v")))
+            probe_pieces.extend(
+                F.struct(F.lit(ci).alias("c"), v.bitwiseXOR(F.lit(m)).alias("v"))
+                for m in masks
+            )
+            off += w
+            ci += 1
+
+    # Candidate generation is a codegen'd hash JOIN on (chunk, value) —
+    # measured faster than the collect_list + higher-order-transform
+    # bucket shape (interpreted lambda evaluation) at equal candidate
+    # volume.  NOTE: both sides scan sig_df, so an expensive upstream
+    # (a mapInPandas media decode) is computed twice — callers with a
+    # costly signature stage should pass a cached frame
+    # (phash_near_dup_pairs does).
+    def _explode(pieces: list) -> DataFrame:
+        return sig_df.select(
+            id_col, *hash_cols, F.explode(F.array(*pieces)).alias("chunk")
+        ).select(
+            id_col,
+            *hash_cols,
+            F.col("chunk.c").alias("c"),
+            F.col("chunk.v").alias("v"),
+        )
+
+    index_side = _explode(idx_pieces)
+    if max_bucket is not None:
+        sizes = index_side.groupBy("c", "v").agg(F.count(F.lit(1)).alias("_bn"))
+        index_side = index_side.join(
+            sizes.where(F.col("_bn") <= max_bucket), ["c", "v"]
+        ).drop("_bn")
+    probe_side = index_side if sub_d == 0 else _explode(probe_pieces)
+    a = probe_side.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(h).alias(f"_sa{k}") for k, h in enumerate(hash_cols)],
+        "c",
+        "v",
+    )
+    b = index_side.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(h).alias(f"_sb{k}") for k, h in enumerate(hash_cols)],
+        "c",
+        "v",
+    )
+    ham = " + ".join(f"bit_count(_sa{k} ^ _sb{k})" for k in range(n_words))
     return (
         a.join(b, ["c", "v"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
+            F.expr(ham).alias("hamming"),
         )
-        .distinct()
+        # exact-distance filter BEFORE distinct: bit_count is codegen
+        # over the joined candidate stream, distinct is a shuffle —
+        # filtered first it exchanges only true pairs × their chunk
+        # multiplicity instead of the full ~n·probes·bucket volume.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -1027,9 +1144,13 @@ def semantic_dedup_pairs(
     def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["_r"] == 0]
         b = pdf[pdf["_r"] == 1]
-        if len(b) == 0:
-            return _self_pairs(a)  # diagonal tile (i == j)
-        if len(a) == 0:
+        # Decide diagonal from the grouping KEY, not side emptiness: an
+        # off-diagonal tile (i < j) whose right sub-block j happens to be
+        # unoccupied (no id hashed to residue j) must yield nothing — the
+        # (i, i) diagonal tile already owns block i's self-pairs.
+        if pdf["_i"].iloc[0] == pdf["_j"].iloc[0]:
+            return _self_pairs(a)
+        if len(b) == 0 or len(a) == 0:
             return _empty()
         ids_a = a["_id"].to_numpy(dtype=np.int64)
         ids_b = b["_id"].to_numpy(dtype=np.int64)
@@ -1187,9 +1308,11 @@ def embedding_near_dup_lsh(
     def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["_r"] == 0]
         b = pdf[pdf["_r"] == 1]
-        if len(b) == 0:
-            return _self_pairs(a)  # diagonal tile (i == j)
-        if len(a) == 0:
+        # Key-based diagonal check — see semantic_dedup_pairs._tile_pairs:
+        # an off-diagonal tile with an empty right sub-block yields nothing.
+        if pdf["_i"].iloc[0] == pdf["_j"].iloc[0]:
+            return _self_pairs(a)
+        if len(b) == 0 or len(a) == 0:
             return _empty()
         ids_a = a["_id"].to_numpy(dtype=np.int64)
         ids_b = b["_id"].to_numpy(dtype=np.int64)

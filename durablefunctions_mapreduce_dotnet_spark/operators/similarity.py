@@ -498,9 +498,11 @@ def pq_train(
     seeds = (
         _vec_rows(embeddings, vec_col, id_col).orderBy("_id").limit(ksub).toPandas()
     )
+    # Guard BEFORE np.stack: stacking an empty sequence dies with an opaque
+    # numpy error, hiding the intended friendly message.
+    if len(seeds) < ksub:
+        raise ValueError(f"pq_train: corpus has {len(seeds)} rows < ksub={ksub}")
     S = np.stack(seeds["_v"].to_numpy()).astype(np.float64)
-    if len(S) < ksub:
-        raise ValueError(f"pq_train: corpus has {len(S)} rows < ksub={ksub}")
     dim = S.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")

@@ -102,13 +102,15 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming join shared with SimHash — the media twin of text
     near-dedup.  Radius 12: this corpus's planted near-dups carry
     scattered edits (shingle-Jaccard 0.6), so their byte-grid dHashes
-    sit ~12-14 bits apart — recall stays EXACT at any radius, but
-    candidate volume grows as chunks narrow (~5 s at sf0.1 vs ~1 s at
-    radius 8; pick the radius to the corpus's edit density, exactly as
-    with real images).  Rows-only contract (the numpy grid/bit-packing
+    sit ~12-14 bits apart.  Recall stays EXACT at any radius; wide
+    radii route through the multi-probe plan (7 chunks of 9-10 bits +
+    single-bit-flip probes, multi-index hashing) instead of the classic
+    h+1 narrow chunks whose 4-5-bit buckets went near-quadratic (the
+    r07 VERDICT finding: ~5 s at sf0.1; now ~2 s, candidates bounded by
+    ~n·probes·n/2^9).  Rows-only contract (the numpy grid/bit-packing
     kernel is not SQL); recall-exactness vs brute-force signature
-    comparison and edit-locality are pytest-pinned
-    (tests/test_llm_ops.py)."""
+    comparison — including through the multi-probe path — and
+    edit-locality are pytest-pinned (tests/test_llm_ops.py)."""
     from ..operators.multimodal import phash_near_dup_pairs
 
     b = attach_binary(read_table(spark, sf_dir, "documents"))

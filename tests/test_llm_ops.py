@@ -917,6 +917,54 @@ def test_pq_train_shape_and_guards(spark):
     assert cb.shape == (4, 8, 16)
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(e, m=7, ksub=8, iters=0)
+    # empty / undersized corpus must hit the friendly guard, not an
+    # opaque numpy "need at least one array to stack"
+    with pytest.raises(ValueError, match="rows < ksub"):
+        pq_train(e.limit(0), m=4, ksub=8, iters=0)
+
+
+def test_semantic_dedup_empty_residue_tiles_do_not_duplicate(spark):
+    """max_cluster=1 on a 40-row corpus makes nsub=40 hash residues for
+    40 ids — balls-in-bins leaves many residues EMPTY.  An off-diagonal
+    tile (i, j) whose right residue j is unoccupied must emit nothing;
+    deciding 'diagonal' from side-emptiness (the old bug) re-emitted
+    block i's self-pairs once per empty j, duplicating pairs.  Pins:
+    capped output has zero duplicate rows and equals the uncapped set."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings").limit(40)
+    uncapped = [
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_dedup_pairs(
+            e, k=1, iters=1, threshold=-1.0, max_cluster=None
+        ).collect()
+    ]
+    capped = [
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_dedup_pairs(
+            e, k=1, iters=1, threshold=-1.0, max_cluster=1
+        ).collect()
+    ]
+    assert len(capped) == len(set(capped))  # no duplicated pairs
+    assert set(capped) == set(uncapped) and uncapped
+
+
+def test_minhash_fast_bands_guard(spark):
+    """bands > num_hashes would zero rows_per_band and collapse every
+    per-band bucket key to the band offset; must refuse loudly."""
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        shingle_minhash_table_fast,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="rows_per_band"):
+        shingle_minhash_table_fast(d, num_hashes=8, bands=16)
 
 
 def test_hll_incremental_estimate_within_bound(spark):
@@ -1021,6 +1069,84 @@ def test_phash_edit_locality_and_exact_recall(spark):
         if h <= 10:
             want[(a, c)] = h
     assert got == want and (1, 2) in got
+
+
+def test_phash_multiprobe_exact_recall_corpus(spark):
+    """Radius 12 routes through the 7-chunk multi-probe plan (chunks
+    stay 9-10 bits; d=1 bit-flip probes) — recall must STILL be exactly
+    the brute-force hamming-<=12 pair set over a real corpus slice."""
+    import itertools
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_dhash,
+        phash_near_dup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    b = attach_binary(read_table(spark, SF_DIR, "documents").limit(150))
+    sig = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(b).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(b, max_hamming=12).collect()
+    }
+    want = {}
+    for a, c in itertools.combinations(sorted(sig), 2):
+        h = bin((sig[a] ^ sig[c]) & (2**64 - 1)).count("1")
+        if h <= 12:
+            want[(a, c)] = h
+    assert got == want
+
+
+def test_hamming_multiword_and_probe_guards(spark):
+    """128-bit two-word signatures: pairs at hamming<=h over the
+    CONCATENATED bits, exactly matching brute force; per-chunk probe
+    distance > 2 refuses loudly."""
+    import itertools
+
+    import pytest
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        hamming_pairs_from_hashes,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_dhash128,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    b = attach_binary(read_table(spark, SF_DIR, "documents").limit(120))
+    sig128 = perceptual_dhash128(b)
+    rows = {
+        r["doc_id"]: (r["dhash"], r["dhash_v"]) for r in sig128.collect()
+    }
+
+    def ham(x, y):
+        return sum(
+            bin((xw ^ yw) & (2**64 - 1)).count("1") for xw, yw in zip(x, y)
+        )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs_from_hashes(
+            sig128, "doc_id", ("dhash", "dhash_v"), 24
+        ).collect()
+    }
+    want = {}
+    for a, c in itertools.combinations(sorted(rows), 2):
+        h = ham(rows[a], rows[c])
+        if h <= 24:
+            want[(a, c)] = h
+    assert got == want
+    # dhash128's first word IS perceptual_dhash — shared kernel
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    w0 = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(b).collect()}
+    assert w0 == {k: v[0] for k, v in rows.items()}
+    with pytest.raises(ValueError, match="probe distance"):
+        hamming_pairs_from_hashes(sig128, "doc_id", "dhash", 30, n_chunks=2)
 
 
 def test_phash_empty_payload_hashes_zero(spark):
