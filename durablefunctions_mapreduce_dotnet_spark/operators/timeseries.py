@@ -418,15 +418,25 @@ def seasonal_decompose(
     COUNT series: y = trend + seasonal + residual (the moving-average
     method behind statsmodels' ``seasonal_decompose``), distributed.
 
-    - trend: centered ``period``-day moving average, defined only where
-      all ``period`` calendar days exist (edges stay NULL);
+    - trend: centered moving average — for an ODD period a plain
+      ``period``-day centered MA; for an EVEN period the classical
+      2×period centered MA (statsmodels' convention: a
+      ``period+1``-day window with half weight on the two edge days);
+      defined only where the whole window exists (edges stay NULL);
     - seasonal: mean detrended value per period PHASE (epoch-day mod
       ``period`` — phase, not a calendar-weekday convention, so the two
       engines can't disagree on week-start);
     - residual: y − trend − seasonal where trend is defined.
 
-    Determinism is engineered integer-first: the centered window sum
-    ``t7`` and the scaled detrended value ``period·y − t7`` are exact
+    Both parities run the SAME doubled-weight formulation: interior
+    days weigh 2, an even period's two edge days weigh 1, so Σw = 2p
+    either way and trend = Σ(w·y)/(2p).  For odd periods this is the
+    old t7/p scaled by 2/2 — numerator and denominator both scale by a
+    power of two, so IEEE division results (and the 9-dp rounding) are
+    BIT-IDENTICAL to the pre-r08 odd-only implementation.
+
+    Determinism is engineered integer-first: the weighted window sum
+    ``t7`` and the scaled detrended value ``2·period·y − t7`` are exact
     integers all the way through the per-phase aggregation, so the ONLY
     floating-point ops are final divisions of exact integers — the same
     IEEE expression in both engines (no order-dependent double sums
@@ -439,21 +449,18 @@ def seasonal_decompose(
     means broadcast back.  Unknown-period data would front a
     periodogram step; here the period is a parameter.
     """
-    # Only ODD periods: the centered window spans 2·half+1 days, which
-    # equals `period` only when period is odd.  An even period needs the
-    # classical 2×period centered MA (two passes) — not implemented, and
-    # silently dividing a (period+1)-day partial sum by `period` would be
-    # wrong, so refuse loudly.
-    if period % 2 != 1:
-        raise ValueError(
-            f"seasonal_decompose requires an odd period (got {period}); "
-            "even periods need a 2x-period centered moving average"
-        )
     half = period // 2
+    even = period % 2 == 0
+    win_n = 2 * half + 1  # period when odd, period+1 when even
     daily = df.groupBy(
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("y"))
     nb = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    w = (
+        F.when(F.abs(F.col("off")) == half, F.lit(1)).otherwise(F.lit(2))
+        if even
+        else F.lit(2)
+    )
     tr = (
         daily.select(
             "d",
@@ -463,19 +470,22 @@ def seasonal_decompose(
         .withColumn("dj", F.date_add(F.col("d"), F.col("off")))
         .join(nb, F.col("dj") == F.col("d2"))
         .groupBy("d", "y")
-        .agg(F.sum("y2").alias("t7"), F.count(F.lit(1)).alias("c7"))
+        .agg(F.sum(w * F.col("y2")).alias("t7"), F.count(F.lit(1)).alias("c7"))
     )
     phase = F.pmod(
         F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))), F.lit(period)
     ).cast("bigint")
-    full = F.col("c7") == period
+    full = F.col("c7") == win_n
     seas = (
         tr.where(full)
-        .select(phase.alias("phase"), (F.lit(period) * F.col("y") - F.col("t7")).alias("d7"))
+        .select(
+            phase.alias("phase"),
+            (F.lit(2 * period) * F.col("y") - F.col("t7")).alias("d7"),
+        )
         .groupBy("phase")
         .agg(F.sum("d7").alias("s7"), F.count(F.lit(1)).alias("sc"))
     )
-    p = float(period)
+    p2 = float(2 * period)
     return (
         tr.select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
@@ -489,15 +499,15 @@ def seasonal_decompose(
             "day",
             "y",
             F.when(
-                F.col("c7") == period, F.round(F.col("t7") / F.lit(p), 9)
+                F.col("c7") == win_n, F.round(F.col("t7") / F.lit(p2), 9)
             ).alias("trend"),
-            F.round(F.col("s7") / (F.lit(p) * F.col("sc")), 9).alias("seasonal"),
+            F.round(F.col("s7") / (F.lit(p2) * F.col("sc")), 9).alias("seasonal"),
             F.when(
-                F.col("c7") == period,
+                F.col("c7") == win_n,
                 F.round(
                     F.col("y")
-                    - F.col("t7") / F.lit(p)
-                    - F.col("s7") / (F.lit(p) * F.col("sc")),
+                    - F.col("t7") / F.lit(p2)
+                    - F.col("s7") / (F.lit(p2) * F.col("sc")),
                     9,
                 ),
             ).alias("residual"),

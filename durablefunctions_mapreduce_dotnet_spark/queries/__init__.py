@@ -151,7 +151,8 @@ _ROTATION = _HALF_A + _HALF_B
 _WINDOW_FIRST: tuple[str, ...] = (
     # (r07 window came back all green — every prior pin earned its row:
     #  21 hash-exact + 7 rows-only by design)
-    # r08 newcomers go here.
+    # r08 newcomers:
+    "time_seasonal_decompose_m12",
 )
 
 

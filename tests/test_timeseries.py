@@ -199,6 +199,55 @@ def test_seasonal_decompose_reconstructs_and_is_phase_constant(spark):
     assert all(len(v) == 1 for v in by_phase.values())
 
 
+def test_seasonal_decompose_even_period_matches_reference(spark):
+    """EVEN period (12): trend must equal the classical 2×period
+    centered MA — a 13-day window with HALF weight on the two edge days
+    — computed independently in Python from the daily counts; the
+    y = trend + seasonal + residual identity and phase-constant
+    seasonal still hold."""
+    from datetime import date, timedelta
+
+    import pyspark.sql.functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "events")
+    daily = {
+        r["d"]: r["y"]
+        for r in e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    }
+    rows = seasonal_decompose(e, period=12).orderBy("day").collect()
+    assert len(rows) == len(daily) == 30
+    n_interior = 0
+    by_phase = {}
+    for r in rows:
+        d = date.fromisoformat(r["day"])
+        if r["seasonal"] is not None:
+            by_phase.setdefault(d.toordinal() % 12, set()).add(r["seasonal"])
+        window = [d + timedelta(days=k) for k in range(-6, 7)]
+        if not all(w in daily for w in window):
+            assert r["trend"] is None and r["residual"] is None
+            continue
+        n_interior += 1
+        t2 = sum(
+            (1 if abs(k) == 6 else 2) * daily[d + timedelta(days=k)]
+            for k in range(-6, 7)
+        )
+        assert abs(r["trend"] - t2 / 24.0) < 1e-9, (r["day"], r["trend"])
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 3e-9
+    assert n_interior == 30 - 12  # 6 edge days each side
+    assert all(len(v) == 1 for v in by_phase.values())
+
+
 def test_holt_winters_constant_series_is_flat(spark):
     """On a constant daily series the fit must be exact: seasonal init
     is all-zero, level stays at the constant, trend stays 0, and every
