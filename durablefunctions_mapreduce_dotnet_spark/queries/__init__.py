@@ -153,6 +153,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     #  21 hash-exact + 7 rows-only by design)
     # r08 newcomers:
     "time_seasonal_decompose_m12",
+    "sql_order_priority",
+    "sql_large_orders",
+    "sql_churn_opportunity",
 )
 
 

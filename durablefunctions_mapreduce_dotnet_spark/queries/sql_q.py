@@ -112,13 +112,113 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q10_BODY)
 
 
+_Q4_BODY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to this schema (no
+    l_commitdate/l_receiptdate, so "late" is a line shipped >60 days
+    after the order date): per-priority counts of one quarter's orders
+    with at least one late line.  The correlated EXISTS is the
+    semi-join shape — Catalyst rewrites it to LeftSemi and the
+    lineitem side never multiplies order rows."""
+    return _sql(spark, sf_dir, _Q4_BODY)
+
+
+_Q18_BODY = """
+SELECT c_name, c_custkey, o_orderkey,
+       {datefmt} AS orderdate,
+       {qsum} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 270.0)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    clears a threshold, decorated with the customer — the IN-subquery
+    over a grouped HAVING (a semi-join against an aggregate), then the
+    same aggregate regrouped with the join.  Decimal quantity sums keep
+    the HAVING cut and the output bit-equal across engines."""
+    return _sql(
+        spark,
+        sf_dir,
+        _Q18_BODY.format(
+            qsum=_DSUM.format(x="l_quantity"),
+            datefmt="date_format(o_orderdate, 'yyyy-MM-dd')",
+        ),
+    )
+
+
+_Q18_ORACLE = _Q18_BODY.format(
+    qsum=_DSUM.format(x="l_quantity"),
+    datefmt="strftime(o_orderdate, '%Y-%m-%d')",
+)
+
+
+_Q22_BODY = """
+SELECT c_nationkey AS nation,
+       COUNT(*) AS numcust,
+       {bsum} AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,6))
+        * (SELECT CAST(COUNT(*) AS DECIMAL(18,0))
+           FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY nation
+""".format(bsum=_DSUM.format(x="c_acctbal"))
+
+
+def q_sql_churn_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to this schema (no
+    c_phone, so the country-code cut becomes per-nation grouping and
+    "never ordered" becomes "no order since 2000-07-01" — every
+    customer here has SOME order): above-average-balance customers gone
+    quiet, by nation.  Exercises the scalar aggregate subquery (twice —
+    the avg comparison is cross-multiplied as balance·count > total so
+    both sides stay exact decimals; a double AVG would be
+    order-dependent) and the NOT EXISTS anti-join."""
+    return _sql(spark, sf_dir, _Q22_BODY)
+
+
 QUERIES = {
     "sql_shipping_priority": q_sql_shipping_priority,
     "sql_local_supplier_volume": q_sql_local_supplier_volume,
     "sql_returned_items": q_sql_returned_items,
+    "sql_order_priority": q_sql_order_priority,
+    "sql_large_orders": q_sql_large_orders,
+    "sql_churn_opportunity": q_sql_churn_opportunity,
 }
 ORACLES = {
     "sql_shipping_priority": _Q3_ORACLE,
     "sql_local_supplier_volume": _Q5_BODY,
     "sql_returned_items": _Q10_BODY,
+    "sql_order_priority": _Q4_BODY,
+    "sql_large_orders": _Q18_ORACLE,
+    "sql_churn_opportunity": _Q22_BODY,
 }
