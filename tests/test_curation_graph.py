@@ -30,6 +30,47 @@ def test_connected_components_chain_star_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_small_path_matches_distributed(spark):
+    """The size-gated driver union-find must be bit-equal to the
+    propagation loop (both compute (node, min reachable id)) — on the
+    real sf corpus's minhash pair graph, on string ids, and exactly AT
+    the threshold boundary."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
+    small = {
+        (r["n"], r["component"])
+        for r in connected_components(pairs, pairs_distinct_ordered=True).collect()
+    }
+    dist = {
+        (r["n"], r["component"])
+        for r in connected_components(
+            pairs, pairs_distinct_ordered=True, small_graph_threshold=0
+        ).collect()
+    }
+    assert small == dist and small
+
+    sp = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r["n"]: r["component"] for r in connected_components(sp).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    # threshold exactly equal to the edge count still takes the small
+    # path; one below forces distributed — outputs identical
+    three = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    at = {(r["n"], r["component"]) for r in
+          connected_components(three, small_graph_threshold=3).collect()}
+    below = {(r["n"], r["component"]) for r in
+             connected_components(three, small_graph_threshold=2).collect()}
+    assert at == below == {(1, 1), (2, 1), (3, 3), (4, 3), (5, 3)}
+
+
 def test_canonicalize_marks_min_id_keep(spark):
     universe = spark.range(0, 8).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame([(1, 5), (5, 7)], "id_a bigint, id_b bigint")
@@ -132,7 +173,7 @@ def test_connected_components_raises_when_unconverged(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, small_graph_threshold=0)
 
 
 def test_pointer_jumping_collapses_long_chain(spark):
@@ -148,11 +189,13 @@ def test_pointer_jumping_collapses_long_chain(spark):
     )
     got = {
         r["n"]: r["component"]
-        for r in connected_components(chain, max_iter=8, pointer_jumping=True).collect()
+        for r in connected_components(
+            chain, max_iter=8, pointer_jumping=True, small_graph_threshold=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(48)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(chain, max_iter=8)
+        connected_components(chain, max_iter=8, small_graph_threshold=0)
 
 
 def test_connected_components_converges_on_exact_budget_boundary(spark):
@@ -169,7 +212,7 @@ def test_connected_components_converges_on_exact_budget_boundary(spark):
     got = {
         r["n"]: r["component"]
         for r in connected_components(
-            pairs, max_iter=5, steps_per_probe=2
+            pairs, max_iter=5, steps_per_probe=2, small_graph_threshold=0
         ).collect()
     }
     assert got == {i: 1 for i in range(1, 7)}
