@@ -156,6 +156,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sql_order_priority",
     "sql_large_orders",
     "sql_churn_opportunity",
+    "agg_mode_value_bucket",
+    "window_gaps_islands",
+    "multimodal_phash_wide",
 )
 
 

@@ -420,7 +420,45 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_agg_mode_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent integer value
+    bucket per event_type, ties broken toward the LOWEST bucket.
+    Built-in ``mode()`` is non-deterministic on ties in both engines,
+    so the argmax rides ``max(struct(cnt, -bucket))`` over exact
+    integer counts — one combiner groupBy then a tiny per-group max,
+    no window over the corpus; the oracle spells the same policy as a
+    rank."""
+    e = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = e.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = b.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("bucket")).alias("nb"))).alias("m")
+    )
+    return top.select(
+        "event_type",
+        (-F.col("m.nb")).alias("mode_bucket"),
+        F.col("m.cnt").alias("cnt"),
+    ).orderBy("event_type")
+
+
+_MODE_BUCKET_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, bucket ASC) AS rn
+  FROM b
+)
+SELECT event_type, bucket AS mode_bucket, cnt FROM r WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "agg_mode_value_bucket": q_agg_mode_value_bucket,
     "agg_hll_incremental": q_hll_incremental,
     "agg_listagg_ordered": q_listagg_ordered,
     "agg_weighted_median": q_weighted_median,
@@ -438,6 +476,7 @@ QUERIES = {
     "agg_collect_set": q_collect_set,
 }
 ORACLES = {
+    "agg_mode_value_bucket": _MODE_BUCKET_SQL,
     "agg_audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "agg_listagg_ordered": _LISTAGG_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,

@@ -117,6 +117,28 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(b, max_hamming=12).orderBy("id_a", "id_b")
 
 
+def q_multimodal_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the 128-bit TWO-ORIENTATION perceptual
+    signature (operators.multimodal.perceptual_dhash128: horizontal +
+    vertical dHash words) at radius 24 — the doubled radius matches the
+    doubled signature, so the match set tracks the 64-bit radius-12
+    semantics while the multi-word pigeonhole join
+    (dedup.hamming_pairs_from_hashes, 13 chunks of 9-10 bits + 1-flip
+    probes) keeps buckets wide.  Rows-only contract (numpy kernel);
+    the multi-word brute-force recall pytest covers the exact-recall
+    claim."""
+    from ..operators.dedup import hamming_pairs_from_hashes
+    from ..operators.multimodal import perceptual_dhash128
+
+    b = attach_binary(read_table(spark, sf_dir, "documents"))
+    # cache: the pigeonhole join scans the signature twice (see
+    # phash_near_dup_pairs)
+    sig = perceptual_dhash128(b).cache()
+    return hamming_pairs_from_hashes(
+        sig, "doc_id", ("dhash", "dhash_v"), 24, n_chunks=13
+    ).orderBy("id_a", "id_b")
+
+
 def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type silence statistics from short-time audio frame energy
     (operators.multimodal.audio_frame_energy over the binary payloads):
@@ -141,6 +163,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_phash_wide": q_multimodal_phash_wide,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,

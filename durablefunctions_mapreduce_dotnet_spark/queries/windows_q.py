@@ -204,7 +204,55 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active calendar
+    days (the classic streak analytic — date minus row_number is
+    constant within a run).  Per-user window over the deduped
+    (user, day) frame — days-per-user sized, orders of magnitude under
+    the event count — then two integer aggregations; no window ever
+    touches the raw event stream."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        d.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("run").alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_GAPS_ISLANDS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events
+),
+g AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM d
+),
+runs AS (SELECT user_id, grp, COUNT(*) AS run FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(run) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_islands,
+       MAX(run) AS longest_run
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "window_gaps_islands": q_window_gaps_islands,
     "window_rank_topk": q_window_rank,
     "window_running_sum": q_window_running,
     "window_lag_lead": q_window_lag_lead,
@@ -214,6 +262,7 @@ QUERIES = {
     "sessionization": q_sessionization,
 }
 ORACLES = {
+    "window_gaps_islands": _GAPS_ISLANDS_SQL,
     "window_range_frame": _WINDOW_RANGE_SQL,
     "window_rank_topk": _WINDOW_RANK_SQL,
     "window_running_sum": _WINDOW_RUNNING_SQL,
