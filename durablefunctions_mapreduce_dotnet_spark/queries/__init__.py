@@ -159,6 +159,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_mode_value_bucket",
     "window_gaps_islands",
     "multimodal_phash_wide",
+    "ts_acf",
 )
 
 

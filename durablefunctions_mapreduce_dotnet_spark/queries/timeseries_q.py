@@ -375,6 +375,102 @@ ORDER BY day
 """
 
 
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..14 — the period-detection diagnostic that precedes
+    seasonal_decompose / Holt-Winters (their ``period`` parameter is
+    read off the ACF peaks).
+
+    Integer-exact formulation: with S = Σy, n = #days, m_L = #pairs at
+    lag L, A_L/B_L the left/right partial sums over the paired days,
+
+        acf(L) = [n²·Σ(y_t·y_{t+L}) − n·S·(A_L+B_L) + m_L·S²]
+                 / [n · (n·Σy² − S²)]
+
+    (the covariance trick ×n²: every term is an exact integer, summed
+    in decimal, so the ONLY floating-point op is the final division —
+    the same IEEE op in both engines).  Day pairs come from one
+    explode(lags) + calendar-day equi-join over the days-sized daily
+    frame; the global scalars ride a broadcast 1-row cross join."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    nb = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    glob = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("y"))).alias("s"),
+        # cast BEFORE the multiply: bigint·bigint would overflow first
+        # at extreme per-day counts; decimal·bigint stays exact
+        F.sum(dec(F.col("y")) * F.col("y")).alias("yy"),
+    )
+    lagged = (
+        daily.select(
+            "d", "y", F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag")
+        )
+        .join(nb, F.date_add(F.col("d"), F.col("lag")) == F.col("d2"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(dec(F.col("y")) * F.col("y2")).alias("syy2"),
+            F.sum(dec(F.col("y"))).alias("a"),
+            F.sum(dec(F.col("y2"))).alias("b"),
+        )
+    )
+    return (
+        lagged.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.round(
+                (
+                    dec(F.col("n") * F.col("n")) * F.col("syy2")
+                    - dec(F.col("n")) * F.col("s") * (F.col("a") + F.col("b"))
+                    + F.col("m") * F.col("s") * F.col("s")
+                ).cast("double")
+                / (
+                    dec(F.col("n"))
+                    * (dec(F.col("n")) * F.col("yy") - F.col("s") * F.col("s"))
+                ).cast("double"),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_TS_ACF_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS yy
+  FROM daily
+),
+lagged AS (
+  SELECT l.lag, CAST(COUNT(*) AS HUGEINT) AS m,
+         SUM(CAST(a.y AS HUGEINT) * b.y) AS syy2,
+         SUM(CAST(a.y AS HUGEINT)) AS a,
+         SUM(CAST(b.y AS HUGEINT)) AS b
+  FROM daily a
+  CROSS JOIN range(1, 15) l(lag)
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(m AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * n * syy2 - n * s * (a + b) + m * s * s AS DOUBLE)
+             / CAST(n * (n * yy - s * s) AS DOUBLE),
+             6) AS acf
+FROM lagged CROSS JOIN tot
+ORDER BY lag
+"""
+
+
 _HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
 
 
@@ -556,6 +652,7 @@ FROM rolled ORDER BY day
 
 QUERIES = {
     "ts_rolling_corr": q_ts_rolling_corr,
+    "ts_acf": q_ts_acf,
     "ts_holtwinters": q_ts_holtwinters,
     "ts_motif_topk": q_ts_motifs,
     "time_seasonal_decompose": q_time_seasonal,
@@ -568,6 +665,7 @@ QUERIES = {
 }
 ORACLES = {
     "ts_rolling_corr": _TS_ROLLING_CORR_SQL,
+    "ts_acf": _TS_ACF_SQL,
     "ts_holtwinters": _hw_oracle_sql(),
     "ts_motif_topk": _ts_motifs_oracle_sql(),
     "time_seasonal_decompose": _TIME_SEASONAL_SQL,
