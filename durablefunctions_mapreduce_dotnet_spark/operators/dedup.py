@@ -86,11 +86,17 @@ def incremental_dedup(
 # --- shingling / MinHash ----------------------------------------------------
 
 
-def shingle_expr(text_col: str, k: int = 9) -> F.Column:
-    """Distinct lowercase character k-shingles, computed per-row (no explode)."""
+def shingle_expr(text_col: str, k: int = 9, lowered: bool = False) -> F.Column:
+    """Distinct lowercase character k-shingles, computed per-row (no
+    explode).  Pass ``lowered=True`` with a pre-lowered MATERIALIZED
+    column: referencing ``lower(text)`` inside the transform lambda
+    re-runs the O(len) lowercasing per shingle position — the
+    O(len²)-per-document interpreted-HOF pattern (r08) — while
+    substring over a bound attribute is cheap."""
+    src = text_col if lowered else f"lower({text_col})"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
-        f" i -> substring(lower({text_col}), i, {k})))"
+        f"array_distinct(transform(sequence(1, greatest(length({src}) - {k - 1}, 1)),"
+        f" i -> substring({src}, i, {k})))"
     )
 
 
@@ -193,8 +199,11 @@ def shingle_hash_table(
     ``graph.reliable_checkpoint(dir)`` (or a DISK_ONLY persist) on a
     real cluster."""
     src = _widen(df.select(F.col(id_col), F.col(text_col)))
+    lc = src.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lc"))
     return checkpoint(
-        src.select(F.col(id_col), shingle_expr(text_col, shingle_k).alias("sh"))
+        lc.select(
+            F.col(id_col), shingle_expr("_lc", shingle_k, lowered=True).alias("sh")
+        )
         .select(F.col(id_col), shingle_hashes_expr("sh").alias("hs"))
     )
 
@@ -818,6 +827,30 @@ def hamming_pairs_from_hashes(
 # --- n-gram Jaccard (inverted index) ---------------------------------------
 
 
+def _word_ngrams_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram) per-doc-DISTINCT word-n-grams, shared by the Jaccard
+    and containment inverted indexes.  The token array is MATERIALIZED
+    into a projection first: ``slice(split(lower(text)), i, n)`` inside
+    the transform lambda re-evaluates the whole split per position —
+    the O(len²)-per-document interpreted-HOF pattern found in
+    pmi_collocations (r08) — while slicing a bound column is O(n) per
+    gram."""
+    tt = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_t")
+    )
+    return tt.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                f" i -> array_join(slice(_t, i, {n}), ' ')))"
+            )
+        ).alias("gram"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -840,15 +873,7 @@ def ngram_jaccard_pairs(
     SQL oracle mirrors the identical cut; for exact scores on known
     pairs use ``jaccard_verify``."""
     df = _widen(df)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
-                f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
-            )
-        ).alias("gram"),
-    )
+    grams = _word_ngrams_frame(df, text_col, id_col, n)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df").between(2, max_postings)
@@ -902,15 +927,7 @@ def containment_pairs(
     emitted.  The postings self-join is linear in (capped) postings
     mass, the same 100 TB posture as the Jaccard path."""
     df = _widen(df)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
-                f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
-            )
-        ).alias("gram"),
-    )
+    grams = _word_ngrams_frame(df, text_col, id_col, n)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df").between(2, max_postings)

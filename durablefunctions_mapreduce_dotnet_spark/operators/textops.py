@@ -129,11 +129,14 @@ def _word_tokens_sql(text_col: str) -> str:
     return f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)"
 
 
-def _word_grams_sql(text_col: str, n: int) -> str:
-    toks = _word_tokens_sql(text_col)
+def _word_grams_sql(toks_col: str, n: int) -> str:
+    """n-gram array from a token-array column.  ``toks_col`` must be a
+    MATERIALIZED column, not a tokenize expression: a tokenizer inlined
+    into the transform lambda re-runs per gram position (the
+    O(len²)-per-document interpreted-HOF pattern, r08)."""
     return (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({toks_col}, i, {n}), ' '))"
     )
 
 
@@ -146,12 +149,15 @@ def repetition_stats(
     Boilerplate, looped generations, and template spam score high.
 
     Pure per-row expression work — no shuffle, no UDF: one tokenization
-    feeding total and distinct n-gram counts."""
-    toks = F.expr(_word_tokens_sql(text_col))
-    grams = F.expr(_word_grams_sql(text_col, n))
-    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    (materialized, so the gram lambda never re-tokenizes) feeding total
+    and distinct n-gram counts."""
+    tt = df.select(
+        F.col(id_col), F.expr(_word_tokens_sql(text_col)).alias("_t")
+    )
+    grams = F.expr(_word_grams_sql("_t", n))
+    total = F.greatest(F.size(F.col("_t")) - F.lit(n - 1), F.lit(1))
     distinct = F.size(F.array_distinct(grams))
-    return df.select(
+    return tt.select(
         F.col(id_col),
         total.cast("bigint").alias("n_grams"),
         distinct.cast("bigint").alias("n_distinct"),
@@ -180,10 +186,14 @@ def contamination_overlap(
     against adversarial boilerplate add a corpus-df cut on the gram
     (cf. ngram_jaccard_pairs' max_postings) before the join."""
     def grams_of(d: DataFrame, out_id: str) -> DataFrame:
-        return d.select(
+        tt = d.select(
             F.col(id_col).alias(out_id),
+            F.expr(_word_tokens_sql(text_col)).alias("_t"),
+        )
+        return tt.select(
+            out_id,
             F.explode(
-                F.array_distinct(F.expr(_word_grams_sql(text_col, n)))
+                F.array_distinct(F.expr(_word_grams_sql("_t", n)))
             ).alias("gram"),
         )
 

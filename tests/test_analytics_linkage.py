@@ -594,7 +594,9 @@ def test_connected_components_opaque_checkpoint_fn_still_works(spark):
     )
     comp = {
         (r.n, r.component)
-        for r in connected_components(pairs, checkpoint=counting_eager).collect()
+        for r in connected_components(
+            pairs, checkpoint=counting_eager, small_graph_threshold=0
+        ).collect()
     }
     assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert calls["n"] >= 3  # edges + labels + >=1 iteration
