@@ -558,16 +558,19 @@ def boilerplate_ngrams(
     DESCENDS when stop < start — an unguarded ``sequence(1, size-n+1)``
     would silently emit reversed junk grams for short docs).
     """
-    toks = F.split(F.col(text_col), " ")
-    k = F.size(toks) - F.lit(n - 1)
+    # token array MATERIALIZED first: slicing the split expression
+    # inside the transform lambda re-runs the split per gram position
+    # (the O(len²)-per-document interpreted-HOF pattern, r08)
+    tt = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    k = F.size(F.col("_t")) - F.lit(n - 1)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(F.col("_t"), i, n), " "),
         )
     )
     return (
-        df.select(
+        tt.select(
             F.col(id_col),
             F.explode(
                 F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
@@ -669,15 +672,17 @@ def ngram_novelty(
     divide — no FP sum, so the oracle hash-matches with no rounding
     scaffolding.
     """
-    toks = F.split(F.col(text_col), " ")
-    k = F.size(toks) - F.lit(n - 1)
+    # token array MATERIALIZED first — same O(len²) interpreted-HOF
+    # avoidance as boilerplate_ngrams (r08)
+    tt = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    k = F.size(F.col("_t")) - F.lit(n - 1)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(F.col("_t"), i, n), " "),
         )
     )
-    exploded = df.select(
+    exploded = tt.select(
         F.col(id_col),
         F.explode(
             F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
