@@ -98,6 +98,14 @@ HEADLINE = [
     "pattern_sequence",
     "text_feature_hashing",
     "curation_chunk_dedup",
+    # round-8 additions (multimodal_phash_dedup re-admitted: the
+    # radius-12 hamming join is multi-probe now — ~2 s at sf0.1 vs the
+    # ~5 s that got it pulled in r07)
+    "multimodal_phash_dedup",
+    "multimodal_audio_energy",
+    "ts_acf",
+    "window_gaps_islands",
+    "sql_large_orders",
 ]
 
 
@@ -136,6 +144,10 @@ SCALE_PROBE = [
     # 10x ratios.
     "ts_motif_topk",
     "dedup_keep_best",
+    # r08: the peel-round (kcore) and wedge-explosion (common-neighbor
+    # Jaccard) claims get measured curves (r07 VERDICT ask #6).
+    "graph_kcore",
+    "graph_common_neighbors",
 ]
 SCALE_FACTOR = 10
 
@@ -293,6 +305,18 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "n_queries": len(times),
+        # No silent caps (r07 VERDICT #3): the detail record names what
+        # was NOT measured.  HEADLINE is a representative cut — one per
+        # operator family plus everything performance-interesting — not
+        # the full registry; correctness of every registered query is
+        # covered separately by the oracle mirror (tests/
+        # test_oracle_parity.py) and the driver window.
+        "coverage": {
+            "headline": len(times),
+            "registry": len(qs),
+            "excluded": sorted(n for n in qs if n not in times),
+            "pulled_with_reason": {},
+        },
     }
     # Scale curve (only on the default sf0.1 run; skip for quick dev
     # loops at other SFs or with SPARK_GRAFT_SCALE=0): best-of-3 at a
@@ -322,18 +346,22 @@ def main() -> None:
                 }
             result["scale_curve"] = {"data_factor": SCALE_FACTOR, "queries": curve}
     # Detail record: full 4-dp times + scale curve — an EARLY stdout
-    # line (survives in builder logs) and a gitignored file; never the
+    # line (survives in builder logs) and a git-TRACKED file; never the
     # last line, which must stay under the driver's tail capture.
+    # Only the official default-SF run (sf0.1) writes the file, so dev
+    # loops at SPARK_GRAFT_SF_DIR=sf0.01 can't clobber the committed
+    # per-query record in the working tree.
     detail_line = json.dumps(result)
     print(detail_line)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
-            fh.write(detail_line + "\n")
-    except OSError:
-        pass
+    if sf == "0.1":
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+                "w",
+            ) as fh:
+                fh.write(detail_line + "\n")
+        except OSError:
+            pass
     print(json.dumps(compact_result(result), separators=(",", ":")))
     spark.stop()
 

@@ -1411,6 +1411,69 @@ def winnow_fingerprints(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    stride: int = 16,
+    max_postings: int = 200,
+) -> DataFrame:
+    """Cross-document repeated k-char substring SPANS with positions —
+    the ExactSubstr screen (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") at sampled-fingerprint
+    granularity: winnowing pairs tell you WHICH documents overlap;
+    this reports WHERE, so a cleaning pass can surgically cut the
+    repeated span instead of dropping the document.
+
+    Every ``stride``-th k-char window of the lowered text is
+    fingerprinted with the portable 60-bit md5-prefix hash (the
+    ``simhash_portable`` doctrine — reproducible bit-for-bit in
+    DuckDB); fingerprints occurring in ≥2 DISTINCT documents come back
+    with every (doc, position) occurrence and the document count.
+    ``stride`` trades edge recall for cost exactly like suffix-array
+    sampling: a true repeated run shorter than ``k + stride`` can slip
+    between sampled windows (stride=1 is exhaustive); any run ≥
+    ``k + stride − 1`` chars is guaranteed to align on ≥1 sampled
+    window in both copies ONLY when the copies start on the same
+    stride residue, so production sweeps pick stride ≪ k (here 16 ≪
+    64) to keep the miss window small.
+
+    Scale shape: (len/stride) scalar rows per document — only
+    (fp, doc, pos) integers shuffle, never text; the ``max_postings``
+    occurrence cut drops boilerplate fingerprints before the join
+    fan-out exactly like the winnowing / n-gram-Jaccard paths.  The
+    window text is sliced from a MATERIALIZED lowered column (the
+    O(len²) interpreted-HOF rule)."""
+    lc = _widen(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lc"))
+    )
+    fps = (
+        lc.where(F.length("_lc") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_lc) - {k - 1}, {stride}),"
+                    f" i -> struct(cast(i as bigint) AS pos,"
+                    f" cast(conv(substr(md5(substring(_lc, i, {k})), 1, 15), 16, 10) as bigint) AS fp))"
+                )
+            ).alias("w"),
+        )
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("_occ"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("_occ") <= max_postings))
+        .select("fp", "n_docs")
+    )
+    return fps.join(hot, "fp").select(id_col, "pos", "fp", "n_docs")
+
+
 def winnowing_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -160,6 +160,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "window_gaps_islands",
     "multimodal_phash_wide",
     "ts_acf",
+    "dedup_substring_spans",
 )
 
 

@@ -531,7 +531,44 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span report
+    (operators.dedup.repeated_substring_spans): every sampled 64-char
+    window whose portable md5-prefix fingerprint occurs in ≥2 distinct
+    documents, with its (doc, position) — the surgical span-removal
+    input (Lee et al. 2022), where winnowing only names the pair."""
+    from ..operators.dedup import repeated_substring_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(
+        d, k=64, stride=16, max_postings=200
+    ).orderBy("doc_id", "pos")
+
+
+_DEDUP_SUBSTRING_SPANS_SQL = """
+WITH lc AS (SELECT doc_id, lower(text) AS t FROM documents),
+fpos AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - 62, 16)) AS i
+  FROM lc WHERE length(t) >= 64
+),
+fps AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 64)), 1, 15))::BIGINT AS fp
+  FROM fpos
+),
+hot AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+  FROM fps GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 200
+)
+SELECT f.doc_id, f.pos, f.fp, h.n_docs
+FROM fps f JOIN hot h USING (fp)
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES = {
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_keep_best": q_dedup_keep_best,
@@ -548,6 +585,7 @@ QUERIES = {
     "dedup_winnowing": q_dedup_winnowing,
 }
 ORACLES = {
+    "dedup_substring_spans": _DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_simhash_portable": _SIMHASH_PORTABLE_SQL,
     "dedup_minhash_incremental": _DEDUP_MINHASH_INCR_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

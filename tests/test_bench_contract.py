@@ -61,3 +61,22 @@ def test_scale_curve_never_reaches_final_line():
         "scale_curve": {"data_factor": 10, "queries": {}},
     }
     assert "scale_curve" not in bench.compact_result(result)
+
+
+def test_detail_record_names_exclusions():
+    """No silent bench caps (r07 VERDICT #3): the committed detail
+    record must carry the coverage block naming every registry query
+    NOT in the headline set, and the tracked BENCH_DETAIL.json must
+    already have it."""
+    from durablefunctions_mapreduce_dotnet_spark.queries import all_queries
+
+    qs = all_queries()
+    headline = [n for n in bench.HEADLINE if n in qs]
+    # every headline name must resolve — a typo would silently shrink
+    # the measured set
+    assert headline == bench.HEADLINE
+    with open("BENCH_DETAIL.json") as fh:
+        detail = json.loads(fh.read())
+    cov = detail["coverage"]
+    assert cov["headline"] + len(cov["excluded"]) == cov["registry"]
+    assert "pulled_with_reason" in cov
