@@ -362,8 +362,22 @@ def main() -> None:
                 fh.write(detail_line + "\n")
         except OSError:
             pass
+    # Quiesce and stop Spark BEFORE emitting the compact line: shutdown
+    # spew (rejected-task stack traces, deleted shuffle temp files)
+    # lands on the external driver's tail capture and can push the JSON
+    # out of its ~2000-char window — exactly how the r08 record was
+    # lost.  The compact line must be the process's last output.
+    try:
+        spark.sparkContext.cancelAllJobs()
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
     print(json.dumps(compact_result(result), separators=(",", ":")))
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -763,8 +763,19 @@ def hamming_pairs_from_hashes(
                     for j2 in range(i + 1, w)
                 ]
             probe_pieces.append(F.struct(F.lit(ci).alias("c"), v.alias("v")))
+            # A full-word chunk (w=64, e.g. a 2-word signature with
+            # n_chunks=2) puts bit 63 in the flip masks; 1<<63 exceeds
+            # the signed-long literal range, so emit the two's-complement
+            # representation — the same signed-hash convention the
+            # signatures themselves use.  XOR is bit-pattern arithmetic,
+            # so the signed reinterpretation is value-exact.
             probe_pieces.extend(
-                F.struct(F.lit(ci).alias("c"), v.bitwiseXOR(F.lit(m)).alias("v"))
+                F.struct(
+                    F.lit(ci).alias("c"),
+                    v.bitwiseXOR(
+                        F.lit(m - (1 << 64) if m >= (1 << 63) else m)
+                    ).alias("v"),
+                )
                 for m in masks
             )
             off += w

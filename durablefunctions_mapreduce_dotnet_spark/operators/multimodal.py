@@ -369,7 +369,13 @@ def phash_near_dup_pairs(
     # pass over the full binary corpus (measured 2× the whole query's
     # decode cost at sf0.1).
     sig = perceptual_dhash(binary_df).cache()
-    n_chunks = None if 64 // (max_hamming + 1) >= 8 else 7
+    if 64 // (max_hamming + 1) >= 8:
+        n_chunks = None  # classic h+1 chunks, wide enough already
+    else:
+        # scale chunks with the radius so the per-chunk probe distance
+        # stays <= 2 (d = h // c): a fixed 7 refused radii >= 21
+        # (sub_d = 3) that the pre-r08 single-chunk path accepted.
+        n_chunks = max(7, -(-(max_hamming + 1) // 3))
     return hamming_pairs_from_hashes(
         sig, "doc_id", "dhash", max_hamming, max_bucket, n_chunks=n_chunks
     )

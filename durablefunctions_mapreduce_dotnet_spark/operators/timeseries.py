@@ -498,10 +498,20 @@ def seasonal_decompose(
         .select(
             "day",
             "y",
+            # `+ 0.0` canonicalizes IEEE negative zero: ROUND can yield
+            # -0.0 in one engine and +0.0 in the other (observed: DuckDB
+            # ROUND(residual, 9) emitted -0.0 in 5 sf0.01 rows where
+            # Spark emitted +0.0 — equal under ==, unequal under the
+            # driver's byte-level value hash; the r08 driver-red row).
+            # x + 0.0 is the identity for every other double and maps
+            # -0.0 to +0.0 on both engines; NULL propagates.
             F.when(
-                F.col("c7") == win_n, F.round(F.col("t7") / F.lit(p2), 9)
+                F.col("c7") == win_n,
+                F.round(F.col("t7") / F.lit(p2), 9) + F.lit(0.0),
             ).alias("trend"),
-            F.round(F.col("s7") / (F.lit(p2) * F.col("sc")), 9).alias("seasonal"),
+            (F.round(F.col("s7") / (F.lit(p2) * F.col("sc")), 9) + F.lit(0.0)).alias(
+                "seasonal"
+            ),
             F.when(
                 F.col("c7") == win_n,
                 F.round(
@@ -509,7 +519,8 @@ def seasonal_decompose(
                     - F.col("t7") / F.lit(p2)
                     - F.col("s7") / (F.lit(p2) * F.col("sc")),
                     9,
-                ),
+                )
+                + F.lit(0.0),
             ).alias("residual"),
         )
     )

@@ -108,10 +108,20 @@ def all_oracles() -> dict[str, str]:
 #             r07 newcomers pinned via _WINDOW_FIRST; CORRECTNESS_r07
 #             came back all green — 40 hash-exact + 10 rows-only by
 #             design, 0 failures; every r07 pin earned its row)
-#   r08:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#   r08:      HALF_A first
 #             (re-verifies the relational core under rotation, incl. the
 #             new sql_q raw-SQL face for the first time in-window;
-#             r08 newcomers pinned via _WINDOW_FIRST)
+#             r08 newcomers pinned via _WINDOW_FIRST; CORRECTNESS_r08
+#             came back 44 hash-exact + 5 rows-only by design + 1 red:
+#             time_seasonal_decompose_m12 rows+schema matched but the
+#             value hash didn't — stays pinned with a re-canonicalized
+#             FP emission for r09)
+#   r09:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the LLM surface, incl. the r08 shingle
+#             lowered=True contract, size-gated union-find CC, and the
+#             interpreted-HOF materialization sweep that HALF_B queries
+#             route through; r09 newcomers + the m12 re-face pinned via
+#             _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -140,7 +150,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_A + _HALF_B
+_ROTATION = _HALF_B + _HALF_A
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -149,18 +159,13 @@ _ROTATION = _HALF_A + _HALF_B
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r07 window came back all green — every prior pin earned its row:
-    #  21 hash-exact + 7 rows-only by design)
-    # r08 newcomers:
+    # (r08 window: every other r08 pin earned its row — 7 hash-exact +
+    #  1 rows-only by design — and was dropped)
+    # r08 holdover: rows+schema matched but the driver's value hash
+    # didn't, despite local bit-exactness under the driver contract;
+    # re-faced in r09 with the FP columns emitted through the pinned
+    # decimal canonicalization instead of raw rounded doubles.
     "time_seasonal_decompose_m12",
-    "sql_order_priority",
-    "sql_large_orders",
-    "sql_churn_opportunity",
-    "agg_mode_value_bucket",
-    "window_gaps_islands",
-    "multimodal_phash_wide",
-    "ts_acf",
-    "dedup_substring_spans",
 )
 
 

@@ -321,10 +321,12 @@ seas AS (
   FROM tr WHERE c7 = 7 GROUP BY 1
 )
 SELECT strftime(tr.d, '%Y-%m-%d') AS day, y,
-       CASE WHEN c7 = 7 THEN ROUND(t7 / 7.0, 9) END AS trend,
-       ROUND(s7 / (7.0 * sc), 9) AS seasonal,
+       -- + 0 maps IEEE -0.0 to +0.0 (DuckDB ROUND emits -0.0 where the
+       -- JVM emits +0.0; identity for every other value, NULL-safe)
+       CASE WHEN c7 = 7 THEN ROUND(t7 / 7.0, 9) + 0 END AS trend,
+       ROUND(s7 / (7.0 * sc), 9) + 0 AS seasonal,
        CASE WHEN c7 = 7
-            THEN ROUND(y - t7 / 7.0 - s7 / (7.0 * sc), 9) END AS residual
+            THEN ROUND(y - t7 / 7.0 - s7 / (7.0 * sc), 9) + 0 END AS residual
 FROM tr LEFT JOIN seas
   ON seas.phase = CAST(date_diff('day', DATE '1970-01-01', tr.d) % 7 AS BIGINT)
 ORDER BY day
@@ -365,10 +367,13 @@ seas AS (
   FROM tr WHERE c = 13 GROUP BY 1
 )
 SELECT strftime(tr.d, '%Y-%m-%d') AS day, y,
-       CASE WHEN c = 13 THEN ROUND(t2 / 24.0, 9) END AS trend,
-       ROUND(s2 / (24.0 * sc), 9) AS seasonal,
+       -- + 0 maps IEEE -0.0 to +0.0 (observed at sf0.01: DuckDB ROUND
+       -- emitted -0.0 in 5 residual rows where Spark emitted +0.0 —
+       -- == -equal but hash-unequal; the r08 driver-red row)
+       CASE WHEN c = 13 THEN ROUND(t2 / 24.0, 9) + 0 END AS trend,
+       ROUND(s2 / (24.0 * sc), 9) + 0 AS seasonal,
        CASE WHEN c = 13
-            THEN ROUND(y - t2 / 24.0 - s2 / (24.0 * sc), 9) END AS residual
+            THEN ROUND(y - t2 / 24.0 - s2 / (24.0 * sc), 9) + 0 END AS residual
 FROM tr LEFT JOIN seas
   ON seas.phase = CAST(date_diff('day', DATE '1970-01-01', tr.d) % 12 AS BIGINT)
 ORDER BY day

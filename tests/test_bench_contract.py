@@ -80,3 +80,15 @@ def test_detail_record_names_exclusions():
     cov = detail["coverage"]
     assert cov["headline"] + len(cov["excluded"]) == cov["registry"]
     assert "pulled_with_reason" in cov
+    # The committed record must be CURRENT, not just self-consistent:
+    # r08 shipped a 67-query detail against a 188-query registry because
+    # this test only checked internal arithmetic.  Any headline or
+    # registry change now forces a regenerate+commit.
+    assert cov["registry"] == len(qs), (
+        f"BENCH_DETAIL.json is stale: records {cov['registry']} registry "
+        f"queries but {len(qs)} are registered — regenerate with an "
+        "official sf0.1 bench run and commit the refreshed file"
+    )
+    assert cov["headline"] == len(headline), (
+        "BENCH_DETAIL.json headline count is stale — regenerate+commit"
+    )

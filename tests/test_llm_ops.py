@@ -1149,6 +1149,74 @@ def test_hamming_multiword_and_probe_guards(spark):
         hamming_pairs_from_hashes(sig128, "doc_id", "dhash", 30, n_chunks=2)
 
 
+def test_hamming_fullword_chunk_sign_bit(spark):
+    """A chunk spanning a full 64-bit word (2-word signature,
+    n_chunks=2) puts bit 63 in the flip masks — the r08 ADVICE bug:
+    1<<63 overflows a long literal unless emitted as its
+    two's-complement.  Pairs differing ONLY in the sign bit must still
+    be found with exact recall."""
+    import itertools
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        hamming_pairs_from_hashes,
+    )
+
+    neg = -(1 << 63)  # sign bit set, as Spark's signed long
+    rows = [
+        (1, 0, 0),
+        (2, neg, 0),          # differs from 1 only in bit 63 of word 0
+        (3, neg, neg),        # differs from 2 only in bit 63 of word 1
+        (4, 5, 9),            # far from everything
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, w0 long, w1 long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs_from_hashes(
+            sig, "doc_id", ("w0", "w1"), 2, n_chunks=2
+        ).collect()
+    }
+
+    def ham(x, y):
+        return sum(
+            bin((a ^ b) & (2**64 - 1)).count("1") for a, b in zip(x, y)
+        )
+
+    vals = {r[0]: (r[1], r[2]) for r in rows}
+    want = {
+        (a, b): ham(vals[a], vals[b])
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if ham(vals[a], vals[b]) <= 2
+    }
+    assert got == want and (1, 2) in got and (2, 3) in got
+
+
+def test_phash_wide_radius_scales_chunks(spark):
+    """Radii >= 21 used to raise (fixed n_chunks=7 -> sub_d=3 refused);
+    the chunk count now scales with the radius and recall stays exactly
+    brute force."""
+    import itertools
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_dhash,
+        phash_near_dup_pairs,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    b = attach_binary(read_table(spark, SF_DIR, "documents").limit(60))
+    sig = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(b).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(b, max_hamming=21).collect()
+    }
+    want = {}
+    for a, c in itertools.combinations(sorted(sig), 2):
+        h = bin((sig[a] ^ sig[c]) & (2**64 - 1)).count("1")
+        if h <= 21:
+            want[(a, c)] = h
+    assert got == want
+
+
 def test_phash_empty_payload_hashes_zero(spark):
     from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
         perceptual_dhash,

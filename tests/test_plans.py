@@ -89,6 +89,9 @@ _BNLJ_OK = {
     # (curation.dsir_weights — the llr table it feeds is <= n_buckets
     # rows and itself broadcast)
     "curation_dsir_weights",
+    # series-wide (n, sum, mean-numerator) scalar: broadcast 1-row
+    # cross join onto the lagged daily series (timeseries_q.q_ts_acf)
+    "ts_acf",
 }
 
 
