@@ -44,7 +44,12 @@ WORD_RE = r"[A-Za-z]+"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality-scoring feature battery: lengths, token counts, ratios.
     Ratios are integer/integer divisions — deterministic doubles — via
     ``try_divide``: a zero denominator (empty doc, no words) yields
@@ -67,6 +72,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"))
     return df.select(
         F.col(id_col),
+        *keep,
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
@@ -76,12 +82,23 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Composite heuristic quality gate (Gopher-rules flavored): flags
-    docs by length bounds, stopword floor and punctuation ceiling."""
-    s = text_stats(df, text_col, id_col)
+    docs by length bounds, stopword floor and punctuation ceiling.
+
+    ``keep`` passes extra input columns through unchanged, so a caller
+    that needs text + flag in ONE frame (the end-to-end funnel, which
+    materializes that frame exactly once) doesn't have to join the
+    stats back onto the text."""
+    s = text_stats(df, text_col, id_col, keep=keep)
     return s.select(
         id_col,
+        *keep,
         "n_tokens",
         "stopword_ratio",
         "punct_ratio",

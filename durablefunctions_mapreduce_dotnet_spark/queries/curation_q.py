@@ -673,33 +673,46 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-for-stage in SQL, so the WHOLE pipeline is hash-checked, not
     just its parts.  Integer counts — no FP scaffolding needed.
 
-    Stage frames feed both the next stage and their count branch, so
-    the survivor chain is lineage-cut after the two expensive hops
-    (quality regexes, MinHash) — each stage computes once."""
+    ONE full-text materialization: normalize + quality flags fuse into
+    a single scan checkpointed as ``base`` (doc_id, text_norm,
+    passes_quality); every later stage is a cheap derivation of it —
+    the exact-dedup winners and the MinHash losers are checkpointed as
+    bare ID SETS (broadcast-sized), never as another copy of the text.
+    The r08 shape eagerly checkpointed the full text FOUR times
+    (nonempty/quality/exact/kept), serializing the funnel behind three
+    extra full-corpus materialization barriers — at 100 TB those are
+    three extra petabyte-scale writes; at sf0.1 they were most of the
+    query's 2.65→7.42 s drift."""
     from ..operators.curation import hash_bucket
-    from ..operators.dedup import exact_dedup, minhash_near_dup_pairs
+    from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.textops import normalize_text, quality_score
 
     d = read_table(spark, sf_dir, "documents")
     normed = normalize_text(d).select("doc_id", "text_norm")
     nonempty = normed.where(
         F.col("text_norm").isNotNull() & (F.col("text_norm") != "")
+    )
+    base = quality_score(
+        nonempty, text_col="text_norm", keep=("text_norm",)
     ).localCheckpoint(eager=True)
-    q = quality_score(nonempty, text_col="text_norm")
-    quality = (
-        nonempty.join(
-            q.where("passes_quality").select("doc_id"), "doc_id", "semi"
-        )
-    ).localCheckpoint(eager=True)
-    exact = quality.join(
-        exact_dedup(quality, text_col="text_norm").select("doc_id"),
-        "doc_id",
-        "semi",
-    ).localCheckpoint(eager=True)
+    quality = base.where("passes_quality").select("doc_id", "text_norm")
+    # exact_dedup inlined on the flagged frame: min doc_id per md5 of
+    # the normalized text — only 16-byte fingerprints + ids shuffle;
+    # the winner-id set is checkpointed (tiny), not the text.
+    winners = (
+        quality.groupBy(F.md5("text_norm").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    exact = quality.join(winners, "doc_id", "semi")
     pairs = minhash_near_dup_pairs(exact, text_col="text_norm", threshold=0.6)
-    kept = exact.join(
-        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "anti"
-    ).localCheckpoint(eager=True)
+    losers = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = exact.join(losers, "doc_id", "anti")
     b = hash_bucket("doc_id")
     split = kept.select(
         F.when(b < 90, "05_train")
@@ -715,7 +728,7 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         cnt(d, "00_raw")
-        .unionByName(cnt(nonempty, "01_nonempty_norm"))
+        .unionByName(cnt(base, "01_nonempty_norm"))
         .unionByName(cnt(quality, "02_quality_pass"))
         .unionByName(cnt(exact, "03_exact_unique"))
         .unionByName(cnt(kept, "04_near_unique"))
