@@ -526,6 +526,84 @@ def seasonal_decompose(
     )
 
 
+def acf(
+    df,
+    ts_col: str = "ts",
+    max_lag: int = 14,
+) -> "DataFrame":
+    """Sample autocorrelation of the daily event-count series at lags
+    1..``max_lag`` — the period-detection diagnostic read before
+    picking ``period`` for :func:`seasonal_decompose` /
+    :func:`holt_winters_fit`.
+
+    Integer-exact: with S = Σy, n = #days, m_L = #pairs at lag L,
+    A_L/B_L the left/right partial sums over the paired days,
+
+        acf(L) = [n²·Σ(y_t·y_{t+L}) − n·S·(A_L+B_L) + m_L·S²]
+                 / [n · (n·Σy² − S²)]
+
+    (the covariance trick ×n²: every term is an exact decimal-summed
+    integer, so the ONLY floating-point op is the final division — the
+    same IEEE expression on any engine and any partitioning).  Matches
+    the mean-adjusted cross-product estimator with per-lag edge sums
+    (the jagged-window form; statsmodels' ``acf(adjusted=False)``
+    differs only by its fixed global mean).
+
+    Scale shape: one combiner count per day collapses the corpus to a
+    days-sized frame; pairs come from explode(1..max_lag) + calendar
+    equi-join over that tiny frame; the 1-row global scalar frame rides
+    a broadcast cross join.  Output: (lag, n_pairs, acf) — acf rounded
+    6 dp with −0.0 canonicalized to +0.0 (Spark's BigDecimal ROUND has
+    no signed zero; DuckDB's keeps it — the r08 m12 driver-red class).
+    """
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    nb = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    glob = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("y"))).alias("s"),
+        # cast BEFORE the multiply: bigint·bigint would overflow first
+        # at extreme per-day counts; decimal·bigint stays exact
+        F.sum(dec(F.col("y")) * F.col("y")).alias("yy"),
+    )
+    lagged = (
+        daily.select(
+            "d",
+            "y",
+            F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        )
+        .join(nb, F.date_add(F.col("d"), F.col("lag")) == F.col("d2"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(dec(F.col("y")) * F.col("y2")).alias("syy2"),
+            F.sum(dec(F.col("y"))).alias("a"),
+            F.sum(dec(F.col("y2"))).alias("b"),
+        )
+    )
+    return lagged.crossJoin(F.broadcast(glob)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        (
+            F.round(
+                (
+                    dec(F.col("n") * F.col("n")) * F.col("syy2")
+                    - dec(F.col("n")) * F.col("s") * (F.col("a") + F.col("b"))
+                    + F.col("m") * F.col("s") * F.col("s")
+                ).cast("double")
+                / (
+                    dec(F.col("n"))
+                    * (dec(F.col("n")) * F.col("yy") - F.col("s") * F.col("s"))
+                ).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf"),
+    )
+
+
 def holt_winters_fit(
     df,
     ts_col: str = "ts",

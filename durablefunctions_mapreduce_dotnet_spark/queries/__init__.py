@@ -166,6 +166,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # re-faced in r09 with the FP columns emitted through the pinned
     # decimal canonicalization instead of raw rounded doubles.
     "time_seasonal_decompose_m12",
+    # r09 newcomers:
+    "sql_min_cost_supplier",
+    "sql_top_supplier",
+    "sql_waiting_suppliers",
 )
 
 

@@ -206,6 +206,112 @@ def q_sql_churn_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q22_BODY)
 
 
+_Q2_BODY = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND p_type = 'PROMO'
+  AND p_size <= 25
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+LIMIT 100
+"""
+
+
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to this schema (no
+    partsupp table, so lineitem is the part×supplier price relation and
+    ps_supplycost becomes the line's extended price): for EUROPE
+    suppliers of PROMO parts, keep only the (part, supplier) offers
+    matching that part's REGION-WIDE minimum price — the canonical
+    correlated scalar-MIN subquery.  Catalyst decorrelates it into an
+    aggregate-then-join (one extra pass over the filtered lineitem,
+    re-using the same join keys); MIN of an untouched double column is
+    set-wise exact, so no decimal scaffolding is needed.  DISTINCT
+    collapses repeat lines at the same price (partsupp rows are unique
+    in real TPC-H; lines are not)."""
+    return _sql(spark, sf_dir, _Q2_BODY)
+
+
+_Q15_BODY = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS tr
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE tr = (SELECT MAX(tr) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a revenue view over one half-year of
+    lineitem, then the supplier(s) whose revenue equals the view's MAX —
+    the view-over-aggregate + scalar-MAX-tie shape (the spec's CREATE
+    VIEW spelled as a CTE).  The revenue totals stay DECIMAL(38,6)
+    through both the MAX and the equality (exact, order-independent on
+    both engines — a double sum here could split the tie differently
+    per partitioning); only the output column casts to double."""
+    return _sql(spark, sf_dir, _Q15_BODY)
+
+
+_Q21_BODY = """
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to this
+    schema (no l_commitdate/l_receiptdate, so "late" is shipped >60
+    days after the order date — the same lateness rule as the Q4
+    adaptation): finished orders where THIS supplier shipped late and
+    it was multi-supplier, but no OTHER supplier was late — the
+    multi-correlation shape stacking a correlated EXISTS (semi-join
+    with a non-equality disjunct) on a correlated NOT EXISTS
+    (anti-join).  The inner lateness test joins l3 back to orders o3
+    INSIDE the subquery so the only correlated predicate is the
+    orderkey equality — the decorrelation-friendly spelling (the spec's
+    own l3-local receipt>commit test plays the same role)."""
+    return _sql(spark, sf_dir, _Q21_BODY)
+
+
 QUERIES = {
     "sql_shipping_priority": q_sql_shipping_priority,
     "sql_local_supplier_volume": q_sql_local_supplier_volume,
@@ -213,6 +319,9 @@ QUERIES = {
     "sql_order_priority": q_sql_order_priority,
     "sql_large_orders": q_sql_large_orders,
     "sql_churn_opportunity": q_sql_churn_opportunity,
+    "sql_min_cost_supplier": q_sql_min_cost_supplier,
+    "sql_top_supplier": q_sql_top_supplier,
+    "sql_waiting_suppliers": q_sql_waiting_suppliers,
 }
 ORACLES = {
     "sql_shipping_priority": _Q3_ORACLE,
@@ -221,4 +330,7 @@ ORACLES = {
     "sql_order_priority": _Q4_BODY,
     "sql_large_orders": _Q18_ORACLE,
     "sql_churn_opportunity": _Q22_BODY,
+    "sql_min_cost_supplier": _Q2_BODY,
+    "sql_top_supplier": _Q15_BODY,
+    "sql_waiting_suppliers": _Q21_BODY,
 }

@@ -396,53 +396,12 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in decimal, so the ONLY floating-point op is the final division —
     the same IEEE op in both engines).  Day pairs come from one
     explode(lags) + calendar-day equi-join over the days-sized daily
-    frame; the global scalars ride a broadcast 1-row cross join."""
+    frame; the global scalars ride a broadcast 1-row cross join.
+    Logic lives in operators.timeseries.acf (max_lag parameterized)."""
+    from ..operators.timeseries import acf
+
     e = read_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).alias("y"))
-    nb = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    glob = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("y"))).alias("s"),
-        # cast BEFORE the multiply: bigint·bigint would overflow first
-        # at extreme per-day counts; decimal·bigint stays exact
-        F.sum(dec(F.col("y")) * F.col("y")).alias("yy"),
-    )
-    lagged = (
-        daily.select(
-            "d", "y", F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag")
-        )
-        .join(nb, F.date_add(F.col("d"), F.col("lag")) == F.col("d2"))
-        .groupBy("lag")
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.sum(dec(F.col("y")) * F.col("y2")).alias("syy2"),
-            F.sum(dec(F.col("y"))).alias("a"),
-            F.sum(dec(F.col("y2"))).alias("b"),
-        )
-    )
-    return (
-        lagged.crossJoin(F.broadcast(glob))
-        .select(
-            F.col("lag").cast("bigint").alias("lag"),
-            F.col("m").alias("n_pairs"),
-            F.round(
-                (
-                    dec(F.col("n") * F.col("n")) * F.col("syy2")
-                    - dec(F.col("n")) * F.col("s") * (F.col("a") + F.col("b"))
-                    + F.col("m") * F.col("s") * F.col("s")
-                ).cast("double")
-                / (
-                    dec(F.col("n"))
-                    * (dec(F.col("n")) * F.col("yy") - F.col("s") * F.col("s"))
-                ).cast("double"),
-                6,
-            ).alias("acf"),
-        )
-        .orderBy("lag")
-    )
+    return acf(e, max_lag=14).orderBy("lag")
 
 
 _TS_ACF_SQL = """
@@ -468,9 +427,11 @@ lagged AS (
 )
 SELECT CAST(lag AS BIGINT) AS lag,
        CAST(m AS BIGINT) AS n_pairs,
+       -- + 0 maps IEEE -0.0 to +0.0 (Spark's BigDecimal ROUND never
+       -- emits a signed zero; DuckDB's keeps it)
        ROUND(CAST(n * n * syy2 - n * s * (a + b) + m * s * s AS DOUBLE)
              / CAST(n * (n * yy - s * s) AS DOUBLE),
-             6) AS acf
+             6) + 0 AS acf
 FROM lagged CROSS JOIN tot
 ORDER BY lag
 """

@@ -308,3 +308,56 @@ def test_holt_winters_densifies_missing_days(spark):
     out = {r["day"]: r["y"] for r in holt_winters_fit(df, period=7).collect()}
     assert out["2024-01-11"] == 0
     assert out["2024-01-12"] == 1
+
+
+def test_acf_matches_closed_form_integer_reference(spark):
+    """acf() vs the estimator computed with EXACT integer arithmetic in
+    Python (Fraction) on a hand-built daily series — locks the jagged-
+    window mean-adjusted formula, the lag parameterization, and the
+    6-dp rounding.  Series: y = [3, 1, 4, 1, 5, 9, 2, 6] on consecutive
+    days (one event per count unit)."""
+    from fractions import Fraction
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import acf
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 3, 1 + day, 12, 0)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    max_lag = 5
+    out = {r["lag"]: r for r in acf(df, max_lag=max_lag).collect()}
+    assert set(out) == set(range(1, max_lag + 1))
+
+    n, s = len(counts), sum(counts)
+    yy = sum(y * y for y in counts)
+    for lag in range(1, max_lag + 1):
+        pairs = list(zip(counts[:-lag], counts[lag:]))
+        m = len(pairs)
+        syy2 = sum(a * b for a, b in pairs)
+        a_sum = sum(a for a, _ in pairs)
+        b_sum = sum(b for _, b in pairs)
+        num = n * n * syy2 - n * s * (a_sum + b_sum) + m * s * s
+        den = n * (n * yy - s * s)
+        expected = round(float(Fraction(num, 1)) / float(Fraction(den, 1)), 6)
+        assert out[lag]["n_pairs"] == m
+        assert abs(out[lag]["acf"] - expected) < 5e-7, (
+            lag,
+            out[lag]["acf"],
+            expected,
+        )
+
+    # lag-1 sign sanity on a strictly alternating series: negative
+    alt = [10, 1] * 6
+    rows2, eid = [], 0
+    for day, c in enumerate(alt):
+        for _ in range(c):
+            rows2.append((eid, dt.datetime(2024, 5, 1 + day, 6, 0)))
+            eid += 1
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
+    got = {r["lag"]: r["acf"] for r in acf(df2, max_lag=2).collect()}
+    assert got[1] < 0 < got[2]
