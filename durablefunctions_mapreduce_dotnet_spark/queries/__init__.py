@@ -170,6 +170,17 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sql_min_cost_supplier",
     "sql_top_supplier",
     "sql_waiting_suppliers",
+    "sql_forecast_revenue",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_late_lines_priority",
+    "sql_customer_distribution",
+    "sql_promo_revenue",
+    "sql_parts_supplier_counts",
+    "sql_small_quantity_revenue",
+    "sql_discounted_revenue",
+    "ann_hybrid_rrf",
+    "dedup_cluster_sizes",
 )
 
 

@@ -243,6 +243,70 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the audit a curation run
+    reads before committing a dedup policy (how much mass sits in
+    2-dup pairs vs 50-doc boilerplate families): the dedup_clusters
+    assignment rolled up twice (cluster → size, size → cluster count /
+    doc mass / docs droppable under keep-one).  Integer counts over the
+    same CC labels, so parity extends the recursive-CTE closure proof
+    to the distribution view."""
+    from ..operators.graph import canonicalize_clusters
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.6).select("id_a", "id_b")
+    clusters = canonicalize_clusters(d, pairs, pairs_distinct_ordered=True)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("size")).alias("n_docs"),
+            (F.count(F.lit(1)) * (F.col("size") - F.lit(1))).alias(
+                "n_droppable"
+            ),
+        )
+        .orderBy("size")
+    )
+
+
+_DEDUP_CLUSTER_SIZES_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 8, 1) + 1),
+                                      i -> substr(lower(text), i, 9))) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+), comp AS (
+  SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS size FROM assigned GROUP BY cluster_id
+)
+SELECT size, COUNT(*) AS n_clusters,
+       COUNT(*) * size AS n_docs,
+       COUNT(*) * (size - 1) AS n_droppable
+FROM sizes
+GROUP BY size
+ORDER BY size
+"""
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic embedding near-dup: LSH bucket self-join candidates
     + exact cosine ≥ 0.45 verify — FULL oracle parity: the deterministic
@@ -575,6 +639,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_containment": q_dedup_containment,
@@ -594,6 +659,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_cluster_sizes": _DEDUP_CLUSTER_SIZES_SQL,
     "dedup_minhash": _DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_containment": _DEDUP_CONTAIN_SQL,

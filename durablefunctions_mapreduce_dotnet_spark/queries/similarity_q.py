@@ -427,7 +427,94 @@ def q_ann_ivfpq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_TOPK = 20
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    lexical+vector fusion of a RAG / retrieval stack: the BM25 top-20
+    for the fixed three-term query (text_q's corpus-stat leg) and the
+    exact-cosine top-20 around vec 0's embedding fuse as
+    Σ 1/(60 + rank), a doc absent from a leg contributing 0.
+
+    Determinism: both legs are already hash-exact queries (bit-equal
+    scores ⇒ identical ranks under the (score desc, id) tie-break);
+    the fused score is ONE addition of two per-row IEEE divisions of
+    exact integers — order-free.  Scale: each leg's top-k is k rows,
+    so the fusion join is trivially broadcast; all heavy lifting stays
+    in the legs (BM25's df-cut inverted index, the gemm-tiled scan)."""
+    from ..operators.textops import bm25_topk
+    from ..queries.text_q import _BM25_TERMS
+
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, list(_BM25_TERMS), k=_RRF_TOPK).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("bigint")
+        .alias("r_lex"),
+    )
+    vec = brute_force_topk(
+        e, e.where(F.col("vec_id") == 0), k=_RRF_TOPK
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("r_vec"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            (contrib("r_lex") + contrib("r_vec")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    from ..queries.text_q import _bm25_oracle_sql
+
+    return f"""
+WITH lex_raw AS ({_bm25_oracle_sql(k=_RRF_TOPK)}),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+  FROM lex_raw
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT v AS qv, nrm AS qn FROM emb WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id, CAST(rnk AS BIGINT) AS r_vec FROM (
+    SELECT emb.vec_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+                                              i -> qv[i] * emb.v[i]))
+                        / (qn * emb.nrm) DESC, emb.vec_id) AS rnk
+    FROM emb CROSS JOIN q WHERE emb.vec_id <> 0
+  ) WHERE rnk <= {_RRF_TOPK}
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+       COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_vec), 0.0) AS rrf_score
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
 QUERIES = {
+    "ann_hybrid_rrf": q_hybrid_rrf,
     "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
@@ -441,6 +528,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
+    "ann_hybrid_rrf": _rrf_oracle_sql(),
     "embedding_covariance": _COVARIANCE_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,

@@ -312,6 +312,240 @@ def q_sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q21_BODY)
 
 
+_Q6_BODY = """
+SELECT {dsum} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""".format(dsum=_DSUM.format(x="l_extendedprice * l_discount"))
+
+
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — no join at all, so the whole query is one
+    parquet scan with every predicate pushed to the reader and a
+    partial+final agg; the microbenchmark of pushdown + whole-stage
+    codegen (tests/test_plans.py asserts the PushedFilters)."""
+    return _sql(spark, sf_dir, _Q6_BODY)
+
+
+_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       {dsum} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_18')
+      OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_8'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""".format(dsum=_DSUM.format(x="volume"))
+
+
+def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year — the DISJUNCTIVE join-filter shape (either
+    nation may be the supplier side, so the nation pair predicate can't
+    collapse to two equi-filters) over a 6-way join with the same tiny
+    nation dim joined twice under different aliases (both broadcast)."""
+    return _sql(spark, sf_dir, _Q7_BODY)
+
+
+_Q8_BODY = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_13' THEN vol_dec
+                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(vol_dec) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS vol_dec,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'MIDDLE EAST'
+    AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's market for one part type, by order year — the deepest
+    snowflake in the suite (8-way: part + nation×2 + region dims around
+    the lineitem/orders/customer facts) with a conditional-aggregate
+    ratio.  Numerator and denominator both accumulate as DECIMAL(38,6)
+    (order-free), so the single double division at the end is the only
+    FP op — bit-equal across engines, including exact +0.0 shares for
+    years where the nation sold nothing."""
+    return _sql(spark, sf_dir, _Q8_BODY)
+
+
+_Q12_BODY = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_sql_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted to this
+    schema (no l_shipmode/commitdate/receiptdate: the group key becomes
+    l_linestatus and "late" is the Q4/Q21 rule — shipped >60 days after
+    the order date): pivoted priority counts over late lines.  The
+    join predicate l_shipdate > o_orderdate + interval is a NON-equi
+    conjunct riding on the orderkey equi-join (post-join filter, never
+    a nested-loop), and the CASE-count pivot is one pass."""
+    return _sql(spark, sf_dir, _Q12_BODY)
+
+
+_Q13_BODY = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): orders-per-customer
+    histogram — the LEFT JOIN with an extra non-key join condition
+    (priority filter must live IN the join, not WHERE, so orderless
+    customers survive as c_count=0) followed by a second aggregation
+    over the first's results."""
+    return _sql(spark, sf_dir, _Q13_BODY)
+
+
+_Q14_BODY = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_dec
+                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         * 100.0 / CAST(SUM(vol_dec) AS DOUBLE) AS promo_revenue_pct
+FROM (
+  SELECT CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS vol_dec,
+         p_type
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+) t
+"""
+
+
+def q_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    revenue — conditional-aggregate ratio to a single row.  Decimal
+    numerator/denominator, one double multiply+divide at the end."""
+    return _sql(spark, sf_dir, _Q14_BODY)
+
+
+_Q16_BODY = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+
+
+def q_sql_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to this schema
+    (no partsupp — lineitem is the part×supplier relation; no s_comment
+    — the excluded-supplier subquery keys on negative account balance):
+    distinct supplier counts per part attribute bucket, minus a NOT IN
+    blacklist.  Exercises the null-aware anti-join (Spark plans NOT IN
+    as NAAJ) under a COUNT(DISTINCT) aggregate."""
+    return _sql(spark, sf_dir, _Q16_BODY)
+
+
+_Q17_BODY = """
+SELECT {dsum} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""".format(dsum=_DSUM.format(x="l_extendedprice"))
+
+
+def q_sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines under 20% of
+    their part's average quantity — the correlated scalar-AVG subquery
+    (Catalyst decorrelates to an aggregate re-joined on partkey).
+    l_quantity holds integer-valued doubles, so the AVG's sum is exact
+    in IEEE regardless of order and the 0.2·avg threshold is the same
+    double on both engines; the revenue output rides the decimal sum."""
+    return _sql(spark, sf_dir, _Q17_BODY)
+
+
+_Q19_BODY = """
+SELECT {dsum} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1.0 AND l_quantity <= 21.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 5.0 AND l_quantity <= 35.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 10.0 AND l_quantity <= 50.0)
+""".format(dsum=_DSUM.format(x="l_extendedprice * (1.0 - l_discount)"))
+
+
+def q_sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three disjunctive brand/size/
+    quantity branches — the OR-of-conjuncts shape.  Catalyst splits the
+    disjunction: the single-table parts (l_quantity bounds, p_brand/
+    p_size bounds) factor into per-side pushable filters while the
+    cross-table residual evaluates post-join, so neither scan reads
+    rows no branch could accept."""
+    return _sql(spark, sf_dir, _Q19_BODY)
+
+
 QUERIES = {
     "sql_shipping_priority": q_sql_shipping_priority,
     "sql_local_supplier_volume": q_sql_local_supplier_volume,
@@ -322,6 +556,15 @@ QUERIES = {
     "sql_min_cost_supplier": q_sql_min_cost_supplier,
     "sql_top_supplier": q_sql_top_supplier,
     "sql_waiting_suppliers": q_sql_waiting_suppliers,
+    "sql_forecast_revenue": q_sql_forecast_revenue,
+    "sql_volume_shipping": q_sql_volume_shipping,
+    "sql_market_share": q_sql_market_share,
+    "sql_late_lines_priority": q_sql_late_lines_priority,
+    "sql_customer_distribution": q_sql_customer_distribution,
+    "sql_promo_revenue": q_sql_promo_revenue,
+    "sql_parts_supplier_counts": q_sql_parts_supplier_counts,
+    "sql_small_quantity_revenue": q_sql_small_quantity_revenue,
+    "sql_discounted_revenue": q_sql_discounted_revenue,
 }
 ORACLES = {
     "sql_shipping_priority": _Q3_ORACLE,
@@ -333,4 +576,13 @@ ORACLES = {
     "sql_min_cost_supplier": _Q2_BODY,
     "sql_top_supplier": _Q15_BODY,
     "sql_waiting_suppliers": _Q21_BODY,
+    "sql_forecast_revenue": _Q6_BODY,
+    "sql_volume_shipping": _Q7_BODY,
+    "sql_market_share": _Q8_BODY,
+    "sql_late_lines_priority": _Q12_BODY,
+    "sql_customer_distribution": _Q13_BODY,
+    "sql_promo_revenue": _Q14_BODY,
+    "sql_parts_supplier_counts": _Q16_BODY,
+    "sql_small_quantity_revenue": _Q17_BODY,
+    "sql_discounted_revenue": _Q19_BODY,
 }

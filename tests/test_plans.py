@@ -41,6 +41,32 @@ def test_star_join_broadcasts_dimension(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q6_scan_filter_agg_pushes_everything(spark):
+    """TPC-H Q6 face: every predicate must reach the parquet reader and
+    only the three referenced columns decode — the canonical pushdown
+    microbench the query exists to pin."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.sql_q import (
+        q_sql_forecast_revenue,
+    )
+
+    df = q_sql_forecast_revenue(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "PushedFilters:" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}:\n{plan}"
+    assert_read_schema_only(
+        df, "lineitem", {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+    # no join, no exchange beyond the single-row final agg
+    assert "Join" not in plan
+
+
 def test_topk_plans_take_ordered(spark):
     o = read_table(spark, SF_DIR, "orders")
     plan = explain_str(o.orderBy(F.desc("o_totalprice")).limit(10))
