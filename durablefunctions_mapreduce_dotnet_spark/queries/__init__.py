@@ -181,6 +181,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sql_discounted_revenue",
     "ann_hybrid_rrf",
     "dedup_cluster_sizes",
+    "ts_changepoint",
+    "graph_degree_histogram",
 )
 
 

@@ -293,7 +293,59 @@ SELECT s AS node, COUNT(*) AS degree FROM r{rounds} GROUP BY s ORDER BY node
 """
 
 
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree DISTRIBUTION of the supplier→part bipartite graph — the
+    first audit run on any derived graph (skew check: a power-law tail
+    means the heavy nodes need salting before the per-node ops run):
+    per side, how many nodes have each distinct-neighbor count.
+
+    Two integer aggregations (node → degree over distinct edges, degree
+    → node count); nothing after the first combiner is bigger than the
+    node set.  Output: (side, degree, n_nodes)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+
+    def hist(key: str, side: str) -> DataFrame:
+        other = "dst" if key == "src" else "src"
+        return (
+            edges.groupBy(key)
+            .agg(F.count(F.col(other)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit(side).alias("side"), "degree", "n_nodes")
+        )
+
+    return (
+        hist("src", "supplier")
+        .unionByName(hist("dst", "part"))
+        .orderBy("side", "degree")
+    )
+
+
+_DEGREE_HISTOGRAM_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         l_partkey + 1000000 AS dst
+  FROM lineitem
+),
+sup AS (
+  SELECT COUNT(dst) AS degree FROM e GROUP BY src
+),
+prt AS (
+  SELECT COUNT(src) AS degree FROM e GROUP BY dst
+)
+SELECT 'supplier' AS side, degree, COUNT(*) AS n_nodes FROM sup GROUP BY degree
+UNION ALL
+SELECT 'part' AS side, degree, COUNT(*) AS n_nodes FROM prt GROUP BY degree
+ORDER BY side, degree
+"""
+
+
 QUERIES = {
+    "graph_degree_histogram": q_graph_degree_histogram,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_label_propagation": q_graph_label_propagation,
@@ -301,6 +353,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
 }
 ORACLES = {
+    "graph_degree_histogram": _DEGREE_HISTOGRAM_SQL,
     "graph_kcore": _kcore_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_triangles": _TRIANGLES_SQL,

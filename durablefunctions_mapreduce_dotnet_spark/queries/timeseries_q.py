@@ -616,7 +616,103 @@ FROM rolled ORDER BY day
 """
 
 
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event_type over the daily
+    count series — the drift monitor of an ingest pipeline (did this
+    source's volume shift regime, and when?).
+
+    Integer-exact: the mean-centered cumulative sum is scaled by n
+    (CUSUM'_t = n·Σ_{i≤t} y_i − t·S, an exact integer — same trick as
+    acf's ×n² covariance), so the argmax row and the reported magnitude
+    are engine-exact with zero FP anywhere.  The change point is the
+    day maximizing |CUSUM'|, earliest day on ties.
+
+    Scale shape: one combiner count per (type, day) collapses the
+    corpus; the running sum is a per-type window over the days-sized
+    frame (partitioned — never SinglePartition); per-type totals
+    broadcast back.  Output: (event_type, day, cusum_scaled, n_days)."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col("y"))).alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = daily.select(
+        "event_type",
+        "d",
+        F.sum(dec(F.col("y"))).over(w).alias("run"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    cus = cur.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (dec(F.col("n")) * F.col("run") - dec(F.col("t")) * F.col("s")).alias(
+            "c"
+        ),
+        "n",
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("c"))), F.asc("d")
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").cast("bigint").alias("cusum_scaled"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS s
+  FROM daily GROUP BY 1
+),
+cur AS (
+  SELECT event_type, d,
+         SUM(CAST(y AS HUGEINT)) OVER w AS run,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS HUGEINT) AS t
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+  SELECT cur.event_type, d, n * run - t * s AS c, n
+  FROM cur JOIN tot USING (event_type)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(c AS BIGINT) AS cusum_scaled,
+       CAST(n AS BIGINT) AS n_days
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(c) DESC, d) AS rk
+      FROM cus)
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_changepoint": q_ts_changepoint,
     "ts_rolling_corr": q_ts_rolling_corr,
     "ts_acf": q_ts_acf,
     "ts_holtwinters": q_ts_holtwinters,
@@ -630,6 +726,7 @@ QUERIES = {
     "time_gap_detect": q_time_gap_detect,
 }
 ORACLES = {
+    "ts_changepoint": _TS_CHANGEPOINT_SQL,
     "ts_rolling_corr": _TS_ROLLING_CORR_SQL,
     "ts_acf": _TS_ACF_SQL,
     "ts_holtwinters": _hw_oracle_sql(),
