@@ -106,6 +106,15 @@ HEADLINE = [
     "ts_acf",
     "window_gaps_islands",
     "sql_large_orders",
+    # round-9 additions: the completed TPC-H face's heavy shapes, the
+    # RRF fusion (drives BM25 + brute-force ANN together), and the two
+    # new audits
+    "sql_forecast_revenue",
+    "sql_waiting_suppliers",
+    "sql_market_share",
+    "ann_hybrid_rrf",
+    "ts_changepoint",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -118,6 +118,10 @@ _BNLJ_OK = {
     # series-wide (n, sum, mean-numerator) scalar: broadcast 1-row
     # cross join onto the lagged daily series (timeseries_q.q_ts_acf)
     "ts_acf",
+    # inherits text_bm25's corpus-stats 1-row broadcast cross join (the
+    # lexical leg IS bm25_topk) plus the brute-force ANN leg's broadcast
+    # query-set scoring — both already-allowlisted shapes
+    "ann_hybrid_rrf",
 }
 
 

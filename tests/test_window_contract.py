@@ -31,12 +31,17 @@ def _latest_correctness() -> tuple[str, dict] | None:
 
 
 def _is_green(row: dict) -> bool:
-    if row.get("err"):
+    if row.get("err") and row.get("err") != "no_oracle":
         return False
-    # hash-green, or the rows-only contract for oracle-less queries
-    return bool(row.get("hash_match")) or (
-        row.get("rows_match") and row.get("schema_match") is not False
-    )
+    # hash-green; or, for oracle-less queries (hash_match is None — the
+    # driver's rows-only contract), a recorded run.  An oracle-backed row
+    # with hash_match=False is driver-RED even when rows+schema match
+    # (r08's time_seasonal_decompose_m12) and must KEEP its pin.
+    if row.get("hash_match") is True:
+        return True
+    if row.get("hash_match") is False:
+        return False
+    return row.get("err") == "no_oracle" or bool(row.get("rows_match"))
 
 
 def test_window_first_holds_no_driver_green_names():
