@@ -183,6 +183,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "ts_changepoint",
     "graph_degree_histogram",
+    "udf_grouped_ols",
 )
 
 

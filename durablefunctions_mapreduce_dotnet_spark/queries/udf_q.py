@@ -121,11 +121,88 @@ FROM cleaned
 """
 
 
+def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` — the per-group model-fit escape
+    hatch (each group arrives as ONE pandas DataFrame, arbitrary Python
+    runs, a DataFrame comes back): OLS trend of the daily event count
+    per event_type.
+
+    Determinism contract mirrored from the UDAF: the batch's row order
+    is partition-dependent, so the body sorts by day and computes the
+    closed form from EXACT int64 sums (x = 0..n−1 day index, y =
+    counts; slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), intercept =
+    (ΣyΣxx − ΣxΣxy)/same) — each output is ONE IEEE division of exact
+    integers, bit-equal on any engine and any partitioning.
+
+    Scale note: grouped-map ships the whole group to one worker —
+    right for bounded groups (a per-series fit over a days-sized
+    frame, as here); unbounded groups belong to the built-in aggs."""
+    import numpy as np
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype="int64")
+        n = len(y)
+        x = np.arange(n, dtype="int64")
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        den = n * sxx - sx * sx
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "slope": [float(n * sxy - sx * sy) / float(den)],
+                "intercept": [float(sy * sxx - sx * sxy) / float(den)],
+            }
+        )
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            fit,
+            "event_type string, n_days bigint, slope double, intercept double",
+        )
+        .orderBy("event_type")
+    )
+
+
+# HUGEINT closed form over the row_number day index — the same exact
+# integers, the same two final divisions.
+_UDF_OLS_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, CAST(y AS HUGEINT) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+              AS HUGEINT) AS x
+  FROM daily
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = {
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_sentence_split": q_udtf_sentences,
+    "udf_grouped_ols": q_udf_grouped_ols,
 }
 ORACLES = {
     "udaf_weighted_avg": _UDAF_WAVG_SQL,
     "udtf_sentence_split": _UDTF_SENT_SQL,
+    "udf_grouped_ols": _UDF_OLS_SQL,
 }

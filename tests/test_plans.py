@@ -67,6 +67,44 @@ def test_q6_scan_filter_agg_pushes_everything(spark):
     assert "Join" not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB scan-pruning story: a selective dim filter should inject a
+    runtime Bloom filter (might_contain) on the fact side of a SHUFFLE
+    join, so fact rows that can't match never reach the exchange.  At
+    the default thresholds this fires only at scale (creation side
+    <= 10 MB, application side >= 10 GB) — exactly the selective
+    dim × huge fact shape — so the test relaxes the application-side
+    floor to prove the injection path works end-to-end on test data."""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan.lower() or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_topk_plans_take_ordered(spark):
     o = read_table(spark, SF_DIR, "orders")
     plan = explain_str(o.orderBy(F.desc("o_totalprice")).limit(10))
