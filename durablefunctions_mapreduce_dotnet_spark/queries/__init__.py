@@ -184,6 +184,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ts_changepoint",
     "graph_degree_histogram",
     "udf_grouped_ols",
+    "array_pairwise_hof",
 )
 
 

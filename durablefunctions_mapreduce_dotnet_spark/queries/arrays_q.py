@@ -66,11 +66,69 @@ GROUP BY label ORDER BY label
 """
 
 
+def q_array_pairwise_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary higher-order functions on PAIRS of vectors (zip_with +
+    exists + aggregate): consecutive-id embedding pairs compared by
+    sign agreement — the 1-bit-quantized similarity a sign-SimHash uses.
+    sign_diffs counts components whose signs disagree (zip_with →
+    filter → size), dot_pos flags a positive float32-exact sequential
+    dot product (aggregate left-fold — same fold order as the oracle's
+    list_sum, so even the FP path is engine-exact), has_big flags any
+    |x| > 2 on the left vector (exists).  All outputs integer/boolean."""
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            F.size(
+                F.filter(
+                    F.zip_with("va", "vb", lambda x, y: (x > 0) != (y > 0)),
+                    lambda d: d,
+                )
+            )
+            .cast("long")
+            .alias("sign_diffs"),
+            (dot > 0).alias("dot_pos"),
+            F.exists("va", lambda x: F.abs(x) > 2.0).alias("has_big"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_ARRAY_PAIRWISE_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_id,
+       CAST(len(list_filter(list_transform(range(1, len(va) + 1),
+                                            i -> (va[i] > 0) <> (vb[i] > 0)),
+                            d -> d)) AS BIGINT) AS sign_diffs,
+       list_sum(list_transform(range(1, len(va) + 1),
+                               i -> CAST(va[i] * vb[i] AS DOUBLE))) > 0 AS dot_pos,
+       len(list_filter(va, x -> abs(x) > 2.0)) > 0 AS has_big
+FROM pairs ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "array_stats": q_array_stats,
     "array_explode_agg": q_array_explode,
+    "array_pairwise_hof": q_array_pairwise_hof,
 }
 ORACLES = {
     "array_stats": _ARRAY_STATS_SQL,
     "array_explode_agg": _ARRAY_EXPLODE_SQL,
+    "array_pairwise_hof": _ARRAY_PAIRWISE_SQL,
 }
