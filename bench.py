@@ -115,6 +115,7 @@ HEADLINE = [
     "ann_hybrid_rrf",
     "ts_changepoint",
     "dedup_cluster_sizes",
+    "sql_product_profit",
 ]
 
 

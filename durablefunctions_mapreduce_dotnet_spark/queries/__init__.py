@@ -185,6 +185,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "graph_degree_histogram",
     "udf_grouped_ols",
     "array_pairwise_hof",
+    "sql_product_profit",
+    "sql_important_stock",
+    "sql_dominant_suppliers",
 )
 
 

@@ -546,6 +546,101 @@ def q_sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q19_BODY)
 
 
+_Q9_BODY = """
+SELECT nation, o_year,
+       {dsum} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount)
+           - l_quantity * (p_retailprice * CAST(0.6 AS DOUBLE)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""".format(dsum=_DSUM.format(x="amount"))
+
+
+def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted to this schema (no
+    partsupp, so supply cost becomes 60% of the part's list price —
+    ps_supplycost's role as a per-part unit cost): profit by supplier
+    nation and order year for one part family, via the LIKE-filtered
+    5-way join.  The per-row amount (two multiplies, one subtract —
+    identical IEEE ops both engines) accumulates as an exact decimal
+    sum, so profit totals with CANCELLATION (revenue minus cost) stay
+    bit-equal — the shape where a double sum is most fragile."""
+    return _sql(spark, sf_dir, _Q9_BODY)
+
+
+_Q11_BODY = """
+WITH val AS (
+  SELECT n_name AS nation, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+)
+SELECT nation, l_partkey AS partkey, CAST(v AS DOUBLE) AS value
+FROM val a
+WHERE v * 1000 > (SELECT SUM(v) FROM val b WHERE b.nation = a.nation) * 2
+ORDER BY value DESC, nation, partkey
+LIMIT 50
+"""
+
+
+def q_sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted to this
+    schema (no partsupp, so "stock value" is shipped lineitem value per
+    (supplier-nation, part) and the spec's single-nation filter becomes
+    per-nation correlation): parts whose value exceeds 0.2% of their
+    nation's total — the grouped-aggregate-vs-correlated-scalar-share
+    shape.  The fraction comparison is cross-multiplied (v·1000 >
+    total·2) so BOTH sides stay exact decimals — no double division
+    anywhere near the cut."""
+    return _sql(spark, sf_dir, _Q11_BODY)
+
+
+_Q20_BODY = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+),
+pt AS (SELECT l_partkey, SUM(q) AS tot FROM sp GROUP BY l_partkey)
+SELECT s_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN (SELECT l_suppkey, l_partkey FROM sp JOIN pt USING (l_partkey)
+      WHERE q * 3 > tot) dom ON dom.l_suppkey = s_suppkey
+GROUP BY s_name, n_name
+ORDER BY s_name
+"""
+
+
+def q_sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted to this schema (no
+    partsupp.availqty, so "holds excess stock" becomes "shipped more
+    than a third of the part's year volume"): suppliers dominating
+    parts, with their dominated-part counts.  The spec's nested
+    IN-over-aggregate-threshold is spelled as CTE aggregates joined on
+    the part key — semantically the same semi filter, but with NO
+    correlated column inside the aggregate (the correlated-HAVING form
+    silently rebinds the outer column to the inner scope in some
+    engines — observed in DuckDB, where it turned the threshold into a
+    global total and returned zero rows)."""
+    return _sql(spark, sf_dir, _Q20_BODY)
+
+
 QUERIES = {
     "sql_shipping_priority": q_sql_shipping_priority,
     "sql_local_supplier_volume": q_sql_local_supplier_volume,
@@ -565,6 +660,9 @@ QUERIES = {
     "sql_parts_supplier_counts": q_sql_parts_supplier_counts,
     "sql_small_quantity_revenue": q_sql_small_quantity_revenue,
     "sql_discounted_revenue": q_sql_discounted_revenue,
+    "sql_product_profit": q_sql_product_profit,
+    "sql_important_stock": q_sql_important_stock,
+    "sql_dominant_suppliers": q_sql_dominant_suppliers,
 }
 ORACLES = {
     "sql_shipping_priority": _Q3_ORACLE,
@@ -585,4 +683,7 @@ ORACLES = {
     "sql_parts_supplier_counts": _Q16_BODY,
     "sql_small_quantity_revenue": _Q17_BODY,
     "sql_discounted_revenue": _Q19_BODY,
+    "sql_product_profit": _Q9_BODY,
+    "sql_important_stock": _Q11_BODY,
+    "sql_dominant_suppliers": _Q20_BODY,
 }
