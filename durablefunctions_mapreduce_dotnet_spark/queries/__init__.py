@@ -116,12 +116,18 @@ def all_oracles() -> dict[str, str]:
 #             time_seasonal_decompose_m12 rows+schema matched but the
 #             value hash didn't — stays pinned with a re-canonicalized
 #             FP emission for r09)
-#   r09:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#   r09:      HALF_B first
 #             (re-verifies the LLM surface, incl. the r08 shingle
 #             lowered=True contract, size-gated union-find CC, and the
 #             interpreted-HOF materialization sweep that HALF_B queries
 #             route through; r09 newcomers + the m12 re-face pinned via
-#             _WINDOW_FIRST)
+#             _WINDOW_FIRST; CORRECTNESS_r09 came back all green —
+#             45 hash-exact + 5 rows-only by design, 0 failures; every
+#             r09 pin earned its row, incl. the m12 holdover)
+#   r10:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the relational core, incl. the 15 r09 TPC-H
+#             additions under rotation for a second driver pass; r10
+#             newcomers pinned via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -150,7 +156,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_B + _HALF_A
+_ROTATION = _HALF_A + _HALF_B
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -159,35 +165,10 @@ _ROTATION = _HALF_B + _HALF_A
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r08 window: every other r08 pin earned its row — 7 hash-exact +
-    #  1 rows-only by design — and was dropped)
-    # r08 holdover: rows+schema matched but the driver's value hash
-    # didn't, despite local bit-exactness under the driver contract;
-    # re-faced in r09 with the FP columns emitted through the pinned
-    # decimal canonicalization instead of raw rounded doubles.
-    "time_seasonal_decompose_m12",
-    # r09 newcomers:
-    "sql_min_cost_supplier",
-    "sql_top_supplier",
-    "sql_waiting_suppliers",
-    "sql_forecast_revenue",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_late_lines_priority",
-    "sql_customer_distribution",
-    "sql_promo_revenue",
-    "sql_parts_supplier_counts",
-    "sql_small_quantity_revenue",
-    "sql_discounted_revenue",
-    "ann_hybrid_rrf",
-    "dedup_cluster_sizes",
-    "ts_changepoint",
-    "graph_degree_histogram",
-    "udf_grouped_ols",
-    "array_pairwise_hof",
-    "sql_product_profit",
-    "sql_important_stock",
-    "sql_dominant_suppliers",
+    # (r09 window: every r09 pin earned its row — all 22 hash-exact,
+    #  incl. the m12 holdover — and was dropped.  CORRECTNESS_r09 came
+    #  back 45 hash-exact + 5 rows-only by design, zero red rows.)
+    # r10 newcomers join here.
 )
 
 
