@@ -269,3 +269,155 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} bigint, components array<double>"
     )
+
+
+def pca2d_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fully SQL-mirrorable 2-D PCA — the hash-exact twin of
+    :func:`pca_project` at a dimensionality where the eigensolve has a
+    closed form both engines can evaluate identically.
+
+    Takes the first two embedding coordinates as the feature pair,
+    builds their 2×2 sample covariance [a b; b c] through the same
+    integer-quantization doctrine as :func:`embedding_covariance`
+    (decimal-summed means, floor(x·scale + 0.5) centering, exact
+    integer product sums, ONE IEEE divide each), then solves
+
+        λ₁,₂ = ((a + c) ± √((a−c)² + (2b)²)) / 2
+        v₁   ∝ (b, λ₁ − a)            (b ≠ 0; axis fallback otherwise)
+
+    — every step a single correctly-rounded IEEE-754 op (+, −, ×, ÷,
+    √ are all exactly specified), spelled operation-for-operation the
+    same in the SQL oracle, so λ and the sign-pinned unit eigenvectors
+    are BIT-equal across engines with no rounding margin; the final
+    per-row projections are rounded 9 dp (+0.0 canonicalized) only as
+    belt-and-braces.  Sign pin: v₁ is flipped so v₁ₓ > 0 (or v₁ᵧ > 0
+    when v₁ₓ = 0); v₂ is the left-normal (−v₁ᵧ, v₁ₓ).
+
+    Scale shape: two corpus passes (moment aggregate; projection map) —
+    the same linear profile as the production gemm path, with the
+    eigensolve folded into the 1-row broadcast scalar frame instead of
+    the driver.  Output: (id, pc1, pc2, lam1, lam2)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.element_at(vec_col, 1).cast("double").alias("x"),
+        F.element_at(vec_col, 2).cast("double").alias("y"),
+    )
+    s1 = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mx"),
+        (
+            F.sum(F.col("y").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("my"),
+    )
+    sc = F.lit(float(scale))
+    q = base.crossJoin(F.broadcast(s1)).select(
+        "n",
+        "mx",
+        "my",
+        F.floor((F.col("x") - F.col("mx")) * sc + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("qx"),
+        F.floor((F.col("y") - F.col("my")) * sc + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("qy"),
+    )
+    denom = sc * sc * (F.col("n") - F.lit(1)).cast("double")
+    mom = (
+        q.groupBy("n", "mx", "my")
+        .agg(
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+            F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+        )
+        .select(
+            "n",
+            "mx",
+            "my",
+            (F.col("sxx").cast("double") / denom).alias("a"),
+            (F.col("sxy").cast("double") / denom).alias("b"),
+            (F.col("syy").cast("double") / denom).alias("c"),
+        )
+    )
+    disc = F.sqrt(
+        (F.col("a") - F.col("c")) * (F.col("a") - F.col("c"))
+        + (F.lit(2.0) * F.col("b")) * (F.lit(2.0) * F.col("b"))
+    )
+    eig = mom.select(
+        "n",
+        "mx",
+        "my",
+        "a",
+        "b",
+        ((F.col("a") + F.col("c")) + disc).alias("_2l1"),
+        ((F.col("a") + F.col("c")) - disc).alias("_2l2"),
+    ).select(
+        "mx",
+        "my",
+        (F.col("_2l1") / F.lit(2.0)).alias("lam1"),
+        (F.col("_2l2") / F.lit(2.0)).alias("lam2"),
+        F.col("a"),
+        F.col("b"),
+    )
+    # unit eigenvector for lam1 with deterministic sign: (b, lam1 - a)
+    # normalized, flipped positive; b == 0 falls back to the axes.
+    vx0 = F.col("b")
+    vy0 = (F.col("lam1") - F.col("a"))
+    nrm = F.sqrt(vx0 * vx0 + vy0 * vy0)
+    # b == 0 ⇒ disc = |a−c| ⇒ lam1 = max(a, c): a ≥ lam1 picks the x
+    # axis (a is the dominant variance), else the y axis.
+    vecs = eig.select(
+        "mx",
+        "my",
+        "lam1",
+        "lam2",
+        F.when(F.col("b") != 0.0, vx0 / nrm)
+        .when(F.col("a") >= F.col("lam1"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("_ux"),
+        F.when(F.col("b") != 0.0, vy0 / nrm)
+        .when(F.col("a") >= F.col("lam1"), F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("_uy"),
+    ).select(
+        "mx",
+        "my",
+        "lam1",
+        "lam2",
+        F.when(
+            (F.col("_ux") < 0.0)
+            | ((F.col("_ux") == 0.0) & (F.col("_uy") < 0.0)),
+            -F.col("_ux"),
+        )
+        .otherwise(F.col("_ux"))
+        .alias("v1x"),
+        F.when(
+            (F.col("_ux") < 0.0)
+            | ((F.col("_ux") == 0.0) & (F.col("_uy") < 0.0)),
+            -F.col("_uy"),
+        )
+        .otherwise(F.col("_uy"))
+        .alias("v1y"),
+    )
+    r9 = lambda col: F.round(col, 9) + F.lit(0.0)  # noqa: E731
+    return base.crossJoin(F.broadcast(vecs)).select(
+        F.col("_id").alias(id_col),
+        r9(
+            (F.col("x") - F.col("mx")) * F.col("v1x")
+            + (F.col("y") - F.col("my")) * F.col("v1y")
+        ).alias("pc1"),
+        r9(
+            (F.col("x") - F.col("mx")) * (-F.col("v1y"))
+            + (F.col("y") - F.col("my")) * F.col("v1x")
+        ).alias("pc2"),
+        r9(F.col("lam1")).alias("lam1"),
+        r9(F.col("lam2")).alias("lam2"),
+    )

@@ -274,8 +274,9 @@ def shingle_minhash_table_fast(
     base = np.uint64(1099511628211)  # FNV-64 prime, odd ⇒ full-period mod 2^64
     pows = np.empty(shingle_k, dtype=np.uint64)
     pows[-1] = np.uint64(1)
-    for i in range(shingle_k - 2, -1, -1):
-        pows[i] = pows[i + 1] * base  # uint64 wraparound is the modulus
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        for i in range(shingle_k - 2, -1, -1):
+            pows[i] = pows[i + 1] * base
     empty = np.array([], dtype=np.int64)
     sig_empty = np.full(num_hashes, _MERSENNE, dtype=np.int64)
     if bands is not None:

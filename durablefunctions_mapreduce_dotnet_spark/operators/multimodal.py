@@ -241,19 +241,39 @@ def decode_image_real(binary_df: DataFrame) -> DataFrame:
 
 def decode_image_auto(binary_df: DataFrame) -> DataFrame:
     """Build-time dispatch (VERDICT r2 #7): the real Pillow path the
-    moment the library exists on the cluster, else the deterministic
-    fake with a logged marker — zero code change either way."""
+    moment the library exists on the cluster; without it, BMP payloads
+    still REALLY decode through the pure-bytes parser
+    (:func:`decode_image_bmp` semantics, inlined per payload) and only
+    non-BMP payloads fall back to the deterministic fake — so the auto
+    path is a stand-in only for formats that genuinely need a media
+    lib."""
     if _pillow() is not None:
         return decode_image_real(binary_df)
     import warnings
 
     warnings.warn(
-        "multimodal: Pillow not installed — decode_image_auto falling back "
-        "to the deterministic fake decode (decode_image_meta)",
+        "multimodal: Pillow not installed — decode_image_auto decodes BMP "
+        "payloads pure-bytes and is falling back to the deterministic fake "
+        "decode (decode_image_meta) for other formats",
         RuntimeWarning,
         stacklevel=2,
     )
-    return decode_image_meta(binary_df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            fake = _fake_decode(batch)
+            parsed = [
+                parse_bmp(c if isinstance(c, (bytes, bytearray)) else None)
+                for c in batch["content"]
+            ]
+            for i, p in enumerate(parsed):
+                if p is not None:
+                    fake.loc[fake.index[i], "width"] = p[0]
+                    fake.loc[fake.index[i], "height"] = p[1]
+                    fake.loc[fake.index[i], "n_frames"] = 1
+            yield fake
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, DECODED_SCHEMA)
 
 
 def perceptual_dhash(binary_df: DataFrame) -> DataFrame:
@@ -284,26 +304,15 @@ def perceptual_dhash(binary_df: DataFrame) -> DataFrame:
     )
 
 
-def _dhash_words(b) -> tuple[int, int]:
-    """Both dHash orientations from one 9×9 grid resample: horizontal
+def _dhash_from_grid(grid) -> tuple[int, int]:
+    """Both dHash orientations from a 9×9 brightness grid: horizontal
     (row-adjacent comparisons on the first 8 rows — bit-identical to
     the original 8×9 dHash) and vertical (column-adjacent comparisons
     on the first 8 columns).  Two orthogonal 64-bit words = a 128-bit
-    signature; a byte-local edit perturbs few grid cells, so it flips
-    few bits in BOTH words.  Empty/NULL payloads → (0, 0)."""
+    signature; a local edit perturbs few grid cells, so it flips few
+    bits in BOTH words."""
     import numpy as np
 
-    blob = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
-    if not blob:
-        return 0, 0
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    n = len(arr)
-    # even-spread resample: one bincount pass instead of per-cell
-    # array_split allocations (measured ~6× on the batch)
-    idx = (np.arange(n, dtype=np.int64) * 81) // n
-    sums = np.bincount(idx, weights=arr, minlength=81)
-    cnts = np.maximum(np.bincount(idx, minlength=81), 1)
-    grid = (sums / cnts).reshape(9, 9)
     out = []
     for bits in (
         (grid[:8, :-1] < grid[:8, 1:]).reshape(-1),  # horizontal 8x8
@@ -312,6 +321,124 @@ def _dhash_words(b) -> tuple[int, int]:
         h = int.from_bytes(np.packbits(bits).tobytes(), "big")
         out.append(h - (1 << 64) if h >= (1 << 63) else h)
     return out[0], out[1]
+
+
+def _grid9_from_pixels(gray) -> "object":
+    """Block-average a real (h × w) grayscale pixel array down to the
+    9×9 dHash grid: each pixel lands in cell (⌊r·9/h⌋, ⌊c·9/w⌋) — the
+    same even-spread integer mapping as the byte-stream resample, one
+    bincount pass, no per-cell allocation."""
+    import numpy as np
+
+    h, w = gray.shape
+    ri = (np.arange(h, dtype=np.int64) * 9) // h
+    ci = (np.arange(w, dtype=np.int64) * 9) // w
+    cell = (ri[:, None] * 9 + ci[None, :]).ravel()
+    sums = np.bincount(cell, weights=gray.ravel(), minlength=81)
+    cnts = np.maximum(np.bincount(cell, minlength=81), 1)
+    return (sums / cnts).reshape(9, 9)
+
+
+def parse_bmp(blob) -> "tuple[int, int, object] | None":
+    """Pure-bytes decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, the classic Windows DIB layout): returns
+    (width, height, grayscale float array h×w) or None when the payload
+    is not such a BMP.  No Pillow, no ffmpeg — header fields are plain
+    little-endian ints and the pixel block is one numpy reshape, so the
+    REAL decode path (bytes → dims → pixels → grid → hash) runs in this
+    dependency-free container.  Grayscale is the integer ITU-R BT.601
+    luma (299·R + 587·G + 114·B) / 1000 — exact arithmetic, no
+    library-specific rounding."""
+    import numpy as np
+
+    if blob is None or len(blob) < 54 or bytes(blob[:2]) != b"BM":
+        return None
+    blob = bytes(blob)
+    off = int.from_bytes(blob[10:14], "little")
+    hsz = int.from_bytes(blob[14:18], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    planes = int.from_bytes(blob[26:28], "little")
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if hsz < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if off < 54 or len(blob) < off + stride * rows:
+        return None
+    data = np.frombuffer(blob, dtype=np.uint8, offset=off, count=stride * rows)
+    px = data.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
+    if h > 0:
+        px = px[::-1]  # positive height ⇒ bottom-up row order
+    b_ = px[..., 0].astype(np.int64)  # BMP stores BGR
+    g_ = px[..., 1].astype(np.int64)
+    r_ = px[..., 2].astype(np.int64)
+    gray = (299 * r_ + 587 * g_ + 114 * b_) / 1000.0
+    return w, rows, gray
+
+
+def decode_image_bmp(binary_df: DataFrame) -> DataFrame:
+    """REAL image decode without any media library: BMP payloads parse
+    to their true (width, height, 1) through :func:`parse_bmp`;
+    anything else NULLs the dims — the same corrupt-payload posture as
+    ``decode_image_real``.  Same Arrow batching, same DECODED_SCHEMA,
+    so swapping Pillow in later changes only the parse call."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            w, h, nf = [], [], []
+            for content in batch["content"]:
+                parsed = parse_bmp(
+                    content if isinstance(content, (bytes, bytearray)) else None
+                )
+                if parsed is None:
+                    w.append(None)
+                    h.append(None)
+                    nf.append(None)
+                else:
+                    w.append(parsed[0])
+                    h.append(parsed[1])
+                    nf.append(1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": batch["content"]
+                    .apply(lambda b: len(b) if isinstance(b, (bytes, bytearray)) else 0)
+                    .astype("int32"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(gen, DECODED_SCHEMA)
+
+
+def _dhash_words(b) -> tuple[int, int]:
+    """128-bit dHash signature of one payload.  A payload that parses
+    as a 24-bit BMP is REALLY decoded (:func:`parse_bmp`) and hashed
+    over its true pixel grid; any other payload falls back to the
+    documented byte-stream stand-in (the payload's bytes resampled into
+    the same 9×9 grid) so the hamming-distance semantics stay exercised
+    without media libs.  Empty/NULL payloads → (0, 0)."""
+    import numpy as np
+
+    blob = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+    if not blob:
+        return 0, 0
+    parsed = parse_bmp(blob)
+    if parsed is not None:
+        return _dhash_from_grid(_grid9_from_pixels(parsed[2]))
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    n = len(arr)
+    # even-spread resample: one bincount pass instead of per-cell
+    # array_split allocations (measured ~6× on the batch)
+    idx = (np.arange(n, dtype=np.int64) * 81) // n
+    sums = np.bincount(idx, weights=arr, minlength=81)
+    cnts = np.maximum(np.bincount(idx, minlength=81), 1)
+    grid = (sums / cnts).reshape(9, 9)
+    return _dhash_from_grid(grid)
 
 
 def perceptual_dhash128(binary_df: DataFrame) -> DataFrame:

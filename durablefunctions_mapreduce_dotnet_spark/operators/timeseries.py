@@ -604,6 +604,68 @@ def acf(
     )
 
 
+def cusum_changepoint(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUSUM change-point over a pre-aggregated daily count frame
+    ``(key, day, y)`` — the regime-shift localizer shared by
+    :func:`queries.timeseries_q.q_ts_changepoint` and the planted-shift
+    unit test (both call THIS body, so a regression here fails both).
+
+    Integer-exact: the mean-centered cumulative sum is scaled by n
+    (CUSUM'_t = n·Σ_{i≤t} y_i − t·S, an exact integer — the same ×n
+    trick as :func:`acf`'s ×n² covariance), so the argmax row and the
+    reported magnitude are engine-exact with zero FP anywhere.  The
+    change point is the day maximizing |CUSUM'|, earliest day on ties.
+
+    Scale shape: input is already the days-sized combiner frame; the
+    running sum is a per-key window (partitioned — never
+    SinglePartition); per-key totals broadcast back.  Output:
+    (key, day_col date, cusum_scaled bigint, n_days bigint).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col(y_col))).alias("s")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = daily.select(
+        key_col,
+        day_col,
+        F.sum(dec(F.col(y_col))).over(w).alias("run"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(day_col))
+        .alias("t"),
+    )
+    cus = cur.join(F.broadcast(tot), key_col).select(
+        key_col,
+        day_col,
+        (dec(F.col("n")) * F.col("run") - dec(F.col("t")) * F.col("s")).alias(
+            "c"
+        ),
+        "n",
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.desc(F.abs(F.col("c"))), F.asc(day_col)
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            key_col,
+            day_col,
+            F.col("c").cast("bigint").alias("cusum_scaled"),
+            F.col("n").alias("n_days"),
+        )
+    )
+
+
 def holt_winters_fit(
     df,
     ts_col: str = "ts",

@@ -168,7 +168,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # (r09 window: every r09 pin earned its row — all 22 hash-exact,
     #  incl. the m12 holdover — and was dropped.  CORRECTNESS_r09 came
     #  back 45 hash-exact + 5 rows-only by design, zero red rows.)
-    # r10 newcomers join here.
+    # r10 newcomers:
+    "agg_kll_quantiles_exact",
+    "embedding_pca2_exact",
 )
 
 

@@ -290,6 +290,69 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_kll_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ground truth for q_kll_quantiles — same table, same
+    grouping, same quantile targets (p50/p90/p99 of events.value per
+    event_type), computed by discrete rank selection: the value at row
+    ⌈q·n⌉ of the ascending sort (percentile_disc semantics).  All
+    selection logic is integer (``(q·n + q) div 1`` forms below are
+    exact ⌈⌉ arithmetic) and the outputs are COPIES of source doubles —
+    no FP arithmetic anywhere, hash-exact with no margin.  This is the
+    in-registry audit row for the KLL sketch's rank-error bound (the
+    100 TB path stays the mergeable sketch; exact quantiles sort each
+    group).
+
+    Plan: one window pass per group (row_number + count over the same
+    partitioning rides one sort), then a conditional-max fan-in — no
+    self-join, no global sort."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda num, den: F.max(  # noqa: E731 — value at rank ⌈q·n⌉
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"), F.col("value"))
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            pick(1, 2).alias("p50"),
+            pick(9, 10).alias("p90"),
+            pick(99, 100).alias("p99"),
+            F.max("n").alias("n_vals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ⌈(num/den)·n⌉ = (num·n + den − 1) // den; for all three targets here
+# num == den − 1, so both engines spell it (num·n + num) // den — the
+# identical integer expression as the Spark side, hence identical ranks.
+_KLL_EXACT_SQL = """
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+       CAST(MAX(n) AS BIGINT) AS n_vals
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation via Theta sketches (Spark 4.1
     DataSketches): per-event-type distinct-user sketches, then
@@ -463,6 +526,7 @@ QUERIES = {
     "agg_listagg_ordered": q_listagg_ordered,
     "agg_weighted_median": q_weighted_median,
     "agg_kll_quantiles": q_kll_quantiles,
+    "agg_kll_quantiles_exact": q_kll_quantiles_exact,
     "agg_theta_overlap": q_theta_overlap,
     "agg_audience_overlap": q_audience_overlap,
     "agg_grouping_sets": q_grouping_sets,
@@ -480,6 +544,7 @@ ORACLES = {
     "agg_audience_overlap": _AUDIENCE_OVERLAP_SQL,
     "agg_listagg_ordered": _LISTAGG_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "agg_kll_quantiles_exact": _KLL_EXACT_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,

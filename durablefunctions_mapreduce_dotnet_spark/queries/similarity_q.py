@@ -393,6 +393,81 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT PCA twin (operators.clustering.pca2d_exact): 2-D PCA
+    over the first two embedding coordinates, where the eigensolve has
+    a closed form ((a+c) ± √((a−c)² + (2b)²)) / 2 that both engines
+    evaluate as the same chain of single correctly-rounded IEEE ops —
+    the full pipeline (quantized covariance → eigenvalues → sign-pinned
+    eigenvectors → per-row projection) is mirrored in SQL with no FP
+    margin, closing the audit gap q_embedding_pca's rows-only contract
+    leaves (its 64-D eigh is driver-side numpy; THIS row proves the
+    covariance→component→projection semantics end-to-end)."""
+    from ..operators.clustering import pca2d_exact
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return pca2d_exact(e).orderBy("vec_id")
+
+
+_PCA2_EXACT_SQL = """
+WITH base AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1] AS x, (embedding::DOUBLE[])[2] AS y
+  FROM embeddings
+),
+s1 AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS my
+  FROM base
+),
+q AS (
+  SELECT n, mx, my,
+         CAST(FLOOR((x - mx) * 1000000.0 + 0.5) AS HUGEINT) AS qx,
+         CAST(FLOOR((y - my) * 1000000.0 + 0.5) AS HUGEINT) AS qy
+  FROM base CROSS JOIN s1
+),
+mom AS (
+  SELECT n, mx, my,
+         CAST(SUM(qx * qx) AS DOUBLE)
+           / (1000000.0 * 1000000.0 * CAST(n - 1 AS DOUBLE)) AS a,
+         CAST(SUM(qx * qy) AS DOUBLE)
+           / (1000000.0 * 1000000.0 * CAST(n - 1 AS DOUBLE)) AS b,
+         CAST(SUM(qy * qy) AS DOUBLE)
+           / (1000000.0 * 1000000.0 * CAST(n - 1 AS DOUBLE)) AS c
+  FROM q GROUP BY n, mx, my
+),
+eig AS (
+  SELECT mx, my, a, b,
+         ((a + c) + sqrt((a - c) * (a - c) + (2.0 * b) * (2.0 * b))) / 2.0 AS lam1,
+         ((a + c) - sqrt((a - c) * (a - c) + (2.0 * b) * (2.0 * b))) / 2.0 AS lam2
+  FROM mom
+),
+uv AS (
+  SELECT mx, my, lam1, lam2,
+         CASE WHEN b <> 0.0
+                THEN b / sqrt(b * b + (lam1 - a) * (lam1 - a))
+              WHEN a >= lam1 THEN 1.0 ELSE 0.0 END AS ux,
+         CASE WHEN b <> 0.0
+                THEN (lam1 - a) / sqrt(b * b + (lam1 - a) * (lam1 - a))
+              WHEN a >= lam1 THEN 0.0 ELSE 1.0 END AS uy
+  FROM eig
+),
+vecs AS (
+  SELECT mx, my, lam1, lam2,
+         CASE WHEN ux < 0.0 OR (ux = 0.0 AND uy < 0.0) THEN -ux ELSE ux END AS v1x,
+         CASE WHEN ux < 0.0 OR (ux = 0.0 AND uy < 0.0) THEN -uy ELSE uy END AS v1y
+  FROM uv
+)
+SELECT vec_id,
+       ROUND((x - mx) * v1x + (y - my) * v1y, 9) + 0.0 AS pc1,
+       ROUND((x - mx) * (-v1y) + (y - my) * v1x, 9) + 0.0 AS pc2,
+       ROUND(lam1, 9) + 0.0 AS lam1,
+       ROUND(lam2, 9) + 0.0 AS lam2
+FROM base CROSS JOIN vecs
+ORDER BY vec_id
+"""
+
+
 def q_ann_pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact rescoring
     (operators.similarity.pq_rescored_topk): PQ codes (m=8 subspaces ×
@@ -523,6 +598,7 @@ QUERIES = {
     "ann_pq_rescored": q_ann_pq_rescored,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
+    "embedding_pca2_exact": q_embedding_pca2_exact,
     "ann_quantized_topk": q_ann_quantized,
     "ann_quantized_rescored": q_ann_quantized_rescored,
     "kmeans_clusters": q_kmeans,
@@ -530,6 +606,7 @@ QUERIES = {
 ORACLES = {
     "ann_hybrid_rrf": _rrf_oracle_sql(),
     "embedding_covariance": _COVARIANCE_SQL,
+    "embedding_pca2_exact": _PCA2_EXACT_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,

@@ -628,52 +628,23 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     day maximizing |CUSUM'|, earliest day on ties.
 
     Scale shape: one combiner count per (type, day) collapses the
-    corpus; the running sum is a per-type window over the days-sized
-    frame (partitioned — never SinglePartition); per-type totals
-    broadcast back.  Output: (event_type, day, cusum_scaled, n_days)."""
-    from pyspark.sql import Window
+    corpus; the rest is :func:`operators.timeseries.cusum_changepoint`
+    (per-type window over the days-sized frame, totals broadcast back).
+    Output: (event_type, day, cusum_scaled, n_days)."""
+    from ..operators.timeseries import cusum_changepoint
 
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.col("event_type"),
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
     ).agg(F.count(F.lit(1)).alias("y"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col("y"))).alias("s")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cur = daily.select(
-        "event_type",
-        "d",
-        F.sum(dec(F.col("y"))).over(w).alias("run"),
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("d"))
-        .alias("t"),
-    )
-    cus = cur.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "d",
-        (dec(F.col("n")) * F.col("run") - dec(F.col("t")) * F.col("s")).alias(
-            "c"
-        ),
-        "n",
-    )
-    pick = Window.partitionBy("event_type").orderBy(
-        F.desc(F.abs(F.col("c"))), F.asc("d")
-    )
     return (
-        cus.withColumn("rk", F.row_number().over(pick))
-        .where(F.col("rk") == 1)
+        cusum_changepoint(daily)
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("c").cast("bigint").alias("cusum_scaled"),
-            F.col("n").alias("n_days"),
+            "cusum_scaled",
+            "n_days",
         )
         .orderBy("event_type")
     )

@@ -147,12 +147,21 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx, sy = int(x.sum()), int(y.sum())
         sxy, sxx = int((x * y).sum()), int((x * x).sum())
         den = n * sxx - sx * sx
+        # den == 0 iff n == 1 (x is 0..n-1): a one-day group has no
+        # trend — emit NULL slope/intercept instead of crashing the job
+        # with ZeroDivisionError (the oracle's CASE mirrors this; NaN
+        # crosses Arrow as null).
+        if n < 2:
+            slope = intercept = float("nan")
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = float(sy * sxx - sx * sxy) / float(den)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_days": [n],
-                "slope": [float(n * sxy - sx * sy) / float(den)],
-                "intercept": [float(sy * sxx - sx * sxy) / float(den)],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 
@@ -190,8 +199,12 @@ s AS (
   FROM idx GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_days,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-       CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+       CASE WHEN n >= 2 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n >= 2 THEN
+         CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS intercept
 FROM s ORDER BY event_type
 """
 

@@ -64,12 +64,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             # BIT-level equality, not ==: the driver value-hashes raw
             # bytes, so -0.0 vs +0.0 is a driver mismatch even though
             # -0.0 == +0.0 (exactly how the r08 m12 red row slipped past
-            # this mirror).  NaNs still pair up (payloads are canonical
-            # from both engines; a payload difference would be a real
-            # divergence worth failing on anyway).
-            same = (a.view(np.int64) == b.view(np.int64)) | (
-                np.isnan(a) & np.isnan(b)
-            )
+            # this mirror).  No NaN escape either — a NaN payload or
+            # sign-bit difference is exactly the class of byte-level
+            # divergence the driver would flag (NULL→NaN conversions on
+            # both engines emit the canonical quiet NaN, so paired nulls
+            # still match bitwise).
+            same = a.view(np.int64) == b.view(np.int64)
             if not same.all():
                 bad = np.flatnonzero(~same)[:5]
                 diffs = [(int(i), a[i], b[i], abs(a[i] - b[i])) for i in bad]

@@ -120,3 +120,44 @@ def test_pca_project_matches_numpy(spark):
     # explained variance must be non-increasing across components
     v = P_got.var(axis=0)
     assert all(v[i] >= v[i + 1] - 1e-9 for i in range(3))
+
+
+def test_pca2d_exact_matches_numpy_eig(spark):
+    """pca2d_exact's closed-form 2×2 eigensolve vs numpy.linalg.eigh on
+    the numpy covariance of the same two coordinates: eigenvalues agree
+    to the quantization bound (~1e-6) and the projections correlate
+    perfectly with the numpy projections (sign-aligned)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.clustering import (
+        pca2d_exact,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    out = (
+        pca2d_exact(e)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    raw = (
+        e.selectExpr(
+            "vec_id",
+            "cast(embedding[0] as double) x",
+            "cast(embedding[1] as double) y",
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = raw[["x", "y"]].to_numpy()
+    C = np.cov(X - X.mean(axis=0), rowvar=False)
+    w, vecs = np.linalg.eigh(C)
+    lam_ref = np.sort(w)[::-1]
+    assert abs(out["lam1"].iloc[0] - lam_ref[0]) < 1e-5
+    assert abs(out["lam2"].iloc[0] - lam_ref[1]) < 1e-5
+    P_ref = (X - X.mean(axis=0)) @ vecs[:, np.argsort(w)[::-1]]
+    for c, col in enumerate(("pc1", "pc2")):
+        got = out[col].to_numpy()
+        s = np.sign(P_ref[:, c] @ got) or 1.0
+        assert np.allclose(got, s * P_ref[:, c], atol=1e-5), col
+    # orthogonal rotation preserves total variance
+    tot_in = X.var(axis=0, ddof=1).sum()
+    tot_out = out[["pc1", "pc2"]].to_numpy().var(axis=0, ddof=1).sum()
+    assert abs(tot_in - tot_out) < 1e-4

@@ -367,9 +367,13 @@ def test_changepoint_finds_planted_level_shift(spark):
     """CUSUM must localize an abrupt level shift: 20 days at rate 2,
     then 20 days at rate 10 — |CUSUM'| peaks exactly at the last
     pre-shift day.  Also locks the ×n integer scaling against a
-    hand-computed reference."""
-    from durablefunctions_mapreduce_dotnet_spark.queries.timeseries_q import (
-        q_ts_changepoint,
+    hand-computed reference.  Calls the SAME operator body the
+    registered query routes through (operators.timeseries.
+    cusum_changepoint), so a regression there fails here too."""
+    import pyspark.sql.functions as F
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.timeseries import (
+        cusum_changepoint,
     )
 
     counts = [2] * 20 + [10] * 20
@@ -379,40 +383,15 @@ def test_changepoint_finds_planted_level_shift(spark):
             rows.append((eid, dt.datetime(2024, 1, 1, 8, 0) + dt.timedelta(days=day)))
             eid += 1
     df = spark.createDataFrame(rows, "event_id long, ts timestamp")
-    df.createOrReplaceTempView("_cp_events")
-
-    # run the operator body directly on the synthetic frame (the query
-    # fn reads the table; mirror its logic via the same code path by
-    # monkey-free reuse: build daily ourselves and call the same plan)
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
     daily = df.groupBy(
         F.lit("synthetic").alias("event_type"),
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
     ).agg(F.count(F.lit(1)).alias("y"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col("y"))).alias("s")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cur = daily.select(
-        "event_type",
-        "d",
-        F.sum(dec(F.col("y"))).over(w).alias("run"),
-        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).alias("t"),
-    )
-    cus = cur.join(F.broadcast(tot), "event_type").select(
-        "d",
-        (dec(F.col("n")) * F.col("run") - dec(F.col("t")) * F.col("s")).alias("c"),
-    )
-    best = cus.orderBy(F.abs(F.col("c")).desc(), F.asc("d")).first()
+    best = cusum_changepoint(daily).first()
 
     # expected: peak at t=20 (last low day); CUSUM' = n*run - t*S with
     # n=40, S=240: run(20)=40 -> 40*40 - 20*240 = -3200
     assert str(best["d"]) == "2024-01-20"
-    assert int(best["c"]) == 40 * 40 - 20 * 240 == -3200
+    assert int(best["cusum_scaled"]) == 40 * 40 - 20 * 240 == -3200
+    assert best["n_days"] == 40
