@@ -262,7 +262,40 @@ def compact_result(result: dict) -> dict:
     return compact
 
 
+def preflight() -> int:
+    """Round-end bookkeeping gate (r09 VERDICT #4): simulate the next
+    driver correctness window (the first 50 ``all_queries()`` rows —
+    exactly what the external harness will hash) and run the two
+    round-boundary tripwire tests against the ABOUT-TO-SHIP state, so a
+    round can't end red on window pins or a stale BENCH_DETAIL.json.
+    Run as the LAST action before the final commit of a round:
+
+        python bench.py --preflight
+    """
+    import subprocess
+
+    window = list(all_queries())[:50]
+    print(f"next driver window ({len(window)} rows):")
+    for i, n in enumerate(window):
+        print(f"  {i:2d} {n}")
+    rc = subprocess.call(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_window_contract.py",
+            "tests/test_bench_contract.py",
+            "-q",
+        ],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    print("preflight:", "GREEN" if rc == 0 else "RED — fix before committing")
+    return rc
+
+
 def main() -> None:
+    if "--preflight" in sys.argv[1:]:
+        raise SystemExit(preflight())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")

@@ -396,7 +396,16 @@ def pagerank(
         # let the consumer's job compute it instead of spending a
         # materialization job on it
         if checkpoint is not None and i < iters - 1:
-            ranks = checkpoint(ranks)
+            # prefer the lazy cut (CheckpointFn.lazy protocol): the NEXT
+            # iteration's job materializes the cut frame, so each round
+            # costs one pass instead of an extra eager-materialization
+            # job.  Measured sf0.1 (r10, interleaved best-of-4): lazy
+            # 5.03 s vs eager 5.06 s vs every-2nd-eager 4.80 s — all
+            # within host noise locally, but lazy strictly removes a
+            # job per iteration, which is the term that grows on a real
+            # cluster.  Values are bit-identical (cuts change
+            # execution, not math; verified .equals across all three).
+            ranks = getattr(checkpoint, "lazy", checkpoint)(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
 
 
