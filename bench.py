@@ -116,6 +116,13 @@ HEADLINE = [
     "ts_changepoint",
     "dedup_cluster_sizes",
     "sql_product_profit",
+    # round-10 additions: the exact twins that give the sketch/PCA/IVF
+    # tiers in-registry ground truth, and the two crawl-pipeline ops
+    "agg_kll_quantiles_exact",
+    "embedding_pca2_exact",
+    "ann_ivf_exhaustive",
+    "curation_domain_cap",
+    "curation_epoch_shuffle",
 ]
 
 

@@ -756,3 +756,65 @@ def k_anonymize(
         else:
             out_cols.append(df[c])
     return joined.select(*out_cols, "class_size", small.alias("suppressed"))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Per-domain document cap — the crawl-pipeline rebalancer: no
+    single source may contribute more than ``cap`` documents, and the
+    kept ones are its best by the rank key (here the exact-integer
+    length column; in production swap any computed quality score in —
+    the plan is identical).  Deterministic tie-break by id.
+
+    Scale shape: ONE window pass partitioned by domain (count per
+    domain is naturally bounded by crawl politeness; a pathological
+    mega-domain is exactly what the cap truncates, and AQE's skew
+    handling splits its sort).  No self-join, no global sort.
+    Output: input columns + ``domain_rank``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= cap)
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    epoch: int = 1,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    pseudorandom but REPRODUCIBLE permutation key (the portable
+    multiplicative hash of ``id + epoch·1000003`` — a different
+    permutation every epoch, the same one on every retry/engine), a
+    shard assignment, and its position within the shard.  This is the
+    global-shuffle-before-sharding step of a training-data writer,
+    WITHOUT a global sort: per-shard ``row_number`` is a partitioned
+    window, so the only exchange is the shard hash partition — each
+    writer task then streams its shard in key order.
+
+    Output: (id, shard, position) — all integers, mirrored exactly in
+    SQL."""
+    from pyspark.sql import Window
+
+    key = portable_hash(F.col(id_col) + F.lit(epoch * 1_000_003))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("shuffle_key"),
+            (key % F.lit(n_shards)).alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select(id_col, "shard", "position")
+    )

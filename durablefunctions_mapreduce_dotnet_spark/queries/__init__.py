@@ -171,6 +171,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # r10 newcomers:
     "agg_kll_quantiles_exact",
     "embedding_pca2_exact",
+    "ann_ivf_exhaustive",
+    "curation_domain_cap",
+    "curation_epoch_shuffle",
 )
 
 

@@ -956,7 +956,65 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators.curation.domain_cap):
+    keep each source's best ≤10 documents by the exact-integer length
+    key (deterministic doc_id tie-break) — the crawl-pipeline guard
+    against a single domain dominating the corpus.  One window pass
+    partitioned by domain; no self-join, no global sort."""
+    from ..operators.curation import domain_cap
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return domain_cap(d, cap=10).orderBy("source", "domain_rank")
+
+
+_DOMAIN_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, domain_rank
+FROM r WHERE domain_rank <= 10 ORDER BY source, domain_rank
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 training shuffle
+    (operators.curation.epoch_shuffle): reproducible pseudorandom
+    permutation key per row, shard assignment, in-shard position —
+    global shuffle semantics with only a hash-partition exchange (the
+    in-shard sort is per-partition, never a global sort).  All-integer
+    plan, mirrored exactly."""
+    from ..operators.curation import epoch_shuffle
+
+    d = read_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, n_shards=8, epoch=2).orderBy("shard", "position")
+
+
+_EPOCH_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         (((doc_id + 2000006) * 2654435761) % 4294967296 + 4294967296)
+           % 4294967296 AS key
+  FROM documents
+)
+SELECT doc_id,
+       key % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY key % 8 ORDER BY key, doc_id
+       ) AS INTEGER) AS position
+FROM k ORDER BY shard, position
+"""
+
+
 QUERIES = {
+    "curation_domain_cap": q_domain_cap,
+    "curation_epoch_shuffle": q_epoch_shuffle,
     "curation_kanonymity": q_kanonymity,
     "curation_chunk_dedup": q_chunk_dedup,
     "curation_winsorize": q_winsorize,
@@ -983,6 +1041,8 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_domain_cap": _DOMAIN_CAP_SQL,
+    "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "curation_kanonymity": _KANONYMITY_SQL,
     "curation_chunk_dedup": _CHUNK_DEDUP_SQL,
     "curation_winsorize": _WINSORIZE_SQL,

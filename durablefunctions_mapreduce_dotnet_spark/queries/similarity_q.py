@@ -328,6 +328,21 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT IVF twin: the same inverted-file kernel as
+    ann_ivf_topk probed EXHAUSTIVELY (n_probe = n_lists), which must
+    return exactly the brute-force top-k — cell assignment only decides
+    which candidates are scored, and exhaustive probing scores them
+    all.  The oracle is therefore the brute-force SQL verbatim, giving
+    the IVF Arrow kernel (batch cell routing, per-cell gemm scoring,
+    (cos desc, id) tie-break, window fan-in) a driver value-hash row
+    that the approximate configurations can't have."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, _queries_subset(e), k=5, n_lists=16, n_probe=16
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed (64×64) embedding covariance, integer-quantized for
     exact cross-engine parity (operators.clustering.embedding_covariance)
@@ -594,6 +609,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_pq_rescored": q_ann_pq_rescored,
     "embedding_covariance": q_embedding_covariance,
@@ -609,6 +625,7 @@ ORACLES = {
     "embedding_pca2_exact": _PCA2_EXACT_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_ivf_exhaustive": _ANN_BRUTE_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,
     "ann_quantized_rescored": _ANN_QUANTIZED_RESCORED_SQL,
     "ann_lsh_topk": _lsh_oracle_sql(),
