@@ -123,6 +123,7 @@ HEADLINE = [
     "ann_ivf_exhaustive",
     "curation_domain_cap",
     "curation_epoch_shuffle",
+    "ts_ewma",
 ]
 
 

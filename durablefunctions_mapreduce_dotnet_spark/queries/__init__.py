@@ -174,6 +174,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_ivf_exhaustive",
     "curation_domain_cap",
     "curation_epoch_shuffle",
+    "ts_ewma",
 )
 
 

@@ -650,6 +650,98 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_SPAN = 20  # truncation horizon (observations)
+_EWMA_NUM, _EWMA_DEN = 3, 10  # alpha = 0.3, exact rational
+
+
+def _ewma_coef(k: int) -> int:
+    """Integer-scaled weight: alpha·(1−alpha)^k over the common
+    denominator 10^span ⇒ 3·7^k·10^(span−1−k) — exact integers shared
+    verbatim by the Spark literals and the SQL oracle (the scale
+    cancels in the final num/den divide)."""
+    return (
+        _EWMA_NUM
+        * (_EWMA_DEN - _EWMA_NUM) ** k
+        * _EWMA_DEN ** (_EWMA_SPAN - 1 - k)
+    )
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the per-type daily
+    event count — the smoothing/alerting primitive next to
+    ts_changepoint's regime detector.  Observation-indexed and
+    truncated at 20 lags (α = 0.3), with the truncated weight mass
+    RENORMALIZED, so every output is
+
+        ewma_t = Σ_{k≤min(t,19)} α(1−α)^k·y_{t−k}
+               / Σ_{k≤min(t,19)} α(1−α)^k
+
+    computed as ONE IEEE division of two exact integers: weights are
+    integer-scaled by the common denominator 10^20 (w_k =
+    3·7^k·10^(19−k), literals shared with the oracle), products and
+    sums ride decimal(38,0)/HUGEINT — no FP anywhere upstream of the
+    final divide, hash-exact with the usual 9-dp belt-and-braces.
+
+    Scale shape: the combiner count collapses the corpus to a
+    days-sized frame; the lag chain is ONE window pass per type (all
+    20 lags share the same window frame sort)."""
+    from decimal import Decimal
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    num = F.lit(Decimal(0))
+    den = F.lit(Decimal(0))
+    for k in range(_EWMA_SPAN):
+        lagged = F.lag("y", k).over(w)
+        coef = F.lit(Decimal(_ewma_coef(k)))
+        num = num + F.when(
+            lagged.isNotNull(), lagged.cast("decimal(38,0)") * coef
+        ).otherwise(F.lit(Decimal(0)))
+        den = den + F.when(lagged.isNotNull(), coef).otherwise(
+            F.lit(Decimal(0))
+        )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "y",
+        (
+            F.round(num.cast("double") / den.cast("double"), 9) + F.lit(0.0)
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+def _ewma_oracle_sql() -> str:
+    terms, dens = [], []
+    for k in range(_EWMA_SPAN):
+        c = _ewma_coef(k)
+        lag = f"LAG(y, {k}) OVER w"
+        terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN CAST({lag} AS HUGEINT) * {c} ELSE 0 END"
+        )
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN CAST({c} AS HUGEINT) ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(dens)
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, d, y,
+         {num} AS num,
+         {den} AS den
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, y,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) + 0.0 AS ewma
+FROM lagged ORDER BY event_type, day
+"""
+
+
 _TS_CHANGEPOINT_SQL = """
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
@@ -684,6 +776,7 @@ ORDER BY event_type
 
 QUERIES = {
     "ts_changepoint": q_ts_changepoint,
+    "ts_ewma": q_ts_ewma,
     "ts_rolling_corr": q_ts_rolling_corr,
     "ts_acf": q_ts_acf,
     "ts_holtwinters": q_ts_holtwinters,
@@ -698,6 +791,7 @@ QUERIES = {
 }
 ORACLES = {
     "ts_changepoint": _TS_CHANGEPOINT_SQL,
+    "ts_ewma": _ewma_oracle_sql(),
     "ts_rolling_corr": _TS_ROLLING_CORR_SQL,
     "ts_acf": _TS_ACF_SQL,
     "ts_holtwinters": _hw_oracle_sql(),

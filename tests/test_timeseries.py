@@ -395,3 +395,47 @@ def test_changepoint_finds_planted_level_shift(spark):
     assert str(best["d"]) == "2024-01-20"
     assert int(best["cusum_scaled"]) == 40 * 40 - 20 * 240 == -3200
     assert best["n_days"] == 40
+
+
+def test_ewma_constant_and_step_series(spark):
+    """EWMA invariants on planted series: a constant series is a fixed
+    point (ewma == level exactly — renormalized weights sum to 1 in
+    exact rationals, and level·den/den is one exact division); after a
+    step change the smoothed value moves monotonically toward the new
+    level and never overshoots."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.queries.timeseries_q import (
+        q_ts_ewma,
+    )
+
+    counts = [5] * 25 + [50] * 15
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, "steady" if day < 0 else "stepped",
+                 dt.datetime(2024, 3, 1, 12, 0) + dt.timedelta(days=day))
+            )
+            eid += 1
+    # constant twin: 7/day for 30 days
+    for day in range(30):
+        for _ in range(7):
+            rows.append((eid, "constant", dt.datetime(2024, 3, 1, 12, 0) + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = q_ts_ewma(spark, tmp).toPandas()
+
+    const = out[out.event_type == "constant"].sort_values("day")
+    assert (const.ewma == 7.0).all()
+
+    step = out[out.event_type == "stepped"].sort_values("day").reset_index(drop=True)
+    post = step.ewma[25:].to_numpy()
+    assert (np.diff(post) > 0).all()  # monotone approach to 50
+    assert post.max() <= 50.0
+    assert post[-1] > 45.0  # 15 steps of alpha=.3 close most of the gap
