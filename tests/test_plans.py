@@ -160,6 +160,12 @@ _BNLJ_OK = {
     # lexical leg IS bm25_topk) plus the brute-force ANN leg's broadcast
     # query-set scoring — both already-allowlisted shapes
     "ann_hybrid_rrf",
+    # mean scalar + eigenvector scalar: two broadcast 1-row cross joins
+    # (operators/clustering.pca2d_exact)
+    "embedding_pca2_exact",
+    # exhaustive-probe configuration of the already-allowlisted IVF
+    # kernel (broadcast centroid/query tables by design)
+    "ann_ivf_exhaustive",
 }
 
 
@@ -546,3 +552,43 @@ def test_recursive_cte_plans_union_loop(spark):
 
     plan = explain_str(all_queries()["recursive_hierarchy"](spark, SF_DIR))
     assert "UnionLoop" in plan
+
+
+def test_r10_queries_prune_and_partition(spark):
+    """r10 additions hold the 100 TB plan bar: epoch_shuffle reads ONLY
+    doc_id (the permutation is id-pure); domain_cap reads exactly its
+    three columns and windows WITHOUT a single-partition exchange (the
+    cap is per-domain); the exact-quantile twin windows per event_type,
+    never globally."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.aggregates_q import (
+        q_kll_quantiles_exact,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_domain_cap,
+        q_epoch_shuffle,
+    )
+
+    assert_read_schema_only(q_epoch_shuffle(spark, SF_DIR), "documents", {"doc_id"})
+    cap = q_domain_cap(spark, SF_DIR)
+    assert_read_schema_only(cap, "documents", {"doc_id", "source", "n_chars"})
+    assert "SinglePartition" not in explain_str(cap, "simple")
+    assert "SinglePartition" not in explain_str(
+        q_kll_quantiles_exact(spark, SF_DIR), "simple"
+    )
+
+
+def test_pca2d_exact_scans_are_linear_and_broadcast(spark):
+    """pca2d_exact must be linear corpus passes with the 1-row scalar
+    frames BROADCAST back (the allowlisted IdentityBroadcastMode cross
+    shape) — a corpus shuffle by a non-trivial key or a true cartesian
+    would break the 100 TB story."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.similarity_q import (
+        q_embedding_pca2_exact,
+    )
+
+    plan = explain_str(q_embedding_pca2_exact(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "IdentityBroadcastMode" in plan  # 1-row scalar broadcast
+    # the only wide exchanges: the scalar aggregates and the output sort
+    # - never a corpus hashpartition by a data key
+    assert "hashpartitioning(vec_id" not in plan and "hashpartitioning(_id" not in plan
