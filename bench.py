@@ -124,6 +124,7 @@ HEADLINE = [
     "curation_domain_cap",
     "curation_epoch_shuffle",
     "ts_ewma",
+    "streaming_ewma",
 ]
 
 

@@ -604,6 +604,23 @@ def acf(
     )
 
 
+#: EWMA contract shared by the batch query (queries/timeseries_q.
+#: q_ts_ewma), the stateful streaming twin (streaming/stateful.
+#: ewma_daily_stateful) and both SQL oracles.
+EWMA_SPAN = 20  # truncation horizon (observations)
+EWMA_NUM, EWMA_DEN = 3, 10  # alpha = 0.3, exact rational
+
+
+def ewma_coef(k: int) -> int:
+    """Integer-scaled EWMA weight: α·(1−α)^k over the common
+    denominator 10^span ⇒ 3·7^k·10^(span−1−k) — exact integers shared
+    verbatim by the Spark literals, the stateful streaming kernel, and
+    the SQL oracles (the scale cancels in the final num/den divide)."""
+    return EWMA_NUM * (EWMA_DEN - EWMA_NUM) ** k * EWMA_DEN ** (
+        EWMA_SPAN - 1 - k
+    )
+
+
 def cusum_changepoint(
     daily: DataFrame,
     key_col: str = "event_type",

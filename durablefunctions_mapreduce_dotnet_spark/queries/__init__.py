@@ -175,6 +175,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_domain_cap",
     "curation_epoch_shuffle",
     "ts_ewma",
+    "streaming_ewma",
 )
 
 

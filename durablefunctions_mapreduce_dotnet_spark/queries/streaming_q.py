@@ -9,6 +9,7 @@ from ..streaming.stream_ops import (
     streaming_dedup,
     streaming_dedup_watermark,
     streaming_enriched_counts,
+    streaming_ewma,
     streaming_first_seen,
     streaming_flagship,
     streaming_running_extrema,
@@ -17,6 +18,12 @@ from ..streaming.stream_ops import (
     streaming_sliding_counts,
 )
 from ._sql import dsum as sql_dsum
+
+
+def _ts_ewma_oracle_roundfree() -> str:
+    from .timeseries_q import _ewma_oracle_sql
+
+    return _ewma_oracle_sql(round9=False)
 
 _STREAM_DAILY_SQL = f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
@@ -131,6 +138,7 @@ QUERIES = {
     "streaming_enriched_counts": streaming_enriched_counts,
     "streaming_running_extrema_apws": streaming_running_extrema_apws,
     "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_ewma": streaming_ewma,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -143,6 +151,9 @@ ORACLES = {
     "streaming_flagship": _STREAM_FLAGSHIP_SQL,
     "streaming_running_extrema_apws": _STREAM_EXTREMA_SQL,
     "streaming_dedup_watermark": _STREAM_DEDUP_SQL,
+    # the batch ts_ewma oracle in its round-free form: the stateful
+    # kernel's exact-int division bit-matches HUGEINT->DOUBLE division
+    "streaming_ewma": _ts_ewma_oracle_roundfree(),
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

@@ -650,20 +650,8 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EWMA_SPAN = 20  # truncation horizon (observations)
-_EWMA_NUM, _EWMA_DEN = 3, 10  # alpha = 0.3, exact rational
-
-
-def _ewma_coef(k: int) -> int:
-    """Integer-scaled weight: alpha·(1−alpha)^k over the common
-    denominator 10^span ⇒ 3·7^k·10^(span−1−k) — exact integers shared
-    verbatim by the Spark literals and the SQL oracle (the scale
-    cancels in the final num/den divide)."""
-    return (
-        _EWMA_NUM
-        * (_EWMA_DEN - _EWMA_NUM) ** k
-        * _EWMA_DEN ** (_EWMA_SPAN - 1 - k)
-    )
+from ..operators.timeseries import EWMA_SPAN as _EWMA_SPAN
+from ..operators.timeseries import ewma_coef as _ewma_coef
 
 
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,7 +702,11 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-def _ewma_oracle_sql() -> str:
+def _ewma_oracle_sql(round9: bool = True) -> str:
+    """``round9=True`` mirrors q_ts_ewma's belt-and-braces 9-dp output;
+    ``False`` emits the raw one-division double — the form the stateful
+    streaming twin (whose Python kernel performs the identical exact-int
+    division) hash-matches bit-for-bit."""
     terms, dens = [], []
     for k in range(_EWMA_SPAN):
         c = _ewma_coef(k)
@@ -725,6 +717,11 @@ def _ewma_oracle_sql() -> str:
         dens.append(f"CASE WHEN {lag} IS NOT NULL THEN CAST({c} AS HUGEINT) ELSE 0 END")
     num = " + ".join(terms)
     den = " + ".join(dens)
+    ewma = (
+        "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) + 0.0"
+        if round9
+        else "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    )
     return f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts)::DATE AS d, COUNT(*) AS y
@@ -737,7 +734,7 @@ lagged AS (
   FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day, y,
-       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) + 0.0 AS ewma
+       {ewma} AS ewma
 FROM lagged ORDER BY event_type, day
 """
 

@@ -170,3 +170,74 @@ def running_extrema_apws(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_daily_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming EWMA of the per-key DAILY event count — the
+    online form of the batch ``ts_ewma`` query, sharing its exact
+    contract (α = 3/10 over ``operators.timeseries.EWMA_SPAN``
+    observation lags, renormalized, integer-scaled weights
+    ``ewma_coef``): the smoothed series an ingest monitor tails while
+    data is still arriving.
+
+    State per key is the day→count map of days seen so far (bounded by
+    the stream's calendar span; with a timeout it becomes a sliding
+    horizon).  Each trigger merges its batch's counts into state and
+    re-emits the affected series — per-key LAST emission wins, so with
+    one availableNow trigger the drained table IS the batch answer and
+    hash-matches the same SQL oracle as ts_ewma (round-free form: the
+    kernel's Python ints divide in ONE IEEE op, bit-equal to
+    HUGEINT→DOUBLE division).
+
+    Scale: the Arrow batch carries raw events, the state carries one
+    int per (key, day) — the corpus never sits in memory; keys process
+    independently (the state store partitions by key)."""
+    from ..operators.timeseries import EWMA_SPAN, ewma_coef
+
+    coefs = [ewma_coef(k) for k in range(EWMA_SPAN)]
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        days, counts = state.get if state.exists else ([], [])
+        acc = dict(zip(list(days), [int(c) for c in counts]))
+        for pdf in pdfs:
+            ts = pdf[ts_col].dropna()
+            if not len(ts):
+                continue
+            for day, c in ts.dt.strftime("%Y-%m-%d").value_counts().items():
+                acc[day] = acc.get(day, 0) + int(c)
+        if not acc:
+            return
+        ordered = sorted(acc)
+        ys = [acc[d] for d in ordered]
+        out_ewma = []
+        for t in range(len(ys)):
+            lags = min(t + 1, EWMA_SPAN)
+            num = sum(coefs[k] * ys[t - k] for k in range(lags))
+            den = sum(coefs[k] for k in range(lags))
+            out_ewma.append(float(num) / float(den))  # ONE IEEE divide
+        state.update((ordered, ys))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ordered),
+                "day": ordered,
+                "y": pd.Series(ys, dtype="int64"),
+                "ewma": pd.Series(out_ewma, dtype="float64"),
+            }
+        )
+
+    kt = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} {kt}, day string, y bigint, ewma double",
+        stateStructType="days array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

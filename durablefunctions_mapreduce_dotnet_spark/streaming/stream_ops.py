@@ -354,6 +354,20 @@ def streaming_running_extrema_apws(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("event_type")
 
 
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA of the per-type daily count
+    (streaming/stateful.ewma_daily_stateful) — the online twin of the
+    batch ts_ewma query, hash-checked against the SAME round-free SQL
+    oracle: one availableNow trigger ⇒ the drained update stream is the
+    batch answer, and the kernel's exact-integer division bit-matches
+    HUGEINT→DOUBLE."""
+    from .stateful import ewma_daily_stateful
+
+    src = _stream_events(spark, sf_dir)
+    out = run_to_memory(ewma_daily_stateful(src), "update")
+    return out.orderBy("event_type", "day")
+
+
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION form of streaming_dedup: the doubled (at-least-
     once) stream deduped with ``dropDuplicatesWithinWatermark`` — same

@@ -500,3 +500,68 @@ def test_run_to_files_idempotent_replay_is_noop(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "tbl" / "data")).collect()
     }
     assert again == batch
+
+
+def test_stateful_ewma_across_batches_matches_batch_answer(spark, tmp_path):
+    """The streaming EWMA must CONTINUE the series across micro-batches:
+    split events over 3 files (one per trigger) and check the final
+    per-(key, day) emission is bit-identical to the single-trigger batch
+    answer computed by the same kernel — state (the day->count map) must
+    merge, not reset."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stateful import (
+        ewma_daily_stateful,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type")
+    src_dir = tmp_path / "ev_ewma_split"
+    ev.repartition(3).write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        ewma_daily_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_multi")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, "expected one micro-batch per file"
+
+    emitted = spark.table("ewma_multi").toPandas()
+    # each batch re-emits the key's full affected series; the LAST
+    # emission per (key, day) is final.  The memory sink preserves
+    # arrival order per key, so dedup keep-last after a stable sort.
+    final = (
+        emitted.groupby(["event_type", "day"], as_index=False)
+        .last()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stream_ops import (
+        run_to_memory,
+    )
+
+    one = spark.readStream.schema(ev.schema).parquet(str(src_dir))
+    expect = (
+        run_to_memory(ewma_daily_stateful(one), "update")
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert final[["event_type", "day", "y"]].equals(
+        expect[["event_type", "day", "y"]]
+    )
+    a = final["ewma"].to_numpy(float)
+    b = expect["ewma"].to_numpy(float)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
