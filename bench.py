@@ -125,6 +125,9 @@ HEADLINE = [
     "curation_epoch_shuffle",
     "ts_ewma",
     "streaming_ewma",
+    "sql_revenue_momentum",
+    "audit_checksum_reconcile",
+    "curation_forget_users",
 ]
 
 

@@ -176,6 +176,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_epoch_shuffle",
     "ts_ewma",
     "streaming_ewma",
+    "sql_revenue_momentum",
+    "audit_checksum_reconcile",
+    "curation_forget_users",
 )
 
 

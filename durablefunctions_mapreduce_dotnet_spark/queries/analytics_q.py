@@ -424,7 +424,46 @@ FROM lat
 """
 
 
+def q_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation checksums — the audit row a pipeline
+    publishes so a DOWNSTREAM copy (another engine, another region) can
+    verify it holds the same data without shipping it: per source, the
+    row count and an order-free content checksum (sum of a 40-bit
+    md5-derived integer of ``doc_id|text``).  md5 is bit-standardized,
+    so any engine computes the identical checksum — which is exactly
+    what makes it a reconciliation primitive rather than a fingerprint
+    only this engine can reproduce.  One scan, combiner-reduced; at
+    100 TB the checksum shuffles one bigint per group."""
+    d = read_table(spark, sf_dir, "documents")
+    chk = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(chk).alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_AUDIT_CHECKSUM_SQL = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10))
+                     AS BIGINT)) AS BIGINT) AS content_checksum
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "audit_checksum_reconcile": q_audit_checksum,
     "diag_skew_report": q_diag_skew_report,
     "pattern_sequence": q_pattern_sequence,
     "window_scd2_snapshot": q_scd2_snapshot,
@@ -437,6 +476,7 @@ QUERIES = {
     "window_scd2": q_window_scd2,
 }
 ORACLES = {
+    "audit_checksum_reconcile": _AUDIT_CHECKSUM_SQL,
     "diag_skew_report": _SKEW_REPORT_SQL,
     "pattern_sequence": _PATTERN_SEQ_SQL,
     "window_scd2_snapshot": _SCD2_SNAPSHOT_SQL,

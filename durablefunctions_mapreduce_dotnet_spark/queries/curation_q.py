@@ -956,6 +956,41 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact sweep: given a deletion-request set
+    (here the deterministic 2% hash slice standing in for the requests
+    table — in production this is a broadcast anti-join against it),
+    report per event_type how many rows would be purged, how many
+    remain, and how many distinct requesting users are affected.  Pure
+    per-row predicate + one combiner aggregate: the compliance
+    dashboard costs one scan at any scale."""
+    from ..operators.curation import hash_bucket
+
+    e = read_table(spark, sf_dir, "events")
+    forget = hash_bucket("user_id") < 2
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(forget, 1).otherwise(0)).alias("rows_to_delete"),
+            F.sum(F.when(forget, 0).otherwise(1)).alias("rows_retained"),
+            F.countDistinct(F.when(forget, F.col("user_id"))).alias(
+                "users_affected"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FORGET_BUCKET = "((((user_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100)"
+_FORGET_SQL = f"""
+SELECT event_type,
+       CAST(SUM(CASE WHEN {_FORGET_BUCKET} < 2 THEN 1 ELSE 0 END) AS BIGINT) AS rows_to_delete,
+       CAST(SUM(CASE WHEN {_FORGET_BUCKET} < 2 THEN 0 ELSE 1 END) AS BIGINT) AS rows_retained,
+       COUNT(DISTINCT CASE WHEN {_FORGET_BUCKET} < 2 THEN user_id END) AS users_affected
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution cap (operators.curation.domain_cap):
     keep each source's best ≤10 documents by the exact-integer length
@@ -1013,6 +1048,7 @@ FROM k ORDER BY shard, position
 
 
 QUERIES = {
+    "curation_forget_users": q_forget_users,
     "curation_domain_cap": q_domain_cap,
     "curation_epoch_shuffle": q_epoch_shuffle,
     "curation_kanonymity": q_kanonymity,
@@ -1041,6 +1077,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_forget_users": _FORGET_SQL,
     "curation_domain_cap": _DOMAIN_CAP_SQL,
     "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "curation_kanonymity": _KANONYMITY_SQL,

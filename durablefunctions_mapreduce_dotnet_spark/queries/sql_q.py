@@ -641,7 +641,47 @@ def q_sql_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q20_BODY)
 
 
+_MOMENTUM_BODY_TMPL = """
+WITH monthly AS (
+  SELECT n_name, {month} AS month,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+              AS DECIMAL(38,6)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, {month}
+)
+SELECT n_name, month,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(
+         CAST(rev - LAG(rev) OVER (PARTITION BY n_name ORDER BY month) AS DOUBLE)
+           / CAST(LAG(rev) OVER (PARTITION BY n_name ORDER BY month) AS DOUBLE),
+         9) + 0.0 AS momentum
+FROM monthly
+ORDER BY n_name, month
+"""
+
+
+def q_sql_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue momentum per nation — the window-over-
+    aggregate dashboard shape (monthly decimal-exact revenue, LAG, one
+    double division per row).  The revenue stays DECIMAL through the
+    subtraction so the momentum numerator is exact; first month is NULL
+    by construction (LAG of nothing).  Joins: lineitem→orders shuffles
+    on orderkey, customer/nation broadcast."""
+    return _sql(
+        spark,
+        sf_dir,
+        _MOMENTUM_BODY_TMPL.format(month="date_format(o_orderdate, 'yyyy-MM')"),
+    )
+
+
+_MOMENTUM_ORACLE = _MOMENTUM_BODY_TMPL.format(month="strftime(o_orderdate, '%Y-%m')")
+
+
 QUERIES = {
+    "sql_revenue_momentum": q_sql_revenue_momentum,
     "sql_shipping_priority": q_sql_shipping_priority,
     "sql_local_supplier_volume": q_sql_local_supplier_volume,
     "sql_returned_items": q_sql_returned_items,
@@ -665,6 +705,7 @@ QUERIES = {
     "sql_dominant_suppliers": q_sql_dominant_suppliers,
 }
 ORACLES = {
+    "sql_revenue_momentum": _MOMENTUM_ORACLE,
     "sql_shipping_priority": _Q3_ORACLE,
     "sql_local_supplier_volume": _Q5_BODY,
     "sql_returned_items": _Q10_BODY,
