@@ -592,3 +592,23 @@ def test_pca2d_exact_scans_are_linear_and_broadcast(spark):
     # the only wide exchanges: the scalar aggregates and the output sort
     # - never a corpus hashpartition by a data key
     assert "hashpartitioning(vec_id" not in plan and "hashpartitioning(_id" not in plan
+
+
+def test_governance_sweeps_are_single_scans(spark):
+    """audit_checksum_reconcile and curation_forget_users must each be
+    ONE combiner-reduced scan over exactly the columns they use — at
+    100 TB these governance reports cannot afford a second pass or a
+    wide read."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.analytics_q import (
+        q_audit_checksum,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_forget_users,
+    )
+
+    chk = q_audit_checksum(spark, SF_DIR)
+    assert_read_schema_only(chk, "documents", {"doc_id", "source", "text"})
+    assert explain_str(chk, "simple").count("FileScan parquet") == 1
+    forget = q_forget_users(spark, SF_DIR)
+    assert_read_schema_only(forget, "events", {"event_type", "user_id"})
+    assert explain_str(forget, "simple").count("FileScan parquet") == 1

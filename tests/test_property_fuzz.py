@@ -399,3 +399,67 @@ def test_bpe_merges_fuzz_vs_python_reference(spark, texts, n_merges):
         for r in learn_bpe_merges(df, n_merges=n_merges).orderBy("rank").collect()
     ]
     assert got == ref_bpe(texts, n_merges)
+
+
+_ids = st.lists(
+    st.integers(0, 10_000), min_size=1, max_size=40, unique=True
+)
+
+
+@given(ids=_ids)
+@_FUZZ
+def test_epoch_shuffle_fuzz_is_permutation(spark, ids):
+    """epoch_shuffle must be a PERMUTATION partitioned into shards: every
+    input id appears exactly once, each shard's positions are the
+    contiguous 1..n_shard run, and the shard assignment is the
+    documented hash — for ANY id set.  Different epochs reorder (checked
+    only when the two keys actually order differently)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    out = epoch_shuffle(df, n_shards=4, epoch=1).toPandas()
+    assert sorted(out.doc_id) == sorted(ids)
+    for _, g in out.groupby("shard"):
+        assert sorted(g.position) == list(range(1, len(g) + 1))
+    knuth, m32 = 2654435761, 4294967296
+    for r in out.itertuples():
+        key = ((r.doc_id + 1_000_003) * knuth) % m32
+        assert r.shard == key % 4
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_FUZZ
+def test_domain_cap_fuzz_vs_python_reference(spark, rows):
+    """domain_cap vs a from-scratch python reference: per domain keep the
+    cap best rows by (order desc, id asc) — duplicates in the order
+    column are FREQUENT here, so the deterministic tie-break is what is
+    actually under test."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        domain_cap,
+    )
+
+    # unique ids: (domain, order) pairs repeat, ids never do
+    data = [
+        (i, f"d{dom}", order) for i, (dom, _, order) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, source string, n_chars bigint")
+    got = {
+        (r.source, r.doc_id): r.domain_rank
+        for r in domain_cap(df, cap=3).collect()
+    }
+    expect = {}
+    bydom: dict[str, list] = {}
+    for i, dom, order in data:
+        bydom.setdefault(dom, []).append((-order, i))
+    for dom, lst in bydom.items():
+        for rank, (_, i) in enumerate(sorted(lst)[:3], start=1):
+            expect[(dom, i)] = rank
+    assert got == expect
