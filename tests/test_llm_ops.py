@@ -268,6 +268,15 @@ def test_multimodal_dhash_uses_real_bmp_pixels(spark):
     hsh, vsh = _dhash_words(bmp)
     assert hsh == -1  # all 64 horizontal bits set
     assert vsh == 0  # columns are constant
+    # negative height = top-down row storage of the SAME image: decode
+    # must normalize row order, so the hash is identical
+    top_down = bytearray(bmp)
+    h = int.from_bytes(top_down[22:26], "little")
+    top_down[22:26] = (-h).to_bytes(4, "little", signed=True)
+    px = top_down[54:]  # 9-wide rows stride to 28 bytes (27 px + 1 pad)
+    rows9 = [px[i * 28 : (i + 1) * 28] for i in range(9)]  # 9*3=27 pad 28
+    top_down[54:] = b"".join(reversed(rows9))
+    assert _dhash_words(bytes(top_down)) == (hsh, vsh)
     # byte-stream fallback over the raw payload would NOT produce the
     # clean all-ones/all-zeros pattern (header bytes pollute the grid)
     blob = b"x" + bmp  # break the magic: falls back to byte stand-in
