@@ -128,6 +128,8 @@ HEADLINE = [
     "sql_revenue_momentum",
     "audit_checksum_reconcile",
     "curation_forget_users",
+    "agg_incremental_maintenance",
+    "window_cumulative_uniques",
 ]
 
 

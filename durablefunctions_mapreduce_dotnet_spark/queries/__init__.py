@@ -179,6 +179,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sql_revenue_momentum",
     "audit_checksum_reconcile",
     "curation_forget_users",
+    "agg_incremental_maintenance",
+    "window_cumulative_uniques",
 )
 
 

@@ -353,6 +353,47 @@ FROM r GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven exact: the maintained
+    aggregate (base partial computed over ts < cutoff MERGED with the
+    delta partial over ts ≥ cutoff) must equal the full recompute —
+    which is precisely the oracle here (plain GROUP BY over everything).
+    The partial SUMs stay DECIMAL through the merge (decimal addition
+    is associative and exact, so partial-then-merge ≡ one-pass), with
+    ONE double cast at the end — the algebra that lets a 100 TB
+    pipeline append a day's partial instead of rescanning history.
+    Counts merge as integer sums."""
+    e = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+        )
+
+    base = partial(e.where(F.col("ts") < cutoff))
+    delta = partial(e.where(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# The oracle IS the full recompute: equality is the IVM correctness
+# statement, not a mirrored plan.
+_INCREMENTAL_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation via Theta sketches (Spark 4.1
     DataSketches): per-event-type distinct-user sketches, then
@@ -527,6 +568,7 @@ QUERIES = {
     "agg_weighted_median": q_weighted_median,
     "agg_kll_quantiles": q_kll_quantiles,
     "agg_kll_quantiles_exact": q_kll_quantiles_exact,
+    "agg_incremental_maintenance": q_incremental_maintenance,
     "agg_theta_overlap": q_theta_overlap,
     "agg_audience_overlap": q_audience_overlap,
     "agg_grouping_sets": q_grouping_sets,
@@ -545,6 +587,7 @@ ORACLES = {
     "agg_listagg_ordered": _LISTAGG_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_kll_quantiles_exact": _KLL_EXACT_SQL,
+    "agg_incremental_maintenance": _INCREMENTAL_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
     "agg_argminmax": _ARGMINMAX_SQL,

@@ -251,7 +251,55 @@ FROM runs GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day per event_type — the growth
+    curve every product dashboard tails, built the SCALABLE way: a
+    running COUNT(DISTINCT) window rematerializes the user set per row,
+    but first-touch attribution (min day per (type, user)) collapses
+    the corpus to one row per user, then new-user counts per day ride a
+    plain running integer sum.  Two hash aggregates + one tiny window —
+    at 100 TB the only per-user state is the first-touch combiner."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    first = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("d")
+    )
+    daily_new = first.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("event_type", "day")
+
+
+_CUMULATIVE_UNIQUES_SQL = """
+WITH first_touch AS (
+  SELECT event_type, user_id, MIN(date_trunc('day', ts)::DATE) AS d
+  FROM events GROUP BY event_type, user_id
+),
+daily_new AS (
+  SELECT event_type, d, COUNT(*) AS new_users
+  FROM first_touch GROUP BY event_type, d
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily_new ORDER BY event_type, day
+"""
+
+
 QUERIES = {
+    "window_cumulative_uniques": q_cumulative_uniques,
     "window_gaps_islands": q_window_gaps_islands,
     "window_rank_topk": q_window_rank,
     "window_running_sum": q_window_running,
@@ -262,6 +310,7 @@ QUERIES = {
     "sessionization": q_sessionization,
 }
 ORACLES = {
+    "window_cumulative_uniques": _CUMULATIVE_UNIQUES_SQL,
     "window_gaps_islands": _GAPS_ISLANDS_SQL,
     "window_range_frame": _WINDOW_RANGE_SQL,
     "window_rank_topk": _WINDOW_RANK_SQL,
