@@ -124,10 +124,18 @@ def all_oracles() -> dict[str, str]:
 #             _WINDOW_FIRST; CORRECTNESS_r09 came back all green —
 #             45 hash-exact + 5 rows-only by design, 0 failures; every
 #             r09 pin earned its row, incl. the m12 holdover)
-#   r10:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#   r10:      HALF_A first
 #             (re-verifies the relational core, incl. the 15 r09 TPC-H
 #             additions under rotation for a second driver pass; r10
-#             newcomers pinned via _WINDOW_FIRST)
+#             newcomers pinned via _WINDOW_FIRST; CORRECTNESS_r10 came
+#             back 50/50 hash-exact, zero red rows — every r10 pin
+#             earned its row and was dropped)
+#   r11:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the LLM surface under rotation; r11 newcomers
+#             — the PQ/IVFADC exhaustive exact twins, the BMP hash-exact
+#             multimodal query, the HLL merge-invariance check — pinned
+#             via _WINDOW_FIRST, along with the rows-only sketch queries
+#             from the out-half so their no_oracle rows stay fresh)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -156,7 +164,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_A + _HALF_B
+_ROTATION = _HALF_B + _HALF_A
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -165,22 +173,21 @@ _ROTATION = _HALF_A + _HALF_B
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r09 window: every r09 pin earned its row — all 22 hash-exact,
-    #  incl. the m12 holdover — and was dropped.  CORRECTNESS_r09 came
-    #  back 45 hash-exact + 5 rows-only by design, zero red rows.)
-    # r10 newcomers:
-    "agg_kll_quantiles_exact",
-    "embedding_pca2_exact",
-    "ann_ivf_exhaustive",
-    "curation_domain_cap",
-    "curation_epoch_shuffle",
-    "ts_ewma",
-    "streaming_ewma",
-    "sql_revenue_momentum",
-    "audit_checksum_reconcile",
-    "curation_forget_users",
-    "agg_incremental_maintenance",
-    "window_cumulative_uniques",
+    # (r10 window: every r10 pin earned its row — all 12 hash-exact —
+    #  and was dropped.  CORRECTNESS_r10 came back 50/50 hash-exact,
+    #  zero red rows.)
+    # Rows-only sketch queries living in the r11 out-half (aggregates_q
+    # is HALF_A): pinned so their no_oracle driver rows stay fresh while
+    # the LLM half occupies the window.
+    "agg_hll_incremental",
+    "agg_kll_quantiles",
+    "agg_theta_overlap",
+    "agg_approx_sketches",
+    # Rows-only multimodal queries: in HALF_B but behind curation_q/text_q
+    # in module order, so they'd miss the 50-row window without a pin.
+    "multimodal_phash_dedup",
+    "multimodal_phash_wide",
+    "multimodal_audio_energy",
 )
 
 

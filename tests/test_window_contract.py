@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 from pathlib import Path
 
 from durablefunctions_mapreduce_dotnet_spark import queries as qreg
@@ -19,11 +20,41 @@ from durablefunctions_mapreduce_dotnet_spark import queries as qreg
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _committed_files() -> set[str] | None:
+    """Names of git-tracked files at the repo root, or None if git is absent.
+
+    The driver delivers ``CORRECTNESS_r{N}.json`` AFTER the builder's last
+    commit of round N, so the freshest correctness file on disk is usually
+    untracked.  Pins going green in that just-delivered file are EXPECTED
+    state — the builder drops them at the next round's open, not
+    retroactively.  Only a green row in a *committed* correctness file
+    means the builder had a chance to act and didn't (the real hygiene
+    failure this tripwire exists to catch).
+    """
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return {line.strip() for line in out.stdout.splitlines() if line.strip()}
+
+
 def _latest_correctness() -> tuple[str, dict] | None:
+    committed = _committed_files()
     best: tuple[int, Path] | None = None
     for p in REPO.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
-        if m and (best is None or int(m.group(1)) > best[0]):
+        if m is None:
+            continue
+        if committed is not None and p.name not in committed:
+            continue  # delivered after our last commit — next round's work
+        if best is None or int(m.group(1)) > best[0]:
             best = (int(m.group(1)), p)
     if best is None:
         return None
