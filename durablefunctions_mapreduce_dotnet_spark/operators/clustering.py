@@ -357,6 +357,7 @@ def pca2d_exact(
         "my",
         "a",
         "b",
+        "c",
         ((F.col("a") + F.col("c")) + disc).alias("_2l1"),
         ((F.col("a") + F.col("c")) - disc).alias("_2l2"),
     ).select(
@@ -366,25 +367,29 @@ def pca2d_exact(
         (F.col("_2l2") / F.lit(2.0)).alias("lam2"),
         F.col("a"),
         F.col("b"),
+        F.col("c"),
     )
     # unit eigenvector for lam1 with deterministic sign: (b, lam1 - a)
     # normalized, flipped positive; b == 0 falls back to the axes.
     vx0 = F.col("b")
     vy0 = (F.col("lam1") - F.col("a"))
     nrm = F.sqrt(vx0 * vx0 + vy0 * vy0)
-    # b == 0 ⇒ disc = |a−c| ⇒ lam1 = max(a, c): a ≥ lam1 picks the x
-    # axis (a is the dominant variance), else the y axis.
+    # b == 0 ⇒ the matrix is already diagonal: a ≥ c picks the x axis
+    # (a is the dominant variance), else the y axis.  Compared EXACTLY
+    # (a vs c, both raw moments) rather than a vs the FP-computed lam1,
+    # whose ((a+c)+|a−c|)/2 rounding can land one ulp above max(a, c)
+    # and flip the branch to the wrong axis.
     vecs = eig.select(
         "mx",
         "my",
         "lam1",
         "lam2",
         F.when(F.col("b") != 0.0, vx0 / nrm)
-        .when(F.col("a") >= F.col("lam1"), F.lit(1.0))
+        .when(F.col("a") >= F.col("c"), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("_ux"),
         F.when(F.col("b") != 0.0, vy0 / nrm)
-        .when(F.col("a") >= F.col("lam1"), F.lit(0.0))
+        .when(F.col("a") >= F.col("c"), F.lit(0.0))
         .otherwise(F.lit(1.0))
         .alias("_uy"),
     ).select(

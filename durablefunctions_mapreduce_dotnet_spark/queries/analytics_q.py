@@ -433,17 +433,19 @@ def q_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     so any engine computes the identical checksum — which is exactly
     what makes it a reconciliation primitive rather than a fingerprint
     only this engine can reproduce.  One scan, combiner-reduced; at
-    100 TB the checksum shuffles one bigint per group."""
+    100 TB the checksum shuffles one bigint per group.
+
+    NULL text is coalesced to an explicit sentinel on BOTH engines:
+    ``concat_ws`` silently skips NULL arguments while SQL ``||``
+    propagates NULL, so without the sentinel a NULL row would be
+    checksummed here but dropped from SUM by the mirror."""
     d = read_table(spark, sf_dir, "documents")
-    chk = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    payload = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit("|"),
+        F.coalesce(F.col("text"), F.lit("<NULL>")),
+    )
+    chk = F.conv(F.substring(F.md5(payload), 1, 10), 16, 10).cast("bigint")
     return (
         d.groupBy("source")
         .agg(
@@ -456,7 +458,7 @@ def q_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIT_CHECKSUM_SQL = """
 SELECT source, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10))
+       CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '<NULL>')), 1, 10))
                      AS BIGINT)) AS BIGINT) AS content_checksum
 FROM documents GROUP BY source ORDER BY source
 """

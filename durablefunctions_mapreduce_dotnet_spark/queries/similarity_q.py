@@ -452,7 +452,7 @@ mom AS (
   FROM q GROUP BY n, mx, my
 ),
 eig AS (
-  SELECT mx, my, a, b,
+  SELECT mx, my, a, b, c,
          ((a + c) + sqrt((a - c) * (a - c) + (2.0 * b) * (2.0 * b))) / 2.0 AS lam1,
          ((a + c) - sqrt((a - c) * (a - c) + (2.0 * b) * (2.0 * b))) / 2.0 AS lam2
   FROM mom
@@ -461,10 +461,10 @@ uv AS (
   SELECT mx, my, lam1, lam2,
          CASE WHEN b <> 0.0
                 THEN b / sqrt(b * b + (lam1 - a) * (lam1 - a))
-              WHEN a >= lam1 THEN 1.0 ELSE 0.0 END AS ux,
+              WHEN a >= c THEN 1.0 ELSE 0.0 END AS ux,
          CASE WHEN b <> 0.0
                 THEN (lam1 - a) / sqrt(b * b + (lam1 - a) * (lam1 - a))
-              WHEN a >= lam1 THEN 0.0 ELSE 1.0 END AS uy
+              WHEN a >= c THEN 0.0 ELSE 1.0 END AS uy
   FROM eig
 ),
 vecs AS (

@@ -149,10 +149,12 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = n * sxx - sx * sx
         # den == 0 iff n == 1 (x is 0..n-1): a one-day group has no
         # trend — emit NULL slope/intercept instead of crashing the job
-        # with ZeroDivisionError (the oracle's CASE mirrors this; NaN
-        # crosses Arrow as null).
+        # with ZeroDivisionError (the oracle's CASE mirrors this).  The
+        # NULL is an EXPLICIT pd.NA in a nullable Float64 column, not a
+        # float NaN relying on pyarrow's NaN-as-null from_pandas default
+        # (which is conversion-setting dependent).
         if n < 2:
-            slope = intercept = float("nan")
+            slope = intercept = None
         else:
             slope = float(n * sxy - sx * sy) / float(den)
             intercept = float(sy * sxx - sx * sxy) / float(den)
@@ -160,8 +162,8 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_days": [n],
-                "slope": [slope],
-                "intercept": [intercept],
+                "slope": pd.array([slope], dtype="Float64"),
+                "intercept": pd.array([intercept], dtype="Float64"),
             }
         )
 

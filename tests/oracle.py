@@ -59,16 +59,19 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     for c in s.columns:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            a = sv.to_numpy(dtype="float64")
-            b = ov.to_numpy(dtype="float64")
+            a = sv.to_numpy(dtype="float64").copy()
+            b = ov.to_numpy(dtype="float64").copy()
             # BIT-level equality, not ==: the driver value-hashes raw
             # bytes, so -0.0 vs +0.0 is a driver mismatch even though
             # -0.0 == +0.0 (exactly how the r08 m12 red row slipped past
-            # this mirror).  No NaN escape either — a NaN payload or
-            # sign-bit difference is exactly the class of byte-level
-            # divergence the driver would flag (NULL→NaN conversions on
-            # both engines emit the canonical quiet NaN, so paired nulls
-            # still match bitwise).
+            # this mirror).  NaNs are canonicalized to the quiet-NaN bit
+            # pattern on BOTH sides first: an x86 0.0/0.0 yields -NaN
+            # (0xfff8...) while NULL→NaN conversion yields +NaN
+            # (0x7ff8...), so two semantically-equal NaN results could
+            # otherwise raise a false bit mismatch.  Only genuine
+            # value-vs-value (or NaN-vs-number) differences fail.
+            a[np.isnan(a)] = np.nan
+            b[np.isnan(b)] = np.nan
             same = a.view(np.int64) == b.view(np.int64)
             if not same.all():
                 bad = np.flatnonzero(~same)[:5]
