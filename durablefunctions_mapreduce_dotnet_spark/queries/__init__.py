@@ -188,6 +188,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "multimodal_phash_wide",
     "multimodal_audio_energy",
+    # r11 newcomers:
+    "ann_pq_exhaustive",
+    "ann_ivfpq_exhaustive",
 )
 
 

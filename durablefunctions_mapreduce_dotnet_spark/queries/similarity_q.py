@@ -517,6 +517,54 @@ def q_ann_ivfpq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT PQ twin (the ann_ivf_exhaustive pattern applied to
+    the ADC + refine stack): pq_rescored_topk with prefilter_k = corpus
+    size, so the PQ-code prefilter retains EVERY candidate and the
+    exact-cosine rescore ranks them all — by construction equal to
+    brute-force cosine top-k regardless of code reconstruction error
+    (ADC scores only ORDER the prefilter, and an exhaustive prefilter
+    makes that order irrelevant).  The oracle is the brute-force SQL
+    verbatim, giving the PQ kernel (codebook train, batch code
+    assignment, LUT scoring, candidate plumbing, broadcast rescore
+    join, (cos desc, id) tie-break) a driver value-hash row the
+    approximate configuration (ann_pq_rescored) can't have.  The
+    corpus-sized prefilter is the validation configuration only — the
+    production path keeps prefilter_k = 50."""
+    from ..operators.similarity import pq_rescored_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()  # metadata-sized: one scalar job to size the prefilter
+    return (
+        pq_rescored_topk(e, _queries_subset(e), k=5, prefilter_k=n)
+        .withColumn("rank", F.col("rank").cast("int"))  # oracle's INTEGER
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT IVFADC twin: ivfpq_rescored_topk probed exhaustively
+    (n_probe = n_lists) with prefilter_k = corpus size — every corpus
+    vector lands in some probed cell and survives the residual-ADC
+    prefilter, so the exact-cosine rescore must reproduce brute-force
+    top-k.  Covers the full composed kernel (coarse Lloyd refine, cell
+    routing, residual coding, XDOT decomposition, per-cell LUT scoring,
+    rescore fan-in) with a driver value-hash row; ann_ivfpq_rescored
+    keeps the production n_probe=8/prefilter=50 configuration under the
+    rows-only + recall-floor contract."""
+    from ..operators.similarity import ivfpq_rescored_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    return (
+        ivfpq_rescored_topk(
+            e, _queries_subset(e), k=5, prefilter_k=n, n_lists=16, n_probe=16
+        )
+        .withColumn("rank", F.col("rank").cast("int"))  # oracle's INTEGER
+        .orderBy("query_id", "rank")
+    )
+
+
 _RRF_K = 60
 _RRF_TOPK = 20
 
@@ -612,6 +660,8 @@ QUERIES = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_pq_rescored": q_ann_pq_rescored,
+    "ann_pq_exhaustive": q_ann_pq_exhaustive,
+    "ann_ivfpq_exhaustive": q_ann_ivfpq_exhaustive,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
     "embedding_pca2_exact": q_embedding_pca2_exact,
@@ -626,6 +676,8 @@ ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ivf_exhaustive": _ANN_BRUTE_SQL,
+    "ann_pq_exhaustive": _ANN_BRUTE_SQL,
+    "ann_ivfpq_exhaustive": _ANN_BRUTE_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,
     "ann_quantized_rescored": _ANN_QUANTIZED_RESCORED_SQL,
     "ann_lsh_topk": _lsh_oracle_sql(),
