@@ -568,3 +568,153 @@ def audio_frame_energy(
         "is_silence",
         F.col("energy") < F.lit(silence_threshold) * F.col("n_samples"),
     )
+
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic 24-bit BMP payload for one id — the generator half
+    of the hash-exact BMP round-trip (see :func:`bmp_exact_features`).
+    Geometry and pixels are closed-form in ``doc_id`` so an oracle can
+    predict every decoded feature WITHOUT parsing bytes:
+
+        w  = 16 + (id % 5)·7   ∈ {16,23,30,37,44} — three of the five
+                                 widths need stride padding (w·3 % 4 ≠ 0)
+        h  = 8 + (id % 3)·9    ∈ {8,17,26} — h=8 leaves a 9×9 grid row
+                                 empty (the densify path)
+        odd ids are stored TOP-DOWN (negative height), even bottom-up
+        R(r,c) = (id + 2r + 3c) % 256        r = visual row from top
+        G(r,c) = (id//3 + 5r + c) % 256
+        B(r,c) = (7·id + r + 4c) % 256
+    """
+    import numpy as np
+
+    did = int(doc_id)
+    w = 16 + (did % 5) * 7
+    hh = 8 + (did % 3) * 9
+    topdown = (did % 2) == 1
+    stride = (w * 3 + 3) // 4 * 4
+    r = np.arange(hh, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    red = (did + 2 * r + 3 * c) % 256
+    grn = (did // 3 + 5 * r + c) % 256
+    blu = (7 * did + r + 4 * c) % 256
+    rows = np.zeros((hh, stride), dtype=np.uint8)
+    rows[:, : w * 3] = (
+        np.stack([blu, grn, red], axis=2).astype(np.uint8).reshape(hh, w * 3)
+    )
+    if not topdown:
+        rows = rows[::-1]  # bottom-up storage keeps the last visual row first
+    header = (
+        b"BM"
+        + (54 + stride * hh).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-hh if topdown else hh).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * hh).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + dib + rows.tobytes()
+
+
+def synth_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content binary) of :func:`synth_bmp_bytes` payloads — one
+    Arrow pass, no shuffle; the binary column is built WHERE the ids
+    live, exactly as a real ingest would materialize thumbnails."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "content": [
+                        synth_bmp_bytes(int(i)) for i in batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        gen, "doc_id bigint, content binary"
+    )
+
+
+def bmp_exact_features(binary_df: DataFrame) -> DataFrame:
+    """HASH-EXACT decoded features over real BMP payloads — the
+    value-checkable face of the BMP tier.  Every output is exact
+    integer arithmetic so a SQL oracle reproduces it bit-for-bit:
+
+    - ``width``/``height``/``n_bytes``: true header dims + file size
+      (stride padding included) from :func:`parse_bmp`.
+    - ``luma_total``: Σ over pixels of the integer BT.601 luma
+      299·R + 587·G + 114·B (recovered exactly from the decoder's
+      /1000.0 grayscale: the float is within 1 ulp of L/1000, so
+      rint(gray·1000) == L for L ≤ 255 000).
+    - ``dhash_h``/``dhash_v``: 64-bit gradient hashes over the same
+      9×9 block grid as the perceptual dHash (same right-brighter /
+      down-brighter bit convention as ``_dhash_from_grid``), with the
+      avg(next) > avg(cell) comparison done as the EXACT integer
+      cross-product sum_b·cnt_a > sum_a·cnt_b — no float averages, no
+      rounding margin.  Bit (gi·8+gj) is the MSB-first weight
+      2^(63−(gi·8+gj)); horizontal compares (gi,gj)→(gi,gj+1),
+      vertical (gi,gj)→(gi+1,gj) over gi,gj ∈ 0..7.  Empty grid cells
+      (h=8 rows) densify to sum 0 / cnt 1 on both engines.
+
+    A payload that fails :func:`parse_bmp` NULLs every feature —
+    corrupt inputs surface, never crash the job."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            w_, h_, nb_, lt_, dh_, dv_ = [], [], [], [], [], []
+            for content in batch["content"]:
+                blob = (
+                    bytes(content)
+                    if isinstance(content, (bytes, bytearray))
+                    else b""
+                )
+                parsed = parse_bmp(blob)
+                if parsed is None:
+                    w_.append(None); h_.append(None); nb_.append(len(blob))
+                    lt_.append(None); dh_.append(None); dv_.append(None)
+                    continue
+                w, hh, gray = parsed
+                lum = np.rint(gray * 1000.0).astype(np.int64)
+                ri = (np.arange(hh, dtype=np.int64) * 9) // hh
+                ci = (np.arange(w, dtype=np.int64) * 9) // w
+                cell = (ri[:, None] * 9 + ci[None, :]).ravel()
+                sums = np.bincount(cell, weights=lum.ravel(), minlength=81).astype(np.int64)
+                cnts = np.maximum(np.bincount(cell, minlength=81), 1).astype(np.int64)
+                S = sums.reshape(9, 9)
+                N = cnts.reshape(9, 9)
+                # right-brighter / down-brighter, matching _dhash_from_grid
+                bits_h = (S[:8, 1:9] * N[:8, :8]) > (S[:8, :8] * N[:8, 1:9])
+                bits_v = (S[1:9, :8] * N[:8, :8]) > (S[:8, :8] * N[1:9, :8])
+                to_signed = lambda u: u - (1 << 64) if u >= (1 << 63) else u  # noqa: E731
+                dh = int.from_bytes(np.packbits(bits_h.ravel()).tobytes(), "big")
+                dv = int.from_bytes(np.packbits(bits_v.ravel()).tobytes(), "big")
+                w_.append(w); h_.append(hh); nb_.append(len(blob))
+                lt_.append(int(lum.sum()))
+                dh_.append(to_signed(dh)); dv_.append(to_signed(dv))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": pd.array(w_, dtype="Int32"),
+                    "height": pd.array(h_, dtype="Int32"),
+                    "n_bytes": pd.array(nb_, dtype="int32"),
+                    "luma_total": pd.array(lt_, dtype="Int64"),
+                    "dhash_h": pd.array(dh_, dtype="Int64"),
+                    "dhash_v": pd.array(dv_, dtype="Int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, n_bytes int, "
+        "luma_total bigint, dhash_h bigint, dhash_v bigint",
+    )

@@ -191,6 +191,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # r11 newcomers:
     "ann_pq_exhaustive",
     "ann_ivfpq_exhaustive",
+    "multimodal_bmp_exact",
 )
 
 

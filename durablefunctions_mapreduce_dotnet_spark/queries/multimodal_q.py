@@ -161,7 +161,89 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_bmp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP tier's VALUE-CHECKABLE face: deterministic 24-bit BMP
+    payloads are generated per doc_id (operators.multimodal.
+    synth_bmp_bytes — closed-form geometry/pixels, stride padding,
+    alternating bottom-up/top-down storage), REALLY decoded by
+    parse_bmp, and reduced to exact-integer features (true dims, file
+    size, total BT.601 luma, integer cross-product 9×9-grid dHash
+    words).  The oracle never parses a byte: it recomputes every
+    feature analytically from the same closed forms, so any
+    mis-decode — wrong stride, BGR swap, row-order flip, luma
+    rounding — breaks the driver's value hash.  First multimodal query
+    with a full hash row; the byte-stream stand-in queries stay
+    rows-only by design."""
+    from ..operators.multimodal import bmp_exact_features, synth_bmp_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return bmp_exact_features(synth_bmp_table(d)).orderBy("doc_id")
+
+
+# Mirrors synth_bmp_bytes + bmp_exact_features analytically: pixels are
+# enumerated with lateral range() and every feature is exact integer
+# arithmetic (HUGEINT bit-packing, signed fold at 2^63).
+_MULTIMODAL_BMP_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 7 AS w,
+         8 + (doc_id % 3) * 9 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, r.r, c.c,
+         299 * ((d.doc_id + 2 * r.r + 3 * c.c) % 256)
+       + 587 * ((d.doc_id // 3 + 5 * r.r + c.c) % 256)
+       + 114 * ((7 * d.doc_id + r.r + 4 * c.c) % 256) AS lum
+  FROM d, unnest(range(0, d.h)) AS r(r), unnest(range(0, d.w)) AS c(c)
+),
+cells AS (
+  SELECT doc_id, (r * 9) // h AS gi, (c * 9) // w AS gj,
+         SUM(lum) AS s, COUNT(*) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+gridkeys AS (
+  SELECT d.doc_id, gi.gi, gj.gj
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS gi) gi
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS gj) gj
+),
+grid AS (
+  SELECT k.doc_id, k.gi, k.gj,
+         COALESCE(c.s, 0)::BIGINT AS s,
+         GREATEST(COALESCE(c.n, 0), 1)::BIGINT AS n
+  FROM gridkeys k
+  LEFT JOIN cells c ON c.doc_id = k.doc_id AND c.gi = k.gi AND c.gj = k.gj
+),
+bits AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN bh.s * a.n > a.s * bh.n
+                  THEN (1::HUGEINT) << (63 - (a.gi * 8 + a.gj)) ELSE 0 END) AS uh,
+         SUM(CASE WHEN bv.s * a.n > a.s * bv.n
+                  THEN (1::HUGEINT) << (63 - (a.gi * 8 + a.gj)) ELSE 0 END) AS uv
+  FROM grid a
+  JOIN grid bh ON bh.doc_id = a.doc_id AND bh.gi = a.gi AND bh.gj = a.gj + 1
+  JOIN grid bv ON bv.doc_id = a.doc_id AND bv.gi = a.gi + 1 AND bv.gj = a.gj
+  WHERE a.gi < 8 AND a.gj < 8
+  GROUP BY a.doc_id
+),
+tot AS (SELECT doc_id, SUM(lum)::BIGINT AS luma_total FROM px GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(54 + ((d.w * 3 + 3) // 4 * 4) * d.h AS INTEGER) AS n_bytes,
+       t.luma_total,
+       CAST(CASE WHEN b.uh >= (1::HUGEINT) << 63
+                 THEN b.uh - ((1::HUGEINT) << 64) ELSE b.uh END AS BIGINT) AS dhash_h,
+       CAST(CASE WHEN b.uv >= (1::HUGEINT) << 63
+                 THEN b.uv - ((1::HUGEINT) << 64) ELSE b.uv END AS BIGINT) AS dhash_v
+FROM d JOIN tot t USING (doc_id) JOIN bits b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_bmp_exact": q_multimodal_bmp_exact,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_wide": q_multimodal_phash_wide,
     "multimodal_audio_energy": q_multimodal_audio_energy,
@@ -171,6 +253,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
+    "multimodal_bmp_exact": _MULTIMODAL_BMP_EXACT_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

@@ -283,6 +283,43 @@ def test_multimodal_dhash_uses_real_bmp_pixels(spark):
     assert _dhash_words(blob) != (hsh, vsh)
 
 
+def test_multimodal_bmp_exact_features_roundtrip(spark):
+    """bmp_exact_features over synth payloads: a brightness-ramp id
+    must set every horizontal cross-product bit (dhash_h == -1 needs
+    the SIGNED 2^63 fold — the signedness edge), dims/file size match
+    the closed forms, and a corrupt payload NULLs features instead of
+    crashing the batch."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        bmp_exact_features,
+        synth_bmp_bytes,
+    )
+
+    # hand-built ramp BMP: every horizontal gradient bit fires
+    ramp = [[c * 28 for c in range(9)] for _ in range(9)]
+    bmp_ramp = _make_bmp(ramp)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(synth_bmp_bytes(0))),
+            (7, bytearray(synth_bmp_bytes(7))),  # odd ⇒ top-down storage
+            (90, bytearray(bmp_ramp)),
+            (91, bytearray(b"BMnot really a bitmap")),
+        ],
+        "doc_id bigint, content binary",
+    )
+    got = {r.doc_id: r for r in bmp_exact_features(df).collect()}
+    # closed forms: w = 16 + (id%5)*7, h = 8 + (id%3)*9, size = 54+stride*h
+    assert (got[0].width, got[0].height) == (16, 8)
+    assert got[0].n_bytes == 54 + (16 * 3 + 3) // 4 * 4 * 8
+    assert (got[7].width, got[7].height) == (30, 17)
+    assert got[7].n_bytes == len(synth_bmp_bytes(7))
+    assert got[90].dhash_h == -1 and got[90].dhash_v == 0
+    assert got[91].width is None and got[91].dhash_h is None
+    assert got[91].n_bytes == len(b"BMnot really a bitmap")
+    # luma_total is the ×1000-scaled integer luma: (299+587+114)·v for
+    # the B=G=R ramp
+    assert got[90].luma_total == 1000 * sum(v for row in ramp for v in row)
+
+
 def test_simhash_candidates_recall_is_exact_vs_bruteforce(spark):
     """Pigeonhole chunking must find EVERY pair within max_hamming — the
     4x16 design only guarantees radius 3, so radius 8 derives 9 chunks.
