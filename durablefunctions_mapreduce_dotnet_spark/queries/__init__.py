@@ -192,6 +192,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_pq_exhaustive",
     "ann_ivfpq_exhaustive",
     "multimodal_bmp_exact",
+    "agg_hll_merge_invariance",
 )
 
 

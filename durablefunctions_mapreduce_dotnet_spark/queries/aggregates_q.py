@@ -268,6 +268,54 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT merge-algebra check for the HLL sketch tier: the same
+    corpus sketched three ways — whole-corpus directly, per-day partials
+    unioned, and user_id%13-salted partials unioned — must yield ONE
+    estimate, and in the sketch's exact (coupon) regime that estimate
+    IS the exact distinct count, so the oracle is plain
+    COUNT(DISTINCT).  lgConfigK=14 keeps every test-corpus cardinality
+    (≤ ~2k users) in coupon mode, where union is genuinely lossless;
+    at production cardinalities the sketch goes dense and union order
+    starts to matter by design — that regime is agg_hll_incremental's
+    rows-only + error-bound contract.  What this row pins against the
+    driver: the partial-agg → union → estimate pipeline (the thing an
+    incremental deployment persists) loses NOTHING relative to a full
+    rescan, under two different partition shapes."""
+    e = read_table(spark, sf_dir, "events")
+    lgk = 14
+    by_day = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.hll_sketch_agg("user_id", lgk).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_by_day"))
+    )
+    by_salt = (
+        e.groupBy("event_type", (F.col("user_id") % 13).alias("s"))
+        .agg(F.hll_sketch_agg("user_id", lgk).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_by_salt"))
+    )
+    whole = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk)).alias("users_whole")
+    )
+    return (
+        whole.join(by_day, "event_type")
+        .join(by_salt, "event_type")
+        .select("event_type", "users_whole", "users_by_day", "users_by_salt")
+        .orderBy("event_type")
+    )
+
+
+_HLL_MERGE_INVARIANCE_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS users_whole,
+       COUNT(DISTINCT user_id) AS users_by_day,
+       COUNT(DISTINCT user_id) AS users_by_salt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Spark 4.1 DataSketches KLL): per-day
     value sketches merged per event_type, then p50/p90/p99 read from
@@ -564,6 +612,7 @@ ORDER BY event_type
 QUERIES = {
     "agg_mode_value_bucket": q_agg_mode_value_bucket,
     "agg_hll_incremental": q_hll_incremental,
+    "agg_hll_merge_invariance": q_hll_merge_invariance,
     "agg_listagg_ordered": q_listagg_ordered,
     "agg_weighted_median": q_weighted_median,
     "agg_kll_quantiles": q_kll_quantiles,
@@ -587,6 +636,7 @@ ORACLES = {
     "agg_listagg_ordered": _LISTAGG_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_kll_quantiles_exact": _KLL_EXACT_SQL,
+    "agg_hll_merge_invariance": _HLL_MERGE_INVARIANCE_SQL,
     "agg_incremental_maintenance": _INCREMENTAL_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
