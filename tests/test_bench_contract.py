@@ -79,7 +79,12 @@ def test_detail_record_names_exclusions():
         detail = json.loads(fh.read())
     cov = detail["coverage"]
     assert cov["headline"] + len(cov["excluded"]) == cov["registry"]
-    assert "pulled_with_reason" in cov
+    # r10 VERDICT #6: every exclusion carries its reason (and the live
+    # rule table still covers every currently-excluded name)
+    assert set(cov["pulled_with_reason"]) == set(cov["excluded"])
+    assert all(cov["pulled_with_reason"].values())
+    for name in (n for n in qs if n not in headline):
+        assert bench.pulled_reason(name)
     # The committed record must be CURRENT, not just self-consistent:
     # r08 shipped a 67-query detail against a 188-query registry because
     # this test only checked internal arithmetic.  Any headline or
