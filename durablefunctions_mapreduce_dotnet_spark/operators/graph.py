@@ -338,21 +338,36 @@ def pagerank(
     # ranks are summed, via a semi join instead of a rebuilt anti join).
     # Arithmetic is untouched (same rank/deg division, same decimal
     # sums), so ranks stay bit-identical to the unrolled SQL oracle.
-    ew = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .join(
-            edges.groupBy(F.col(src).alias("_s")).agg(
-                F.count(F.lit(1)).alias("_deg")
-            ),
-            "_s",
-        )
+    #
+    # Node universe FIRST (straight from edges — identical to deriving
+    # it from ew, since the degree join preserves every edge), so the
+    # already-needed N doubles as the broadcast gate for the degree
+    # join: when the node set fits an executor (n ≤ 2M ⇒ degree table
+    # ≤ n rows ≈ tens of MB), the out-degree side broadcasts and the
+    # edge table never shuffles for the ew build — one fewer full-edge
+    # exchange at cluster scale.  Local measurement (sf0.1,
+    # interleaved 4 rounds): 3.69 s vs 3.91 s best — noise-band
+    # neutral, taken for the cluster-scale shuffle count.  r10 stretch
+    # note: the remaining local-mode cost is setup (ew persist ~2.1 s
+    # of the ~5.9 s cold bench run); broadcasting the RANK side each
+    # iteration was also tried and measured SLOWER locally (4.44 vs
+    # 3.71 s) because each broadcast adds a driver collect job per
+    # iteration — the pinned-frame design stands.
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = ew.select(F.col("_s").alias("node")).union(
-        ew.select(F.col("_d").alias("node"))
-    ).distinct()
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
+    deg = edges.groupBy(F.col(src).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    ew = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(F.broadcast(deg) if n <= 2_000_000 else deg, "_s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dang_nodes = nodes.join(
         ew.select("_s").distinct(), nodes.node == F.col("_s"), "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
