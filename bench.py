@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_ivfpq_exhaustive",
     "multimodal_bmp_exact",
     "agg_hll_merge_invariance",
+    "text_heavy_hitters",
 ]
 
 

@@ -1016,3 +1016,97 @@ def logistic_quality_score(
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_score"),
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    num: int = 2,
+    den: int = 100,
+    k: int = 64,
+) -> DataFrame:
+    """PROVABLY-EXACT distributed heavy hitters (frequent vocabulary
+    items with frequency ≥ num/den of all tokens) in two corpus passes —
+    the Misra-Gries candidate + exact-verify recipe that replaces the
+    unscalable "GROUP BY every token, sort by count" at 100 TB:
+
+    Pass 1 (map-only, no shuffle): each partition streams its tokens
+    through a k-counter Misra-Gries summary [Misra & Gries 1982] and
+    emits only its ≤ k surviving tokens plus one token-count sentinel
+    row.  Pigeonhole guarantee: any token with GLOBAL frequency
+    > N/(k+1) exceeds the local N_p/(k+1) in at least one partition, and
+    MG never evicts such an item — so the union of per-partition
+    summaries is a SUPERSET of every true heavy hitter whenever
+    k·num ≥ den (asserted).  The shuffle carries ≤ k·P candidate tokens,
+    independent of corpus size.
+
+    Pass 2: exact counts of ONLY the candidates (broadcast semi join
+    prunes the stream before the combiner-reduced groupBy) filtered by
+    the integer threshold freq·den ≥ N·num — no float ratio, so the
+    boundary token is decided identically on any engine.  The output is
+    therefore EXACTLY the true heavy-hitter set with exact counts: the
+    sketch bounds candidate count, never the answer (which is what makes
+    this hash-checkable while the classic ε-approximate form is not).
+
+    Tokenization: the registry-wide ``[a-z]+`` over lowered text."""
+    import re
+
+    import pandas as pd
+
+    assert k * num >= den, "need k >= den/num for the superset guarantee"
+    pat = re.compile(r"[a-z]+")
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        n_tokens = 0
+        for b in batches:
+            for txt in b[text_col]:
+                if txt is None:
+                    continue
+                for tok in pat.findall(txt.lower()):
+                    n_tokens += 1
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all: one "charge" against every
+                        # counter and the incoming token together
+                        dead = []
+                        for t in counters:
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counters[t]
+        yield pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "cnt": [0] * len(counters) + [n_tokens],
+            }
+        )
+
+    summary = (
+        df.select(F.col(text_col).alias(text_col))
+        .mapInPandas(mg, "token string, cnt bigint")
+    )
+    candidates = summary.where(F.col("token").isNotNull()).select("token").distinct()
+    total = summary.where(F.col("token").isNull()).agg(
+        F.sum("cnt").alias("_n")
+    )
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))
+        ).alias("token")
+    )
+    counts = (
+        toks.join(F.broadcast(candidates), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * F.lit(den) >= F.col("_n") * F.lit(num))
+        .select("token", "freq")
+        .orderBy(F.desc("freq"), "token")
+    )

@@ -193,6 +193,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_ivfpq_exhaustive",
     "multimodal_bmp_exact",
     "agg_hll_merge_invariance",
+    "text_heavy_hitters",
 )
 
 

@@ -655,7 +655,37 @@ FROM s
 """
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provably-exact frequent vocabulary items ≥ 2% of all tokens
+    (operators.textops.heavy_hitters_exact): per-partition Misra-Gries
+    summaries (map-only, ≤ k·P candidate shuffle) + an exact
+    verification pass over only the candidates — the two-pass recipe
+    that makes heavy hitters hash-checkable at 100 TB where a full
+    GROUP BY + global sort is not.  The oracle is the brute-force
+    GROUP BY ... HAVING with the same integer threshold: if the sketch
+    pass ever dropped a true heavy hitter, the value hash breaks."""
+    from ..operators.textops import heavy_hitters_exact
+
+    d = read_table(spark, sf_dir, "documents")
+    return heavy_hitters_exact(d, num=2, den=100, k=64)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, COUNT(*) AS freq
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * 100 >= tot.n * 2
+ORDER BY freq DESC, token
+"""
+
+
 QUERIES = {
+    "text_heavy_hitters": q_text_heavy_hitters,
     "text_feature_hashing": q_text_feature_hashing,
     "text_quality_logistic": q_text_quality_logistic,
     "text_zipf_slope": q_text_zipf_slope,
@@ -677,6 +707,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_bm25": _bm25_oracle_sql(),
     "text_bpe_merges": _bpe_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),

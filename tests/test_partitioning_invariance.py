@@ -177,3 +177,50 @@ def test_sax_motifs_partitioning_invariant(spark):
         "event_type", "rank", "start_a", "start_b", "dist",
     )
     assert ra == rb and len(ra) > 0
+
+
+def test_heavy_hitters_partitioning_invariant_and_exact(spark):
+    """Misra-Gries candidates depend on partition layout, but the
+    VERIFIED output must not: heavy_hitters_exact over the same rows
+    split 1 way and 17 ways (and with a deliberately tiny k at the
+    guarantee boundary) must equal the brute-force GROUP BY answer."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        heavy_hitters_exact,
+    )
+
+    # skewed corpus: 'alpha' ~18%, 'beta' ~9%, long tail of one-hits
+    # (two-letter suffixes — digits would be stripped by [a-z]+ and
+    # collapse the tail into one giant 'tail' token)
+    words = (
+        ["alpha"] * 200
+        + ["beta"] * 100
+        + [f"t{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}x" for i in range(800)]
+    )
+    docs = [
+        (i, " ".join(words[i::50]))  # stripe words across 50 docs
+        for i in range(50)
+    ]
+    base = spark.createDataFrame(docs, "doc_id long, text string")
+    brute = {
+        (r.token, r.freq)
+        for r in base.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[a-z]+"), F.lit(0)
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .where(F.col("freq") * 100 >= F.lit(len(words)) * 5)
+        .collect()
+    }
+    for parts in (1, 17):
+        got = {
+            (r.token, r.freq)
+            for r in heavy_hitters_exact(
+                base.repartition(parts), num=5, den=100, k=20
+            ).collect()
+        }
+        assert got == brute and {"alpha", "beta"} == {t for t, _ in got}
