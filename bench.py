@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_bmp_exact",
     "agg_hll_merge_invariance",
     "text_heavy_hitters",
+    "agg_theta_set_algebra",
 ]
 
 

@@ -194,6 +194,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "multimodal_bmp_exact",
     "agg_hll_merge_invariance",
     "text_heavy_hitters",
+    "agg_theta_set_algebra",
 )
 
 

@@ -468,6 +468,56 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT merge-algebra check for the Theta sketch tier (the
+    agg_hll_merge_invariance pattern applied to SET OPERATIONS): two
+    genuinely different per-type audiences — A = users with
+    user_id%3=0, B = users with user_id%4=0 (so A∩B is the %12 slice,
+    neither containing the other) — are sketched from user_id%13-salted
+    PARTIALS, theta_union_agg-merged, then intersected / differenced /
+    unioned.  In the sketch's exact regime (every test-corpus audience
+    ≪ the 4096-entry nominal), Theta set operations are lossless set
+    algebra, so the oracle is the literal COUNT(DISTINCT ...) set
+    arithmetic.  What this row pins: partials → union → set-op →
+    estimate loses nothing vs a full rescan — the mergeable-audience
+    contract a 100 TB overlap deployment relies on; the estimator
+    regime stays rows-only under agg_theta_overlap."""
+    e = read_table(spark, sf_dir, "events")
+    def sketch(pred):
+        return (
+            e.where(pred)
+            .groupBy("event_type", (F.col("user_id") % 13).alias("s"))
+            .agg(F.theta_sketch_agg("user_id").alias("sk"))
+            .groupBy("event_type")
+            .agg(F.theta_union_agg("sk").alias("sk"))
+        )
+    a = sketch(F.col("user_id") % 3 == 0).withColumnRenamed("sk", "ask")
+    b = sketch(F.col("user_id") % 4 == 0).withColumnRenamed("sk", "bsk")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.theta_sketch_estimate(F.theta_intersection("ask", "bsk")).alias("n_both"),
+            F.theta_sketch_estimate(F.theta_difference("ask", "bsk")).alias("n_a_only"),
+            F.theta_sketch_estimate(F.theta_union("ask", "bsk")).alias("n_either"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THETA_SET_ALGEBRA_SQL = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT event_type,
+       COUNT(DISTINCT CASE WHEN user_id % 3 = 0 AND user_id % 4 = 0
+                           THEN user_id END) AS n_both,
+       COUNT(DISTINCT CASE WHEN user_id % 3 = 0 AND user_id % 4 <> 0
+                           THEN user_id END) AS n_a_only,
+       COUNT(DISTINCT CASE WHEN user_id % 3 = 0 OR user_id % 4 = 0
+                           THEN user_id END) AS n_either
+FROM u GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT audience overlap — the ground truth q_theta_overlap
     estimates: distinct users per event type intersected with the
@@ -613,6 +663,7 @@ QUERIES = {
     "agg_mode_value_bucket": q_agg_mode_value_bucket,
     "agg_hll_incremental": q_hll_incremental,
     "agg_hll_merge_invariance": q_hll_merge_invariance,
+    "agg_theta_set_algebra": q_theta_set_algebra,
     "agg_listagg_ordered": q_listagg_ordered,
     "agg_weighted_median": q_weighted_median,
     "agg_kll_quantiles": q_kll_quantiles,
@@ -637,6 +688,7 @@ ORACLES = {
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_kll_quantiles_exact": _KLL_EXACT_SQL,
     "agg_hll_merge_invariance": _HLL_MERGE_INVARIANCE_SQL,
+    "agg_theta_set_algebra": _THETA_SET_ALGEBRA_SQL,
     "agg_incremental_maintenance": _INCREMENTAL_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
     "agg_bitmap_distinct": _BITMAP_DISTINCT_SQL,
