@@ -130,6 +130,9 @@ _BNLJ_OK = {
     # dangling-mass scalar per power iteration: broadcast 1-row cross
     # join (operators/graph.pagerank)
     "graph_pagerank",
+    # total-token-count scalar for the integer heavy-hitter threshold:
+    # broadcast 1-row cross join (textops.heavy_hitters_exact)
+    "text_heavy_hitters",
     # reference-total / source-total scalars: broadcast 1-row cross
     # joins (textops.lm_bigram_score, curation.temperature_mix)
     "text_lm_score",
