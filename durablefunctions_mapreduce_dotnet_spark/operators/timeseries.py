@@ -197,17 +197,25 @@ _Z_SCALE = 1_000_000.0
 
 
 
-def _exact_dec_chain(terms: list[str]) -> str:
-    """Nested-cast decimal(38,18) summation chain: every partial is
-    re-cast so Spark's add-widening never erodes the scale — all
-    partials are exact rationals well inside 38 digits, so the chain
-    equals ANY exact summation (DuckDB's plain decimal list_sum
-    included).  Plain expressions, no lambdas: stays inside whole-stage
-    codegen, unlike an aggregate() fold (interpreted per element)."""
-    expr = terms[0]
-    for t in terms[1:]:
-        expr = f"cast({expr} + {t} as decimal(38,18))"
-    return expr
+def _dbl_chain(terms: list[str]) -> str:
+    """Explicit left-associated IEEE-double summation chain.  Both
+    engines parse ``t1 + t2 + …`` left-associatively and add binary64
+    doubles under strict IEEE-754 (JVM; DuckDB is compiled without
+    fast-math contraction), so as long as the oracle SQL writes the
+    SAME explicit chain over the SAME per-term doubles, the result is
+    BIT-IDENTICAL cross-engine — the z-score doctrine extended to the
+    sums.
+
+    Why not decimal(38,18) nested-cast chains (the pre-r11 form): each
+    decimal add expands to ~2 KB of Decimal-object codegen; at m=16
+    three such chains in one whole-stage span blew Janino's 64 KB
+    method limit ("Code grows beyond 64 KB"), dropping the ENTIRE
+    stage — window slicing, z-scores, SAX words, join keys — to
+    interpreted mode (4.6–7.7 s for ts_motif_topk at sf0.1).  Double
+    adds are one-line codegen; the span compiles and stays JVM-fast.
+    An aggregate() decimal fold fixes compilation but is interpreted
+    per element — measured no faster than the fallback."""
+    return "(" + " + ".join(terms) + ")"
 
 
 def _sax_word_expr(paa: int, seg: int) -> str:
@@ -265,10 +273,12 @@ def sax_similar_subsequences(
     LSH/minhash shape transplanted to the time axis, scale-safe where
     the quadratic profile is not.
 
-    Determinism doctrine: window means ride decimal sums of SOURCE
-    values; the centered square-sum decimal-casts per-element doubles
-    (≤1e-18/term skew — the covariance argument); z-scores are then
-    IDENTICAL IEEE expressions on both engines, and SAX bucketing
+    Determinism doctrine: EVERY sum (window mean, centered square sum,
+    pair distance) is an explicit left-associated double chain written
+    identically in both engines' SQL (see :func:`_dbl_chain` — the
+    association order is pinned in the query text, so cross-engine
+    results are bit-identical without decimal scaffolding); z-scores
+    are IDENTICAL IEEE expressions on both engines, and SAX bucketing
     quantizes them to the floor(z·1e6+0.5) integer grid before
     comparing against integer breakpoints, so bucket membership cannot
     waver on a cross-engine ulp.  Distances are ranked at 9 dp with a
@@ -321,7 +331,31 @@ def sax_similar_subsequences(
     # windows are built INSIDE a transform and only then exploded: an
     # explode over raw (chunk, j) rows would replicate the full chunk
     # array into every generator row before slicing (measured 5×
-    # slower); here each emitted row carries only its m-value slice
+    # slower); here each emitted row carries only its z-scored slice.
+    #
+    # mu/sd/z are LET-BOUND inside the lambda via single-element-array
+    # transforms (`transform(array(X), v -> …)[1]` is SQL's missing
+    # `let v = X in …`): each is evaluated ONCE per window inside the
+    # (interpreted) HOF.  Computing them as withColumn steps instead
+    # lets predicate pushdown inline the 16-term mu chain into all 16
+    # sd terms and the sd chain into every z element — the expression
+    # text explodes ~17× and whole-stage codegen dies with Janino's
+    # "Code grows beyond 64 KB", dropping the stage to interpreted
+    # mode (measured 4.6–7.7 s for ts_motif_topk at sf0.1).
+    mu_sum = _dbl_chain([f"element_at(v, {i})" for i in range(1, m + 1)])
+    sd_sum = _dbl_chain(
+        [
+            f"((element_at(v, {i}) - mu) * (element_at(v, {i}) - mu))"
+            for i in range(1, m + 1)
+        ]
+    )
+    z_expr = (
+        f"element_at(transform(array(slice(arr, j + 1, {m})), v ->"
+        f" element_at(transform(array({mu_sum} / {float(m)}), mu ->"
+        f" element_at(transform(array(sqrt({sd_sum} / {float(m)})), sd ->"
+        f" case when sd >= 1e-9 then transform(v, x -> (x - mu) / sd) end"
+        f"), 1)), 1)), 1)"
+    )
     wins = (
         arrs.where(F.col("alen") >= m)
         .select(
@@ -329,39 +363,13 @@ def sax_similar_subsequences(
             F.explode(
                 F.expr(
                     f"transform(sequence(0, least({C} - {stride}, alen - {m}), {stride}),"
-                    f" j -> struct(chunk * {C} + j AS start, slice(arr, j + 1, {m}) AS v))"
+                    f" j -> struct(chunk * {C} + j AS start, {z_expr} AS z))"
                 )
             ).alias("w"),
         )
-        .select("key", F.col("w.start").alias("start"), F.col("w.v").alias("v"))
-    )
-    mu_terms = [
-        f"cast(element_at(v, {i}) as decimal(38,18))" for i in range(1, m + 1)
-    ]
-    wins = wins.withColumn(
-        "mu",
-        F.expr(f"cast({_exact_dec_chain(mu_terms)} as double)") / F.lit(float(m)),
-    )
-    sd_terms = [
-        f"cast((element_at(v, {i}) - mu) * (element_at(v, {i}) - mu)"
-        " as decimal(38,18))".replace("{i}", str(i))
-        for i in range(1, m + 1)
-    ]
-    wins = wins.withColumn(
-        "sd",
-        F.sqrt(
-            F.expr(f"cast({_exact_dec_chain(sd_terms)} as double)")
-            / F.lit(float(m))
-        ),
-    ).where(F.col("sd") >= 1e-9)
-    wins = wins.withColumn(
-        "z",
-        F.array(
-            *[
-                (F.element_at("v", i) - F.col("mu")) / F.col("sd")
-                for i in range(1, m + 1)
-            ]
-        ),
+        .select("key", F.col("w.start").alias("start"), F.col("w.z").alias("z"))
+        # constant windows (sd < 1e-9) carry a NULL z — z is undefined
+        .where(F.col("z").isNotNull())
     )
     seg = m // paa
     wins = wins.withColumn(
@@ -382,18 +390,18 @@ def sax_similar_subsequences(
     cand = a.join(b, ["key", "word"]).where(
         F.col("start_b") >= F.col("start_a") + m
     )
-    d_terms = [
-        f"cast((element_at(za, {i}) - element_at(zb, {i}))"
-        f" * (element_at(za, {i}) - element_at(zb, {i})) as decimal(38,18))"
-        for i in range(1, m + 1)
-    ]
+    d_sum = _dbl_chain(
+        [
+            f"((element_at(za, {i}) - element_at(zb, {i}))"
+            f" * (element_at(za, {i}) - element_at(zb, {i})))"
+            for i in range(1, m + 1)
+        ]
+    )
     scored = cand.select(
         "key",
         "start_a",
         "start_b",
-        F.round(
-            F.sqrt(F.expr(f"cast({_exact_dec_chain(d_terms)} as double)")), 9
-        ).alias("_d9"),
+        F.round(F.sqrt(F.expr(d_sum)), 9).alias("_d9"),
     )
     rk = Window.partitionBy("key").orderBy("_d9", "start_a", "start_b")
     return (

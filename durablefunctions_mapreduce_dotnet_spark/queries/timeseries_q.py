@@ -209,10 +209,11 @@ def q_ts_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 most-similar non-overlapping subsequence pairs per event
     series (operators.timeseries.sax_similar_subsequences: z-normalized
     windows, SAX-bucketed candidates, exact distances).  FULL oracle
-    parity: window extraction, decimal-exact mean/std, the explicit-
-    order PAA sums, integer-grid SAX bucketing, candidate join, decimal
-    distance fold and the 9-dp ranking are all mirrored — the whole
-    motif pipeline is hash-checked."""
+    parity: window extraction, the explicit left-associated double
+    chains for mean/std/distance (association order pinned in both
+    engines' SQL text), integer-grid SAX bucketing, candidate join and
+    the 9-dp ranking are all mirrored — the whole motif pipeline is
+    hash-checked."""
     from ..operators.timeseries import sax_similar_subsequences
 
     e = read_table(spark, sf_dir, "events")
@@ -226,6 +227,16 @@ def _ts_motifs_oracle_sql(
 
     seg = m // paa
     word = _sax_word_sql_duckdb(paa, seg)
+    # explicit left-associated double chains, the EXACT text shape the
+    # Spark side builds via _dbl_chain — association order pinned in
+    # the SQL, so the IEEE results are bit-identical cross-engine
+    mu_sum = " + ".join(f"v[{i}]" for i in range(1, m + 1))
+    sd_sum = " + ".join(
+        f"((v[{i}] - mu) * (v[{i}] - mu))" for i in range(1, m + 1)
+    )
+    d_sum = " + ".join(
+        f"((za[{i}] - zb[{i}]) * (za[{i}] - zb[{i}]))" for i in range(1, m + 1)
+    )
     return f"""
 WITH base AS (
   SELECT event_type AS key,
@@ -245,15 +256,12 @@ wins0 AS (
 ),
 wins1 AS (
   SELECT key, start, v,
-         CAST(list_sum(list_transform(v, x -> CAST(x AS DECIMAL(38,18)))) AS DOUBLE)
-           / {float(m)} AS mu
+         ({mu_sum}) / {float(m)} AS mu
   FROM wins0
 ),
 wins2 AS (
   SELECT key, start, v, mu,
-         sqrt(CAST(list_sum(list_transform(v,
-                x -> CAST((x - mu) * (x - mu) AS DECIMAL(38,18)))) AS DOUBLE)
-              / {float(m)}) AS sd
+         sqrt(({sd_sum}) / {float(m)}) AS sd
   FROM wins1
 ),
 winz AS (
@@ -274,10 +282,7 @@ cand AS (
 ),
 scored AS (
   SELECT key, start_a, start_b,
-         ROUND(sqrt(CAST(list_sum(list_transform(range(1, {m} + 1),
-             i -> CAST((za[CAST(i AS INTEGER)] - zb[CAST(i AS INTEGER)])
-                       * (za[CAST(i AS INTEGER)] - zb[CAST(i AS INTEGER)])
-                       AS DECIMAL(38,18)))) AS DOUBLE)), 9) AS d9
+         ROUND(sqrt({d_sum}), 9) AS d9
   FROM cand
 ),
 ranked AS (
