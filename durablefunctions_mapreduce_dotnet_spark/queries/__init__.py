@@ -195,6 +195,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "agg_hll_merge_invariance",
     "text_heavy_hitters",
     "agg_theta_set_algebra",
+    # behavior-touching r11 fix (decimal chains -> pinned-order double
+    # chains after the 64KB codegen blowup): re-earn a driver row
+    "ts_motif_topk",
 )
 
 
