@@ -198,6 +198,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # behavior-touching r11 fix (decimal chains -> pinned-order double
     # chains after the 64KB codegen blowup): re-earn a driver row
     "ts_motif_topk",
+    # r11 newcomer: watermark late-drop lifecycle, hash-exact oracle
+    "streaming_late_data",
 )
 
 

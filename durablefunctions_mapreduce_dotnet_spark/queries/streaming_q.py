@@ -12,6 +12,7 @@ from ..streaming.stream_ops import (
     streaming_ewma,
     streaming_first_seen,
     streaming_flagship,
+    streaming_late_data,
     streaming_running_extrema,
     streaming_running_extrema_apws,
     streaming_session_windows,
@@ -127,6 +128,59 @@ SELECT event_type, MAX(value) AS max_value, COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# Watermark late-drop lifecycle, mirrored batch-for-batch (see
+# stream_ops.streaming_late_data): portable-hash arrival jitter, equal
+# arrival-range micro-batches, watermark before batch b = running max
+# event-time (ms floor, Spark's EventTimeStats granularity) over prior
+# batches minus the 2 h delay, rows dropped once their window end <=
+# that watermark, and only windows behind the FINAL watermark emitted
+# (append mode).  All integer arithmetic — BIGINT products / `div`
+# division on both engines — so the trajectory is hash-exact.
+_STREAM_LATE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, event_type, value,
+         epoch_us(ts) + ((event_id * 1103515245 + 12345) % 21600)
+           * (CASE WHEN (event_id * 2654435761 + 1013904223) % 50 = 0
+                   THEN 32 ELSE 1 END) * 1000000 AS arrival_us
+  FROM events
+),
+bounds AS (
+  SELECT MIN(arrival_us) AS lo,
+         (MAX(arrival_us) - MIN(arrival_us)) // 8 + 1 AS width
+  FROM ev
+),
+batched AS (
+  SELECT ev.*, (arrival_us - lo) // width AS b,
+         epoch_ms(date_trunc('day', ts)) + 86400000 AS end_ms
+  FROM ev CROSS JOIN bounds
+),
+batch_max AS (
+  SELECT b, MAX(epoch_ms(ts)) AS mx FROM batched GROUP BY b
+),
+wmk AS (
+  -- the LATE-EVENTS watermark for batch b: Spark updates the global
+  -- watermark at the END of each batch but filters late rows with the
+  -- PREVIOUS batch's value (eventTimeWatermarkForLateEvents vs
+  -- ForEviction, SPARK-24634) — so batch b drops against
+  -- max(event time over batches <= b-2), hence 2 PRECEDING
+  SELECT b,
+         MAX(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - 7200000 AS w
+  FROM batch_max
+),
+kept AS (
+  SELECT batched.* FROM batched JOIN wmk USING (b)
+  WHERE w IS NULL OR end_ms > w
+),
+frontier AS (SELECT MAX(epoch_ms(ts)) - 7200000 AS wf FROM batched)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM kept CROSS JOIN frontier
+WHERE end_ms <= wf
+GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_dedup": streaming_dedup,
@@ -139,6 +193,7 @@ QUERIES = {
     "streaming_running_extrema_apws": streaming_running_extrema_apws,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_ewma": streaming_ewma,
+    "streaming_late_data": streaming_late_data,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -154,6 +209,7 @@ ORACLES = {
     # the batch ts_ewma oracle in its round-free form: the stateful
     # kernel's exact-int division bit-matches HUGEINT->DOUBLE division
     "streaming_ewma": _ts_ewma_oracle_roundfree(),
+    "streaming_late_data": _STREAM_LATE_SQL,
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

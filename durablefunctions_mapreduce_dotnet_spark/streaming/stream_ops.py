@@ -458,3 +458,123 @@ def run_to_files_idempotent(
     finally:
         q.stop()
     return spark.read.parquet(os.path.join(path, "data"))
+
+
+def streaming_late_data(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 8,
+    delay_ms: int = 7_200_000,
+    jitter_mod: int = 21_600,
+) -> DataFrame:
+    """Watermark LATE-DATA DROP accounting — the semantics none of the
+    other streaming queries can exercise, because a single-file source
+    is one micro-batch and the watermark never advances mid-stream.
+
+    Events arrive OUT OF ORDER: arrival time = event time + a portable
+    integer-hash jitter of up to ``jitter_mod`` seconds (6 h), with a
+    heavy tail — the ~2% of events selected by a second independent
+    hash arrive up to 32× later (8 days), the straggler profile real
+    event buses exhibit.  The arrival span is cut into ``n_batches``
+    equal ranges, each staged as one parquet file with strictly
+    increasing mtimes, and streamed with
+    ``maxFilesPerTrigger=1`` — one file per micro-batch, oldest first,
+    a deterministic replayable arrival order.  A 1-day tumbling window
+    aggregation under ``withWatermark(ts, 2 hours)`` in APPEND mode
+    then exhibits the full production lifecycle: the watermark is
+    updated to max(event time) − 2 h (millisecond floor — Spark's
+    EventTimeStats granularity) at the END of each batch, but the
+    late-row filter of batch b uses the PREVIOUS batch's value
+    (``eventTimeWatermarkForLateEvents`` vs ``ForEviction``,
+    SPARK-24634) — i.e. rows are DROPPED iff their window end ≤
+    max(event time over batches ≤ b−2) − 2 h; windows are EMITTED only
+    once the eviction watermark passes their end, so the trailing day
+    (younger than the final watermark) never appears.  Resurrecting an
+    already-evicted window (which would duplicate an append-mode key)
+    is impossible under ANY lateness: a window evicted during batch j
+    needed max(batches ≤ j−1) ≥ end + delay, and every later batch
+    b > j filters with max(batches ≤ b−2) ⊇ max(batches ≤ j−1), so
+    rows for evicted windows always fail the late filter — the one-
+    batch gap between the two watermarks is exactly what makes append
+    mode emit-once.
+    Every step of that trajectory — jitter, batch assignment, lagged
+    running-max watermark, drop rule, final eviction frontier — is
+    mirrored in the DuckDB oracle, making the late-drop semantics
+    hash-checked, not just smoke-tested.
+
+    State at scale: |active windows| × |event types| rows, bounded by
+    the watermark exactly as in production; the restage is a test
+    harness stand-in for a Kafka topic's arrival order (one extra
+    bounded write, partitioned by batch, no global sort — batch ranges
+    come from a 2-value min/max aggregate, not a SinglePartition
+    window)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # deterministic out-of-order arrival: portable multiplicative-hash
+    # jitter (event_id * 1103515245 + 12345) mod 21600 seconds, times
+    # 32 for the ~2% heavy-tail stragglers a second independent hash
+    # selects — products stay well inside BIGINT on both engines
+    ev = ev.withColumn(
+        "arrival_us",
+        F.unix_micros("ts")
+        + F.expr(
+            f"((event_id * 1103515245 + 12345) % {jitter_mod})"
+            f" * (case when (event_id * 2654435761 + 1013904223) % 50 = 0"
+            f" then 32 else 1 end)"
+        )
+        * F.lit(1_000_000),
+    )
+    lo, hi = ev.agg(F.min("arrival_us"), F.max("arrival_us")).first()
+    width = (hi - lo) // n_batches + 1
+    staged = ev.withColumn("batch", F.expr(f"(arrival_us - {lo}) div {width}"))
+    tmp = tempfile.mkdtemp(prefix="late_stream_")
+    try:
+        stage = os.path.join(tmp, "stage")
+        (
+            staged.select("batch", "event_id", "ts", "event_type", "value")
+            .coalesce(1)
+            .write.partitionBy("batch")
+            .parquet(stage)
+        )
+        srcdir = os.path.join(tmp, "arrivals")
+        os.makedirs(srcdir)
+        mtime_base = 1_600_000_000
+        for k in range(n_batches):
+            parts = sorted(
+                globmod.glob(os.path.join(stage, f"batch={k}", "part-*.parquet"))
+            )
+            for i, p in enumerate(parts):
+                dst = os.path.join(srcdir, f"arrival_{k:02d}_{i}.parquet")
+                shutil.move(p, dst)
+                os.utime(dst, (mtime_base + k, mtime_base + k))
+        schema = spark.read.parquet(srcdir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        agg = (
+            src.withWatermark("ts", f"{delay_ms // 60000} minutes")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "sum_value"),
+            )
+        )
+        out = run_to_memory(agg, "append")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("day", "event_type")

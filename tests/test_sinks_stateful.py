@@ -565,3 +565,50 @@ def test_stateful_ewma_across_batches_matches_batch_answer(spark, tmp_path):
     a = final["ewma"].to_numpy(float)
     b = expect["ewma"].to_numpy(float)
     assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_streaming_late_data_lifecycle(spark):
+    """Watermark late-drop lifecycle invariants (the hash-exact value
+    check lives in test_oracle_parity):
+
+    - append mode emits each (day, type) window AT MOST ONCE — the 6 h
+      jitter < batch width invariant really does prevent a late row
+      from resurrecting an evicted window (which would duplicate keys);
+    - the trailing day is withheld (its window end is younger than the
+      final watermark, so append mode never finalizes it);
+    - the ORACLE's lagged-watermark drop rule is not vacuous: at sf0.01
+      it drops real rows (pure DuckDB check — no second stream run)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.streaming_q import (
+        _STREAM_LATE_SQL,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.streaming.stream_ops import (
+        streaming_late_data,
+    )
+
+    out = streaming_late_data(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert not out.duplicated(["day", "event_type"]).any()
+    last_day = (
+        read_table(spark, SF_DIR, "events")
+        .agg(F.date_format(F.max(F.date_trunc("day", "ts")), "yyyy-MM-dd"))
+        .first()[0]
+    )
+    assert last_day not in set(out["day"])
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    kept = con.execute(
+        "SELECT SUM(n_events) FROM ("
+        + _STREAM_LATE_SQL.replace("ORDER BY day, event_type", "")
+        + ")"
+    ).fetchone()[0]
+    naive = con.execute(
+        "SELECT COUNT(*) FROM events WHERE date_trunc('day', ts) <"
+        " (SELECT MAX(date_trunc('day', ts)) FROM events)"
+    ).fetchone()[0]
+    assert kept < naive, "late-drop rule dropped nothing at sf0.01"
