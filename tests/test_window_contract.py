@@ -80,10 +80,15 @@ def test_window_first_holds_no_driver_green_names():
     if latest is None:  # fresh clone without driver artifacts
         return
     fname, rows = latest
+    rnd = int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname).group(1))
     stale = [
         name
         for name in qreg._WINDOW_FIRST
-        if name in rows and _is_green(rows[name])
+        if name in rows
+        and _is_green(rows[name])
+        # a re-pinned name's OLD green row doesn't retire the pin — only a
+        # green row earned at/after the re-pin round does
+        and rnd >= qreg._REPINNED.get(name, 0)
     ]
     assert not stale, (
         f"_WINDOW_FIRST pins already driver-green in {fname}: {stale} — "
