@@ -139,6 +139,10 @@ HEADLINE = [
     "agg_hll_merge_invariance",
     "text_heavy_hitters",
     "agg_theta_set_algebra",
+    # the WAV generate→RIFF-parse→frame-energy kernel (audio twin of
+    # the BMP face); the motif query re-enters post-chain-rework via
+    # its existing slot
+    "multimodal_wav_exact",
 ]
 
 

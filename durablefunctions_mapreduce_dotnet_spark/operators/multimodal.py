@@ -718,3 +718,182 @@ def bmp_exact_features(binary_df: DataFrame) -> DataFrame:
         "doc_id bigint, width int, height int, n_bytes int, "
         "luma_total bigint, dhash_h bigint, dhash_v bigint",
     )
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-bit PCM WAV payload for one id — the generator
+    half of the hash-exact WAV round-trip (see
+    :func:`wav_exact_features`).  Every byte is closed-form in
+    ``doc_id`` so an oracle can predict every decoded feature WITHOUT
+    parsing bytes:
+
+        n     = 600 + (id % 7)·256 samples  — never frame-aligned, so
+                                              the short-final-frame path
+                                              always exercises
+        rate  = 8000 + (id % 3)·4000        — the parser must READ it
+                                              from the fmt chunk
+        u_i   = (id·31 + i·17 + (i·i) % 97) % 4001
+        att_i = 1 + 3·((i // 256 + id) % 3)    ∈ {1, 4, 7}
+        s_i   = u_i // att_i − 2000 // att_i   (all operands nonnegative
+                before the final subtraction — floor-vs-trunc division
+                of negatives can never diverge between engines)
+
+    so sample blocks alternate loud (±2000) and attenuated (±500,
+    ±285) — the attenuated blocks fall under the silence threshold.
+    ids divisible by 5 additionally carry a junk ``LIST`` chunk between
+    ``fmt `` and ``data``: a parser that hardcodes the 44-byte layout
+    instead of walking RIFF chunks breaks the driver's value hash."""
+    import numpy as np
+
+    did = int(doc_id)
+    n = 600 + (did % 7) * 256
+    rate = 8000 + (did % 3) * 4000
+    i = np.arange(n, dtype=np.int64)
+    u = (did * 31 + i * 17 + (i * i) % 97) % 4001
+    att = 1 + 3 * ((i // 256 + did) % 3)
+    s = u // att - 2000 // att
+    data = s.astype("<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits per sample
+    )
+    junk = (
+        b"LIST" + (12).to_bytes(4, "little") + b"INFOjunkpad." if did % 5 == 0 else b""
+    )
+    body = b"WAVE" + fmt + junk + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content binary) of :func:`synth_wav_bytes` payloads — one
+    Arrow pass, no shuffle (the audio twin of :func:`synth_bmp_table`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "content": [
+                        synth_wav_bytes(int(i)) for i in batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        gen, "doc_id bigint, content binary"
+    )
+
+
+def parse_wav(blob) -> "tuple[int, int, object] | None":
+    """REAL RIFF/WAVE parse — pure bytes, no audio libs: verifies the
+    RIFF/WAVE magic, walks chunks (sizes from each header, odd sizes
+    padded per RIFF), reads channels/rate/bits from ``fmt `` wherever
+    it sits, skips unknown chunks (``LIST`` etc.), and decodes the
+    ``data`` chunk as little-endian int16 PCM.  Returns (rate,
+    channels, int64 samples) or None for anything that is not a
+    16-bit PCM WAV."""
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt_tag, channels, rate, bits, data = 12, None, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunk bodies
+    if fmt_tag != 1 or bits != 16 or rate is None or data is None:
+        return None
+    pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    return rate, channels, pcm
+
+
+def wav_exact_features(
+    binary_df: DataFrame,
+    frame: int = 256,
+    hop: int = 128,
+    silence_threshold: int = 100_000,
+) -> DataFrame:
+    """HASH-EXACT decoded features over real WAV payloads — the
+    value-checkable face of the audio tier (the WAV sibling of
+    :func:`bmp_exact_features`; ``audio_frame_energy``'s byte-stream
+    stand-in stays rows-only).  Framing follows the same loop contract
+    as :func:`audio_frame_energy`: hop-strided starts, the frame that
+    reaches the end is the last (short final frames keep their real
+    sample count), per-frame energy Σ s² exact int64, a frame is silent
+    when energy < threshold · n_frame_samples (mean-square, length
+    independent).  Output per doc: sample_rate (READ from the fmt
+    chunk), n_samples, n_frames, total_energy, max_frame_energy,
+    n_silent — all exact integers, mirrored analytically by the SQL
+    oracle from the :func:`synth_wav_bytes` closed forms, so any
+    mis-parse (chunk-walk shortcut, endianness, sign, framing
+    off-by-one) breaks the driver's value hash.  A payload that fails
+    :func:`parse_wav` NULLs every feature — corrupt inputs surface,
+    never crash the job."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sr_, ns_, nf_, te_, me_, sl_ = [], [], [], [], [], []
+            for content in batch["content"]:
+                blob = (
+                    bytes(content)
+                    if isinstance(content, (bytes, bytearray))
+                    else b""
+                )
+                parsed = parse_wav(blob)
+                if parsed is None or not len(parsed[2]):
+                    sr_.append(None); ns_.append(None); nf_.append(None)
+                    te_.append(None); me_.append(None); sl_.append(None)
+                    continue
+                rate, _channels, pcm = parsed
+                energies, counts = [], []
+                for start in range(0, len(pcm), hop):
+                    fr = pcm[start : start + frame]
+                    if not len(fr):
+                        break
+                    energies.append(int((fr * fr).sum()))
+                    counts.append(len(fr))
+                    if start + frame >= len(pcm):
+                        break
+                sr_.append(rate)
+                ns_.append(len(pcm))
+                nf_.append(len(energies))
+                te_.append(sum(energies))
+                me_.append(max(energies))
+                sl_.append(
+                    sum(
+                        1
+                        for e, c in zip(energies, counts)
+                        if e < silence_threshold * c
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "sample_rate": pd.array(sr_, dtype="Int32"),
+                    "n_samples": pd.array(ns_, dtype="Int32"),
+                    "n_frames": pd.array(nf_, dtype="Int32"),
+                    "total_energy": pd.array(te_, dtype="Int64"),
+                    "max_frame_energy": pd.array(me_, dtype="Int64"),
+                    "n_silent": pd.array(sl_, dtype="Int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        gen,
+        "doc_id bigint, sample_rate int, n_samples int, n_frames int, "
+        "total_energy bigint, max_frame_energy bigint, n_silent bigint",
+    )

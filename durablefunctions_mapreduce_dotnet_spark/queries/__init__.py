@@ -200,6 +200,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ts_motif_topk",
     # r11 newcomer: watermark late-drop lifecycle, hash-exact oracle
     "streaming_late_data",
+    # r11 newcomer: real RIFF/WAV parse, analytically mirrored features
+    "multimodal_wav_exact",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -242,8 +242,78 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_wav_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio tier's VALUE-CHECKABLE face: deterministic 16-bit PCM
+    WAV payloads are generated per doc_id (operators.multimodal.
+    synth_wav_bytes — closed-form samples, varying sample rates, a junk
+    LIST chunk on ids % 5 == 0), REALLY parsed by parse_wav (RIFF chunk
+    walk, fmt-chunk field reads, int16-LE decode), and reduced to exact
+    integer features: sample_rate-as-read, n_samples, hop-strided frame
+    count, total/max frame energy, silent-frame count.  The oracle
+    never parses a byte — it recomputes every feature analytically from
+    the same closed forms — so a chunk-walk shortcut, endianness or
+    sign slip, or framing off-by-one breaks the driver's value hash.
+    First audio query with a full hash row; audio_frame_energy's
+    byte-stream stand-in stays rows-only by design."""
+    from ..operators.multimodal import synth_wav_table, wav_exact_features
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_exact_features(synth_wav_table(d)).orderBy("doc_id")
+
+
+# Mirrors synth_wav_bytes + wav_exact_features analytically: samples are
+# enumerated with lateral range() from the closed forms (all operands
+# nonnegative before the one subtraction, so // can never hit the
+# floor-vs-trunc divide on negatives); each sample belongs to frames
+# i//128 and i//128 - 1 clamped to [0, fmax] where fmax = the first
+# hop start whose frame reaches the end (the kernel's break contract).
+_MULTIMODAL_WAV_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         600 + (doc_id % 7) * 256 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n, rate, (n - 256 + 127) // 128 AS fmax FROM d
+),
+s AS (
+  SELECT f.doc_id, f.fmax, i.i,
+         ((f.doc_id * 31 + i.i * 17 + (i.i * i.i) % 97) % 4001)
+           // (1 + 3 * ((i.i // 256 + f.doc_id) % 3))
+         - 2000 // (1 + 3 * ((i.i // 256 + f.doc_id) % 3)) AS sv
+  FROM f, unnest(range(0, f.n)) AS i(i)
+),
+memb AS (
+  SELECT doc_id, (i // 128 - k.k) AS fr, sv
+  FROM s, (VALUES (0), (1)) k(k)
+  WHERE i // 128 - k.k >= 0 AND i // 128 - k.k <= fmax
+),
+fe AS (
+  SELECT doc_id, fr, SUM(sv * sv) AS e, COUNT(*) AS ns
+  FROM memb GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_frames,
+         SUM(e) AS total_energy, MAX(e) AS max_frame_energy,
+         COUNT(CASE WHEN e < 100000 * ns THEN 1 END) AS n_silent
+  FROM fe GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.rate AS INTEGER) AS sample_rate,
+       CAST(d.n AS INTEGER) AS n_samples,
+       CAST(a.n_frames AS INTEGER) AS n_frames,
+       CAST(a.total_energy AS BIGINT) AS total_energy,
+       CAST(a.max_frame_energy AS BIGINT) AS max_frame_energy,
+       CAST(a.n_silent AS BIGINT) AS n_silent
+FROM d JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_bmp_exact": q_multimodal_bmp_exact,
+    "multimodal_wav_exact": q_multimodal_wav_exact,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_wide": q_multimodal_phash_wide,
     "multimodal_audio_energy": q_multimodal_audio_energy,
@@ -254,6 +324,7 @@ QUERIES = {
 }
 ORACLES = {
     "multimodal_bmp_exact": _MULTIMODAL_BMP_EXACT_SQL,
+    "multimodal_wav_exact": _MULTIMODAL_WAV_EXACT_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

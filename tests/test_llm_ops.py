@@ -1458,3 +1458,57 @@ def test_hybrid_rrf_fusion_semantics(spark):
     # both-leg docs exist on this corpus and every one of them beats any
     # doc whose single leg rank is >= its worse leg rank
     assert seen_both
+
+
+def test_multimodal_wav_exact_features_roundtrip(spark):
+    """wav_exact_features over synth payloads: fields match the closed
+    forms (rate READ from the fmt chunk, short final frame kept), the
+    junk LIST chunk on ids % 5 == 0 is walked over (a 44-byte-offset
+    shortcut would misparse), a hand-built silent WAV flags every frame
+    silent, and corrupt payloads NULL features instead of crashing."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        parse_wav,
+        synth_wav_bytes,
+        wav_exact_features,
+    )
+
+    # parse really reads the header: id 5 carries the junk LIST chunk
+    for did in (5, 6):
+        rate, ch, pcm = parse_wav(synth_wav_bytes(did))
+        assert rate == 8000 + (did % 3) * 4000 and ch == 1
+        assert len(pcm) == 600 + (did % 7) * 256
+
+    # hand-built all-quiet WAV (amplitude 3): every frame silent
+    quiet = np.full(700, 3, dtype="<i2").tobytes()
+    silent_wav = (
+        b"RIFF" + (4 + 24 + 8 + len(quiet)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + len(quiet).to_bytes(4, "little") + quiet
+    )
+    df = spark.createDataFrame(
+        [
+            (5, bytearray(synth_wav_bytes(5))),
+            (90, bytearray(silent_wav)),
+            (91, bytearray(b"RIFFnot a wave file at all")),
+        ],
+        "doc_id bigint, content binary",
+    )
+    got = {r.doc_id: r for r in wav_exact_features(df).collect()}
+    assert got[5].sample_rate == 16000
+    assert got[5].n_samples == 600 + (5 % 7) * 256
+    # frame loop: starts 0,128,... last = first start whose frame
+    # reaches the end -> n_frames = ceil((n-256)/128)+1
+    n5 = got[5].n_samples
+    assert got[5].n_frames == (n5 - 256 + 127) // 128 + 1
+    # 700 samples of amplitude 3: every frame silent, short final frame
+    assert got[90].n_frames == got[90].n_silent == 5
+    assert got[90].total_energy == sum(
+        9 * c for c in (256, 256, 256, 256, 188)
+    )
+    assert got[90].max_frame_energy == 9 * 256
+    assert got[91].sample_rate is None and got[91].total_energy is None
