@@ -40,13 +40,27 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src
 
 
-def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    agg: DataFrame, mode: str = "complete", progress_sink: list | None = None
+) -> DataFrame:
     """Drain a streaming aggregation synchronously into a memory sink and
-    return the materialized result (test/driver harness path)."""
+    return the materialized result (test/driver harness path).
+
+    ``progress_sink``: pass a list to receive the query's per-batch
+    StreamingQueryProgress dicts (micro-batch counts, state-operator
+    metrics like ``numRowsDroppedByWatermark``) — lets tests assert
+    Spark's OWN instrumentation against an oracle's model of the run."""
+    import json as _json
+
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = agg.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try:
         q.processAllAvailable()
+        if progress_sink is not None:
+            progress_sink.extend(
+                p if isinstance(p, dict) else _json.loads(p.json)
+                for p in q.recentProgress
+            )
     finally:
         q.stop()
     spark = agg.sparkSession
@@ -466,6 +480,7 @@ def streaming_late_data(
     n_batches: int = 8,
     delay_ms: int = 7_200_000,
     jitter_mod: int = 21_600,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Watermark LATE-DATA DROP accounting — the semantics none of the
     other streaming queries can exercise, because a single-file source
@@ -569,7 +584,7 @@ def streaming_late_data(
                 dsum("value", "sum_value"),
             )
         )
-        out = run_to_memory(agg, "append")
+        out = run_to_memory(agg, "append", progress_sink=progress_sink)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select(

@@ -571,13 +571,19 @@ def test_streaming_late_data_lifecycle(spark):
     """Watermark late-drop lifecycle invariants (the hash-exact value
     check lives in test_oracle_parity):
 
-    - append mode emits each (day, type) window AT MOST ONCE — the 6 h
-      jitter < batch width invariant really does prevent a late row
-      from resurrecting an evicted window (which would duplicate keys);
+    - append mode emits each (day, type) window AT MOST ONCE — the
+      one-batch gap between the late-events and eviction watermarks
+      really does make resurrection impossible (duplicate keys);
     - the trailing day is withheld (its window end is younger than the
       final watermark, so append mode never finalizes it);
-    - the ORACLE's lagged-watermark drop rule is not vacuous: at sf0.01
-      it drops real rows (pure DuckDB check — no second stream run)."""
+    - Spark's OWN state-operator metric agrees with the oracle's model:
+      sum(numRowsDroppedByWatermark) over the run equals the model's
+      per-batch count of DISTINCT dropped (window, type) groups — the
+      state operator sits above the map-side partial aggregate, so it
+      sees (and counts) one partial row per late group per batch, not
+      raw input rows (4 raw late rows in one batch sharing a group
+      count as 3 here).  Nonzero, so the drop rule is exercised, and
+      computed in pure DuckDB from the same closed forms."""
     from durablefunctions_mapreduce_dotnet_spark.queries.streaming_q import (
         _STREAM_LATE_SQL,
     )
@@ -585,30 +591,48 @@ def test_streaming_late_data_lifecycle(spark):
         streaming_late_data,
     )
 
-    out = streaming_late_data(spark, SF_DIR).toPandas()
+    sf01 = "/root/testdata/sf0.01"
+    progress: list = []
+    out = streaming_late_data(spark, sf01, progress_sink=progress).toPandas()
     assert len(out) > 0
     assert not out.duplicated(["day", "event_type"]).any()
     last_day = (
-        read_table(spark, SF_DIR, "events")
+        read_table(spark, sf01, "events")
         .agg(F.date_format(F.max(F.date_trunc("day", "ts")), "yyyy-MM-dd"))
         .first()[0]
     )
     assert last_day not in set(out["day"])
+
+    spark_dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
 
     import duckdb
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+        f"read_parquet('{sf01}/events.parquet')"
     )
-    kept = con.execute(
-        "SELECT SUM(n_events) FROM ("
-        + _STREAM_LATE_SQL.replace("ORDER BY day, event_type", "")
-        + ")"
+    # the oracle's CTE chain up to `kept`, rewired to count the
+    # COMPLEMENT as the state operator sees it: one partial row per
+    # dropped (window, type) group per batch
+    kept_sql = _STREAM_LATE_SQL[: _STREAM_LATE_SQL.index("frontier AS")]
+    oracle_dropped = con.execute(
+        kept_sql
+        + """
+        dropped AS (
+          SELECT batched.b, date_trunc('day', ts) AS day, event_type
+          FROM batched JOIN wmk USING (b)
+          WHERE w IS NOT NULL AND end_ms <= w
+        )
+        SELECT COUNT(*) FROM (SELECT DISTINCT b, day, event_type FROM dropped)
+        """
     ).fetchone()[0]
-    naive = con.execute(
-        "SELECT COUNT(*) FROM events WHERE date_trunc('day', ts) <"
-        " (SELECT MAX(date_trunc('day', ts)) FROM events)"
-    ).fetchone()[0]
-    assert kept < naive, "late-drop rule dropped nothing at sf0.01"
+    assert oracle_dropped > 0, "late-drop rule dropped nothing at sf0.01"
+    assert spark_dropped == oracle_dropped, (
+        f"Spark's numRowsDroppedByWatermark ({spark_dropped}) disagrees "
+        f"with the oracle's lagged-watermark model ({oracle_dropped})"
+    )
