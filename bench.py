@@ -143,6 +143,8 @@ HEADLINE = [
     # the BMP face); the motif query re-enters post-chain-rework via
     # its existing slot
     "multimodal_wav_exact",
+    # snapshot write + mergeSchema evolved read + profile aggregate
+    "curation_schema_evolution",
 ]
 
 

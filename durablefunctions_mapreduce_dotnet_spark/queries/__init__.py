@@ -202,6 +202,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "streaming_late_data",
     # r11 newcomer: real RIFF/WAV parse, analytically mirrored features
     "multimodal_wav_exact",
+    # r11 newcomer: mergeSchema snapshot read, generation-split oracle
+    "curation_schema_evolution",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -21,7 +21,7 @@ from ..operators.curation import (
     train_val_test_split,
     vocab_top_terms,
 )
-from ..sources.readers import read_table
+from ..sources.readers import read_parquet_evolved, read_table
 
 _BUCKET = "((((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100)"
 
@@ -1047,7 +1047,69 @@ FROM k ORDER BY shard, position
 """
 
 
+def q_curation_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read over crawl snapshots: three generations of
+    the documents table written as parquet with ADDITIVE drift (gen0:
+    doc_id/text; gen1: +lang; gen2: +quality bigint) and read back as
+    ONE frame via mergeSchema (sources.readers.read_parquet_evolved) —
+    older generations surface the late-added columns as NULL, pruning
+    and pushdown still reach each file with its own physical schema.
+    The aggregate profiles the merged corpus per lang bucket (pre-lang
+    rows coalesce into their own bucket): doc counts, quality coverage,
+    exact-integer quality/char totals.  The oracle recomputes the whole
+    thing from the documents table with the same doc_id % 3 generation
+    split, so a mis-merge (lost rows, wrong NULL fill, type slip)
+    breaks the value hash."""
+    import os
+    import shutil
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="evolve_")
+    try:
+        gens = [
+            d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+            d.where(F.col("doc_id") % 3 == 1).select("doc_id", "text", "lang"),
+            d.where(F.col("doc_id") % 3 == 2).select(
+                "doc_id", "text", "lang", F.col("n_chars").alias("quality")
+            ),
+        ]
+        for i, g in enumerate(gens):
+            g.write.parquet(os.path.join(tmp, f"gen{i}"))
+        merged = read_parquet_evolved(spark, tmp)
+        out = (
+            merged.groupBy(
+                F.coalesce("lang", F.lit("<pre-lang>")).alias("lang_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("quality").alias("n_quality"),
+                F.coalesce(F.sum("quality"), F.lit(0)).alias("quality_total"),
+                F.sum(F.length("text")).alias("chars_total"),
+            )
+            .orderBy("lang_bucket")
+        )
+        # materialize before the snapshot dir is removed — the result is
+        # |langs|+1 rows, metadata-sized by construction
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_CURATION_SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN '<pre-lang>' ELSE lang END AS lang_bucket,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS n_quality,
+       COALESCE(CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN n_chars END) AS BIGINT), 0)
+         AS quality_total,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1 ORDER BY lang_bucket
+"""
+
+
 QUERIES = {
+    "curation_schema_evolution": q_curation_schema_evolution,
     "curation_forget_users": q_forget_users,
     "curation_domain_cap": q_domain_cap,
     "curation_epoch_shuffle": q_epoch_shuffle,
@@ -1077,6 +1139,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_schema_evolution": _CURATION_SCHEMA_EVOLUTION_SQL,
     "curation_forget_users": _FORGET_SQL,
     "curation_domain_cap": _DOMAIN_CAP_SQL,
     "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,

@@ -106,3 +106,69 @@ def register_views(spark, sf_dir: str, prefix: str = "") -> None:
     several scale factors at once."""
     for t in TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(f"{prefix}{t}")
+
+
+def read_parquet_evolved(spark, base_dir: str):
+    """Read a directory tree of parquet SNAPSHOTS whose schemas evolved
+    over time (a crawl that gained columns across generations) as ONE
+    frame: ``mergeSchema`` unions the footer schemas at planning time
+    and older files surface the newer columns as NULL.  Pushdown and
+    column pruning still reach each file with ITS OWN physical schema —
+    a filter on a late-added column prunes nothing from old files (the
+    column is NULL there) but scans of early columns stay pruned, so the
+    merged view costs no more than the per-snapshot reads.
+
+    Use for ADDITIVE drift only: mergeSchema refuses files that
+    disagree on a column's TYPE (int vs bigint) — that's what
+    :func:`union_harmonized` is for."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base_dir)
+    )
+
+
+def union_harmonized(dfs):
+    """Union frames whose schemas drifted INCOMPATIBLY (renames aside):
+    missing columns NULL-fill (``unionByName(allowMissingColumns)``)
+    and same-named columns that only differ in numeric width are cast
+    UP to the widest type first (int → bigint, float → double) — the
+    repair path when ``mergeSchema`` refuses a snapshot set.  Column
+    order follows first appearance across the inputs."""
+    from pyspark.sql import functions as F
+
+    # keys are DataFrame.dtypes simpleString names; tens digit = family
+    _WIDTH = {
+        "tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+        "float": 11, "double": 12,
+    }
+    widest: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for name, typ in df.dtypes:
+            if name not in widest:
+                widest[name] = typ
+                order.append(name)
+            elif typ != widest[name]:
+                a, b = _WIDTH.get(typ), _WIDTH.get(widest[name])
+                if a is None or b is None or (a // 10) != (b // 10):
+                    raise ValueError(
+                        f"column {name!r}: cannot harmonize {typ} with "
+                        f"{widest[name]} (only numeric widening is safe)"
+                    )
+                if a > b:
+                    widest[name] = typ
+    out = None
+    for df in dfs:
+        have = dict(df.dtypes)
+        cur = df.select(
+            *[
+                F.col(c).cast(widest[c]).alias(c)
+                for c in order
+                if c in have
+            ]
+        )
+        out = cur if out is None else out.unionByName(
+            cur, allowMissingColumns=True
+        )
+    return out.select(*order)
