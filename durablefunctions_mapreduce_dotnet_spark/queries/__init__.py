@@ -204,6 +204,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "multimodal_wav_exact",
     # r11 newcomer: mergeSchema snapshot read, generation-split oracle
     "curation_schema_evolution",
+    # r11 newcomer: stream-stream LEFT OUTER interval join
+    "streaming_join_left_outer",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -12,6 +12,7 @@ from ..streaming.stream_ops import (
     streaming_ewma,
     streaming_first_seen,
     streaming_flagship,
+    streaming_join_left_outer,
     streaming_late_data,
     streaming_running_extrema,
     streaming_running_extrema_apws,
@@ -181,6 +182,39 @@ WHERE end_ms <= wf
 GROUP BY 1, 2 ORDER BY day, event_type
 """
 
+# Stream-stream LEFT OUTER interval join (see
+# stream_ops.streaming_join_left_outer): the final emission set equals
+# the batch interval join PLUS unmatched views whose join window closed
+# before the final watermark (max event time, ms floor, minus the 2 h
+# delay) — views whose window is still open stay in state and never
+# emit.  tail=False staging means no row is ever late-dropped, so the
+# oracle is a pure join predicate + the frontier rule.
+_STREAM_LEFT_OUTER_SQL = """
+WITH frontier AS (SELECT MAX(epoch_ms(ts)) - 7200000 AS wf FROM events),
+v AS (SELECT event_id AS view_id, user_id, ts AS vts
+      FROM events WHERE event_type = 'view'),
+b AS (SELECT event_id AS buy_id, user_id, ts AS bts
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id, v.view_id, b.buy_id
+  FROM v JOIN b ON v.user_id = b.user_id
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS buy_id
+  FROM v CROSS JOIN frontier
+  WHERE NOT EXISTS (
+          SELECT 1 FROM b
+          WHERE b.user_id = v.user_id
+            AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY)
+    AND epoch_ms(v.vts) + 86400000 <= wf
+)
+SELECT user_id, view_id, buy_id FROM matched
+UNION ALL
+SELECT user_id, view_id, buy_id FROM unmatched
+ORDER BY user_id, view_id, buy_id
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_dedup": streaming_dedup,
@@ -194,6 +228,7 @@ QUERIES = {
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_ewma": streaming_ewma,
     "streaming_late_data": streaming_late_data,
+    "streaming_join_left_outer": streaming_join_left_outer,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -210,6 +245,7 @@ ORACLES = {
     # kernel's exact-int division bit-matches HUGEINT->DOUBLE division
     "streaming_ewma": _ts_ewma_oracle_roundfree(),
     "streaming_late_data": _STREAM_LATE_SQL,
+    "streaming_join_left_outer": _STREAM_LEFT_OUTER_SQL,
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

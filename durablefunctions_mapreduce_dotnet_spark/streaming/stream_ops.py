@@ -474,6 +474,73 @@ def run_to_files_idempotent(
     return spark.read.parquet(os.path.join(path, "data"))
 
 
+def _restage_arrival_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 8,
+    jitter_mod: int = 21_600,
+    tail: bool = True,
+) -> tuple[str, str]:
+    """Stage the events table as ``n_batches`` mtime-ordered parquet
+    files in deterministic OUT-OF-ORDER arrival order (event time + a
+    portable multiplicative-hash jitter of up to ``jitter_mod`` seconds;
+    with ``tail`` the ~2% of events a second independent hash selects
+    arrive 32× later — the straggler profile real event buses exhibit).
+    The arrival span is cut into equal ranges from a 2-value min/max
+    aggregate (no global sort), each written as one file; read with
+    ``maxFilesPerTrigger=1`` each file is one micro-batch, oldest
+    first — a replayable arrival order whose watermark trajectory an
+    oracle can recompute from the same closed forms.
+
+    Returns ``(srcdir, tmp_root)``; the caller owns ``tmp_root`` and
+    must remove it after draining the stream."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    tail_case = (
+        f" * (case when (event_id * 2654435761 + 1013904223) % 50 = 0"
+        f" then 32 else 1 end)"
+        if tail
+        else ""
+    )
+    ev = ev.withColumn(
+        "arrival_us",
+        F.unix_micros("ts")
+        + F.expr(f"((event_id * 1103515245 + 12345) % {jitter_mod}){tail_case}")
+        * F.lit(1_000_000),
+    )
+    lo, hi = ev.agg(F.min("arrival_us"), F.max("arrival_us")).first()
+    width = (hi - lo) // n_batches + 1
+    staged = ev.withColumn("batch", F.expr(f"(arrival_us - {lo}) div {width}"))
+    tmp = tempfile.mkdtemp(prefix="late_stream_")
+    stage = os.path.join(tmp, "stage")
+    (
+        staged.select("batch", "event_id", "ts", "event_type", "user_id", "value")
+        .coalesce(1)
+        .write.partitionBy("batch")
+        .parquet(stage)
+    )
+    srcdir = os.path.join(tmp, "arrivals")
+    os.makedirs(srcdir)
+    mtime_base = 1_600_000_000
+    for k in range(n_batches):
+        parts = sorted(
+            globmod.glob(os.path.join(stage, f"batch={k}", "part-*.parquet"))
+        )
+        for i, p in enumerate(parts):
+            dst = os.path.join(srcdir, f"arrival_{k:02d}_{i}.parquet")
+            shutil.move(p, dst)
+            os.utime(dst, (mtime_base + k, mtime_base + k))
+    return srcdir, tmp
+
+
 def streaming_late_data(
     spark: SparkSession,
     sf_dir: str,
@@ -523,53 +590,12 @@ def streaming_late_data(
     bounded write, partitioned by batch, no global sort — batch ranges
     come from a 2-value min/max aggregate, not a SinglePartition
     window)."""
-    import glob as globmod
-    import os
     import shutil
-    import tempfile
 
-    from ..sources.readers import read_table
-
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+    srcdir, tmp = _restage_arrival_batches(
+        spark, sf_dir, n_batches=n_batches, jitter_mod=jitter_mod, tail=True
     )
-    # deterministic out-of-order arrival: portable multiplicative-hash
-    # jitter (event_id * 1103515245 + 12345) mod 21600 seconds, times
-    # 32 for the ~2% heavy-tail stragglers a second independent hash
-    # selects — products stay well inside BIGINT on both engines
-    ev = ev.withColumn(
-        "arrival_us",
-        F.unix_micros("ts")
-        + F.expr(
-            f"((event_id * 1103515245 + 12345) % {jitter_mod})"
-            f" * (case when (event_id * 2654435761 + 1013904223) % 50 = 0"
-            f" then 32 else 1 end)"
-        )
-        * F.lit(1_000_000),
-    )
-    lo, hi = ev.agg(F.min("arrival_us"), F.max("arrival_us")).first()
-    width = (hi - lo) // n_batches + 1
-    staged = ev.withColumn("batch", F.expr(f"(arrival_us - {lo}) div {width}"))
-    tmp = tempfile.mkdtemp(prefix="late_stream_")
     try:
-        stage = os.path.join(tmp, "stage")
-        (
-            staged.select("batch", "event_id", "ts", "event_type", "value")
-            .coalesce(1)
-            .write.partitionBy("batch")
-            .parquet(stage)
-        )
-        srcdir = os.path.join(tmp, "arrivals")
-        os.makedirs(srcdir)
-        mtime_base = 1_600_000_000
-        for k in range(n_batches):
-            parts = sorted(
-                globmod.glob(os.path.join(stage, f"batch={k}", "part-*.parquet"))
-            )
-            for i, p in enumerate(parts):
-                dst = os.path.join(srcdir, f"arrival_{k:02d}_{i}.parquet")
-                shutil.move(p, dst)
-                os.utime(dst, (mtime_base + k, mtime_base + k))
         schema = spark.read.parquet(srcdir).schema
         src = (
             spark.readStream.schema(schema)
@@ -593,3 +619,76 @@ def streaming_late_data(
         "n_events",
         "sum_value",
     ).orderBy("day", "event_type")
+
+
+def streaming_join_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard case the inner
+    attribution join (streaming_click_attribution) cannot show: a view
+    with NO purchase inside its 1-day window must still be emitted, and
+    append mode can only do that once the watermark proves no future
+    match is possible.  Views and purchases are two filters of the SAME
+    multi-batch arrival-ordered source (_restage_arrival_batches,
+    tail=False so no row is ever late-dropped and the oracle stays a
+    pure join predicate), both watermarked 2 h, joined on user with
+    ``purchase.ts`` in ``[view.ts, view.ts + 1 day]``.
+
+    Emission semantics, mirrored by the oracle: matched (view,
+    purchase) pairs emit in whatever batch completes them — timing
+    invisible in the final set, which equals the batch interval join;
+    an UNMATCHED view emits with NULL purchase only after the final
+    watermark (max event time − 2 h, ms floor) passes ``view.ts +
+    1 day`` — views younger than that stay in state, unresolved, and
+    never appear.  State at scale: each side holds rows until the
+    watermark clears their join window (1 day + 2 h), so state is
+    O(arrival-rate × window), independent of stream length."""
+    import shutil
+
+    srcdir, tmp = _restage_arrival_batches(spark, sf_dir, tail=False)
+    try:
+        schema = spark.read.parquet(srcdir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        views = (
+            src.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("u"),
+                F.col("ts").alias("vts"),
+            )
+            .withWatermark("vts", "2 hours")
+        )
+        buys = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("buy_id"),
+                F.col("user_id").alias("bu"),
+                F.col("ts").alias("bts"),
+            )
+            .withWatermark("bts", "2 hours")
+        )
+        j = views.join(
+            buys,
+            F.expr(
+                "u = bu AND bts >= vts AND bts <= vts + INTERVAL 1 DAY"
+            ),
+            "leftOuter",
+        )
+        out = run_to_memory(
+            j.select("u", "view_id", "buy_id"), "append", progress_sink
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        F.col("u").alias("user_id"),
+        "view_id",
+        # -1 sentinel instead of NULL: bigint-with-NULL crosses to
+        # pandas as float64 on one engine and Int64 on the other
+        F.coalesce(F.col("buy_id"), F.lit(-1)).alias("buy_id"),
+    ).orderBy("user_id", "view_id", "buy_id")
