@@ -615,3 +615,26 @@ def test_governance_sweeps_are_single_scans(spark):
     forget = q_forget_users(spark, SF_DIR)
     assert_read_schema_only(forget, "events", {"event_type", "user_id"})
     assert explain_str(forget, "simple").count("FileScan parquet") == 1
+
+
+def test_evolved_read_still_prunes_columns_and_pushes_filters(spark, tmp_path):
+    """mergeSchema must not cost pruning: a 2-column projection over the
+    merged snapshot view decodes only those columns (per-file physical
+    schema), and a filter on a late-added column is still PUSHED to the
+    scan — the merged view reads no more than the per-snapshot reads."""
+    from durablefunctions_mapreduce_dotnet_spark.plans.inspect import (
+        assert_pushed_filters,
+        assert_read_schema_only,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import (
+        read_parquet_evolved,
+        read_table,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    d.select("doc_id", "text").write.parquet(str(tmp_path / "s" / "g0"))
+    d.select("doc_id", "text", "lang").write.parquet(str(tmp_path / "s" / "g1"))
+    m = read_parquet_evolved(spark, str(tmp_path / "s"))
+    q = m.where(F.col("lang") == "en").select("doc_id", "lang")
+    assert_read_schema_only(q, "/s", {"doc_id", "lang"})
+    assert_pushed_filters(q, "EqualTo(lang,en)")
