@@ -132,10 +132,13 @@ def all_oracles() -> dict[str, str]:
 #             earned its row and was dropped)
 #   r11:      HALF_B first  <-- CURRENT STATE of _ROTATION below
 #             (re-verifies the LLM surface under rotation; r11 newcomers
-#             — the PQ/IVFADC exhaustive exact twins, the BMP hash-exact
-#             multimodal query, the HLL merge-invariance check — pinned
-#             via _WINDOW_FIRST, along with the rows-only sketch queries
-#             from the out-half so their no_oracle rows stay fresh)
+#             — the PQ/IVFADC exhaustive exact twins, the BMP and WAV
+#             hash-exact multimodal queries, the HLL merge-invariance
+#             check, the watermark late-drop lifecycle, the left-outer
+#             stream join, the mergeSchema evolution read — pinned via
+#             _WINDOW_FIRST, along with the rows-only sketch queries
+#             from the out-half so their no_oracle rows stay fresh, and
+#             ts_motif_topk re-pinned after its chain rework (_REPINNED))
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
