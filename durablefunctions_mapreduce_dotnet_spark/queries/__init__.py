@@ -130,7 +130,7 @@ def all_oracles() -> dict[str, str]:
 #             newcomers pinned via _WINDOW_FIRST; CORRECTNESS_r10 came
 #             back 50/50 hash-exact, zero red rows — every r10 pin
 #             earned its row and was dropped)
-#   r11:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#   r11:      HALF_B first
 #             (re-verifies the LLM surface under rotation; r11 newcomers
 #             — the PQ/IVFADC exhaustive exact twins, the BMP and WAV
 #             hash-exact multimodal queries, the HLL merge-invariance
@@ -138,7 +138,14 @@ def all_oracles() -> dict[str, str]:
 #             stream join, the mergeSchema evolution read — pinned via
 #             _WINDOW_FIRST, along with the rows-only sketch queries
 #             from the out-half so their no_oracle rows stay fresh, and
-#             ts_motif_topk re-pinned after its chain rework (_REPINNED))
+#             ts_motif_topk re-pinned after its chain rework (_REPINNED).
+#             CORRECTNESS_r11 came back 38 hash-exact + 12 rows-only by
+#             design, 0 failures — every r11 pin earned its row,
+#             including the ts_motif_topk re-pin, and was dropped)
+#   r12:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#             (re-verifies the relational core under rotation, incl. the
+#             r11 streaming left-outer frontier fix resting on the
+#             mirror; r12 newcomers pinned via _WINDOW_FIRST)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -167,7 +174,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_B + _HALF_A
+_ROTATION = _HALF_A + _HALF_B
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -176,39 +183,11 @@ _ROTATION = _HALF_B + _HALF_A
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r10 window: every r10 pin earned its row — all 12 hash-exact —
-    #  and was dropped.  CORRECTNESS_r10 came back 50/50 hash-exact,
-    #  zero red rows.)
-    # Rows-only sketch queries living in the r11 out-half (aggregates_q
-    # is HALF_A): pinned so their no_oracle driver rows stay fresh while
-    # the LLM half occupies the window.
-    "agg_hll_incremental",
-    "agg_kll_quantiles",
-    "agg_theta_overlap",
-    "agg_approx_sketches",
-    # Rows-only multimodal queries: in HALF_B but behind curation_q/text_q
-    # in module order, so they'd miss the 50-row window without a pin.
-    "multimodal_phash_dedup",
-    "multimodal_phash_wide",
-    "multimodal_audio_energy",
-    # r11 newcomers:
-    "ann_pq_exhaustive",
-    "ann_ivfpq_exhaustive",
-    "multimodal_bmp_exact",
-    "agg_hll_merge_invariance",
-    "text_heavy_hitters",
-    "agg_theta_set_algebra",
-    # behavior-touching r11 fix (decimal chains -> pinned-order double
-    # chains after the 64KB codegen blowup): re-earn a driver row
-    "ts_motif_topk",
-    # r11 newcomer: watermark late-drop lifecycle, hash-exact oracle
-    "streaming_late_data",
-    # r11 newcomer: real RIFF/WAV parse, analytically mirrored features
-    "multimodal_wav_exact",
-    # r11 newcomer: mergeSchema snapshot read, generation-split oracle
-    "curation_schema_evolution",
-    # r11 newcomer: stream-stream LEFT OUTER interval join
-    "streaming_join_left_outer",
+    # (r11 window: every r11 pin earned its row — 11 hash-exact incl.
+    #  the ts_motif_topk re-pin, plus fresh no_oracle rows for the seven
+    #  rows-only sketch/multimodal pins — and all were dropped.
+    #  CORRECTNESS_r11 came back 38 hash-exact + 12 rows-only by design,
+    #  zero red rows.  r12 newcomers join below as they land.)
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old
@@ -217,9 +196,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
 #: green in a committed correctness file; a re-pinned name is exempt until
 #: a committed green row from a round >= the re-pin round exists (the fix
 #: has then re-earned its row and the pin must be dropped as usual).
-_REPINNED: dict[str, int] = {
-    "ts_motif_topk": 11,
-}
+_REPINNED: dict[str, int] = {}
 
 
 def _modules():
