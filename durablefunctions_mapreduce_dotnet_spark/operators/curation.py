@@ -818,3 +818,99 @@ def epoch_shuffle(
         .withColumn("position", F.row_number().over(w))
         .select(id_col, "shard", "position")
     )
+
+
+def synth_url_col(doc_id: Column | str = "doc_id", source: Column | str = "source") -> Column:
+    """Deterministic MESSY URL for one doc — the generator half of the
+    hash-exact URL-normalization round-trip (the synth_bmp/synth_wav
+    pattern: the test corpus carries no URLs, so the query synthesizes
+    them closed-form from columns both engines see identically).  Every
+    normalization hazard is exercised by construction: upper-case
+    scheme and host, a ``www.`` prefix, default ports (``:80``/``:443``
+    — including https-default on an http URL, which must be KEPT),
+    non-default ``:8080``, ``utm_*`` tracking params before and after
+    real params, unsorted query keys, and fragments."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    s = F.col(source) if isinstance(source, str) else source
+    m = lambda k: F.pmod(d, F.lit(k))
+    scheme = F.when(m(2) == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(m(3) == 0, F.concat(F.lit("WWW."), F.upper(s), F.lit(".Example.COM")))
+        .when(m(3) == 1, F.concat(s, F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("www."), s, F.lit(".EXAMPLE.com")))
+    )
+    port = (
+        F.when(m(5) == 0, F.lit(":80"))
+        .when(m(5) == 1, F.lit(":443"))
+        .when(m(5) == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/docs/"), m(50).cast("string"))
+    query = (
+        F.when(
+            m(4) == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), m(7).cast("string"), F.lit("&utm_campaign=x")
+            ),
+        )
+        .when(m(4) == 1, F.concat(F.lit("?ref=home&id="), m(7).cast("string")))
+        .when(m(4) == 2, F.lit("?utm_medium=em"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(m(6) == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+#: query params stripped by URL normalization (tracking noise)
+URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL normalization as PURE codegen'd string expressions
+    (no UDF, no driver loop — the plan a 100 TB crawl wants): crawl
+    pipelines key dedup, domain caps and robots policy on the
+    normalized form, so the rules are the standard canonicalization
+    set, each deterministic and engine-mirrorable:
+
+    1. scheme and host lower-cased; one leading ``www.`` stripped
+    2. default ports dropped (``http:80``, ``https:443``); any other
+       explicit port kept — including ``:443`` on an *http* URL
+    3. fragment dropped
+    4. query: tracking params removed (``utm_*``, ``fbclid``,
+       ``gclid``), the rest BYTE-SORTED and rejoined — param order no
+       longer distinguishes URLs; an emptied query drops its ``?``
+
+    Adds ``host`` (the rollup/dedup key) and ``url_norm``; feeds
+    :func:`domain_cap` / :func:`temperature_mix` directly."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda x: (x != "") & ~x.rlike(URL_TRACKING_RE),
+        )
+    )
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn("host", host).withColumn("url_norm", norm)

@@ -967,6 +967,70 @@ def containment_pairs(
     )
 
 
+def decontaminate_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.5,
+    max_postings: int = 500,
+) -> DataFrame:
+    """Train-vs-eval CONTAMINATION sweep — the audit every pretraining
+    pipeline runs before training (e.g. GPT-3 appendix C / PaLM §7:
+    n-gram overlap between the training corpus and held-out benchmark
+    suites): for each benchmark doc, which train docs contain a
+    ≥ ``threshold`` fraction of its word-``n``-grams, and how much.
+
+    Directed containment C(bench→train) = |S(b)∩S(t)| / |S(b)| — the
+    right direction for contamination (a benchmark item pasted into a
+    much larger train doc scores ≈ 1 even though Jaccard is tiny).
+
+    Scale shape is the same ASYMMETRIC inverted-index cut as
+    :func:`minhash_near_dup_incremental`: only bench×train posting
+    pairs are generated (never train×train — the quadratic term of the
+    full corpus), so work is O(bench-postings × per-gram train df),
+    bounded by the ``max_postings`` df-cut on the TRAIN side
+    (stop-grams dropped; scores are ≤ true containment, mirrored
+    exactly in the oracle).  The benchmark side is eval-suite-sized —
+    thousands of docs against billions of train docs — so at 100 TB
+    the bench postings broadcast and the train corpus streams through
+    one gram-explode + hash-join pass with no self-shuffle."""
+    b_grams = _word_ngrams_frame(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias("bench_id"), "gram"
+    )
+    t_grams = _word_ngrams_frame(_widen(train), text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "gram"
+    )
+    # df-cut computed over TRAIN postings only: the bench side is tiny
+    # and capping it would let one hot stop-gram in a benchmark doc
+    # silently erase real contamination
+    keep = (
+        t_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_postings)
+        .select("gram")
+    )
+    sizes = b_grams.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        b_grams.join(keep, "gram")
+        .join(t_grams, "gram")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes, "bench_id")
+        .select(
+            "bench_id",
+            "train_id",
+            (F.col("n_inter").cast("double") / F.col("n_b").cast("double")).alias(
+                "overlap"
+            ),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 

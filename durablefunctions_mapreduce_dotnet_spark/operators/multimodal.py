@@ -746,6 +746,15 @@ def synth_wav_bytes(doc_id: int) -> bytes:
     import numpy as np
 
     did = int(doc_id)
+    # The closed forms above use plain % on doc_id, and the SQL oracle
+    # mirrors them with plain % too: for a NEGATIVE id Python's floored
+    # % and Spark/DuckDB's truncated % diverge silently (hash break),
+    # so the generator refuses rather than quietly mismatching.  (The
+    # portable ((x % m + m) % m) form used by curation_q._BUCKET would
+    # also work, but the oracle SQL would have to change in lockstep;
+    # an explicit domain gate is the smaller contract.)
+    if did < 0:
+        raise ValueError(f"synth_wav_bytes requires doc_id >= 0, got {did}")
     n = 600 + (did % 7) * 256
     rate = 8000 + (did % 3) * 4000
     i = np.arange(n, dtype=np.int64)

@@ -1110,3 +1110,193 @@ def heavy_hitters_exact(
         .select("token", "freq")
         .orderBy(F.desc("freq"), "token")
     )
+
+
+# --- frozen n-gram language/domain identification ---------------------------
+
+#: Frozen seed corpora for the char-trigram classifier — one phrase per
+#: class, drawn from the synthetic corpus vocabulary so class profiles
+#: genuinely discriminate.  The MODEL (integer weights below) derives
+#: from these once at import; the seeds never touch the data path.
+LANGID_SEEDS: dict[str, str] = {
+    "analytics": (
+        "group agg hash merge sort order window filter scan query "
+        "table column row key value group agg window sort"
+    ),
+    "pipeline": (
+        "stream batch spark data big small fast slow part line "
+        "vector batch stream spark data part line batch"
+    ),
+    "retail": (
+        "customer order line part value small big customer order "
+        "the a customer part line order value the"
+    ),
+}
+
+#: log-prob scale: weights are round(1e6 * ln p) — integer scores keep
+#: the cross-engine argmax BIT-exact (an FP log-prob sum would make
+#: near-ties ulp-fragile between Spark and the oracle).
+LANGID_SCALE = 1_000_000
+
+
+def langid_model() -> tuple[dict[str, tuple[int, ...]], tuple[int, ...], tuple[str, ...]]:
+    """The frozen classifier: per-class add-one-smoothed char-trigram
+    log-probabilities, scaled to integers.
+
+    Returns ``(weights, unseen, classes)`` where ``classes`` is the
+    sorted class tuple, ``weights[gram][c]`` is
+    ``round(SCALE · ln((cnt_c(gram)+1) / (total_c + V)))`` and
+    ``unseen[c]`` the matching out-of-vocabulary term
+    ``round(SCALE · ln(1 / (total_c + V)))`` — the lm_bigram_score
+    smoothing discipline, frozen to literals.  Both the Spark plan and
+    the DuckDB oracle consume THIS dict (the QUALITY_LR_WEIGHTS
+    shared-literal pattern), so the model is part of the query spec and
+    libm rounding at generation time cannot split the engines."""
+    import math
+
+    classes = tuple(sorted(LANGID_SEEDS))
+    counts: dict[str, dict[str, int]] = {}
+    for c in classes:
+        s = LANGID_SEEDS[c].lower()
+        cc: dict[str, int] = {}
+        for i in range(max(len(s) - 2, 1)):
+            g = s[i : i + 3]
+            cc[g] = cc.get(g, 0) + 1
+        counts[c] = cc
+    vocab = sorted({g for cc in counts.values() for g in cc})
+    v = len(vocab)
+    totals = {c: sum(counts[c].values()) for c in classes}
+    weights = {
+        g: tuple(
+            round(
+                LANGID_SCALE
+                * math.log((counts[c].get(g, 0) + 1) / (totals[c] + v))
+            )
+            for c in classes
+        )
+        for g in vocab
+    }
+    unseen = tuple(
+        round(LANGID_SCALE * math.log(1.0 / (totals[c] + v))) for c in classes
+    )
+    return weights, unseen, classes
+
+
+def langid_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify each doc with the frozen trigram model: explode char
+    trigrams (lowered, per-OCCURRENCE — frequency matters), broadcast-
+    join the literal weight table, integer-sum one score column per
+    class, argmax with alphabetical tie-break.  One corpus pass, one
+    doc-keyed shuffle for the per-doc sum; the model table is
+    vocabulary-sized and broadcast — the plan a 100 TB scan wants.
+
+    Output: (doc_id, lang_pred, lang_score) — docs with NULL text get
+    NULL pred/score (no trigrams, nothing to argmax)."""
+    spark = df.sparkSession
+    weights, unseen, classes = langid_model()
+    wrows = [(g, *w) for g, w in sorted(weights.items())]
+    wdf = spark.createDataFrame(
+        wrows, ["gram", *[f"_w_{c}" for c in classes]]
+    )
+    text = F.lower(F.col(text_col))
+    tg = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(text) - F.lit(2), F.lit(1))
+                ),
+                lambda i: F.substring(text, i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    sc = (
+        tg.join(F.broadcast(wdf), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(f"_w_{c}"), F.lit(unseen[i]))).alias(
+                    f"_s_{c}"
+                )
+                for i, c in enumerate(classes)
+            ]
+        )
+    )
+    best = F.greatest(*[F.col(f"_s_{c}") for c in classes])
+    pred = F.lit(None).cast("string")
+    for c in reversed(classes):  # build when-chain in ALPHABETICAL order
+        pred = F.when(F.col(f"_s_{c}") == best, F.lit(c)).otherwise(pred)
+    scored = sc.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.alias("lang_score"),
+    )
+    return df.select(id_col).join(scored, id_col, "left")
+
+
+def langid_trigram_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-pass Arrow kernel computing the SAME output as
+    :func:`langid_trigram` — the char_entropy_fast pattern: no explode,
+    no join, no shuffle; each batch counts its docs' trigrams in numpy
+    and dot-products against the broadcast integer weight table.  Pure
+    int64 arithmetic, so bit-identity with the slow path is exact by
+    construction (pinned in tests/test_llm_ops.py)."""
+    import numpy as np
+    import pandas as pd
+
+    weights, unseen, classes = langid_model()
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((weights, unseen, classes))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        w, u, cls = bc.value
+        for pdf in batches:
+            ids, preds, scores = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if t is None:
+                    preds.append(None)
+                    scores.append(None)
+                    continue
+                s = t.lower()
+                n = max(len(s) - 2, 1)
+                totals = [0] * len(cls)
+                seen = 0
+                counts: dict[str, int] = {}
+                for i in range(n):
+                    g = s[i : i + 3]
+                    counts[g] = counts.get(g, 0) + 1
+                for g, cnt in counts.items():
+                    wg = w.get(g)
+                    if wg is None:
+                        continue
+                    seen += cnt
+                    for j, wj in enumerate(wg):
+                        totals[j] += wj * cnt
+                miss = n - seen
+                for j in range(len(cls)):
+                    totals[j] += u[j] * miss
+                best = max(totals)
+                preds.append(cls[totals.index(best)])  # first == alpha min
+                scores.append(best)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=id_type.replace("bigint", "int64")),
+                    "lang_pred": pd.Series(preds, dtype="object"),
+                    "lang_score": pd.array(scores, dtype="Int64"),
+                }
+            )
+
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).mapInPandas(
+        gen, "doc_id bigint, lang_pred string, lang_score bigint"
+    )
+    return out.withColumnRenamed("doc_id", id_col)

@@ -188,6 +188,16 @@ _WINDOW_FIRST: tuple[str, ...] = (
     #  rows-only sketch/multimodal pins — and all were dropped.
     #  CORRECTNESS_r11 came back 38 hash-exact + 12 rows-only by design,
     #  zero red rows.  r12 newcomers join below as they land.)
+    # r12 newcomer: last ANN kernel variant without a value-hash row —
+    # Lloyd-refined IVF probed exhaustively ≡ brute force
+    "ann_ivf_refined_exhaustive",
+    # r12 newcomer: train-vs-eval benchmark contamination sweep
+    "curation_decontaminate",
+    # r12 newcomers: frozen integer char-trigram classifier + Arrow twin
+    "text_langid_trigram",
+    "text_langid_trigram_fast",
+    # r12 newcomer: append-mode session_window over multi-batch arrival
+    "streaming_sessionize",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -1097,7 +1097,12 @@ def q_curation_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CURATION_SCHEMA_EVOLUTION_SQL = """
-SELECT CASE WHEN doc_id % 3 = 0 THEN '<pre-lang>' ELSE lang END AS lang_bucket,
+-- COALESCE mirrors the Spark side's coalesce(lang, '<pre-lang>'): a NULL
+-- lang in gen1/gen2 must fold into the same bucket on both engines (a
+-- bare ELSE lang would give it its own NULL bucket here, and DuckDB
+-- additionally orders NULL last — row-count and hash would both break).
+SELECT CASE WHEN doc_id % 3 = 0 THEN '<pre-lang>'
+            ELSE COALESCE(lang, '<pre-lang>') END AS lang_bucket,
        COUNT(*) AS n_docs,
        COUNT(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS n_quality,
        COALESCE(CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN n_chars END) AS BIGINT), 0)
@@ -1108,8 +1113,62 @@ GROUP BY 1 ORDER BY lang_bucket
 """
 
 
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination sweep (operators.dedup.
+    decontaminate_pairs): docs with pmod(doc_id, 20) = 0 stand in for a
+    held-out eval suite, the rest are the training corpus; report every
+    (benchmark doc, train doc) pair whose directed word-4-gram
+    containment C(bench→train) clears 0.5, with the overlap fraction —
+    the train docs a real pipeline would drop before training.  Only
+    bench×train posting pairs are generated (train-side df-cut at 500
+    mirrored in the oracle); the train corpus never self-joins."""
+    from ..operators.dedup import decontaminate_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(20)) == 0
+    return decontaminate_pairs(
+        d.where(~is_bench),
+        d.where(is_bench),
+        n=4,
+        threshold=0.5,
+        max_postings=500,
+    ).orderBy("bench_id", "train_id")
+
+
+# Mirrors decontaminate_pairs exactly: same gram expression as
+# _DEDUP_CONTAIN_SQL (per-doc-distinct lowered word-4-grams), the
+# bench/train split on portable nonneg mod 20, and the TRAIN-side-only
+# df-cut (<= 500, no lower bound — presence on both sides already
+# implies the gram matches).
+_CURATION_DECONTAMINATE_SQL = """
+WITH grams AS (
+  SELECT doc_id, ((doc_id % 20 + 20) % 20) = 0 AS is_bench,
+         unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 1) + 1),
+                   i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+3], ' '))
+  )) AS gram
+  FROM documents
+),
+b AS (SELECT doc_id AS bench_id, gram FROM grams WHERE is_bench),
+t AS (SELECT doc_id AS train_id, gram FROM grams WHERE NOT is_bench),
+keep AS (SELECT gram FROM t GROUP BY gram HAVING COUNT(*) <= 500),
+sizes AS (SELECT bench_id, COUNT(*) AS n_b FROM b GROUP BY bench_id),
+inter AS (
+  SELECT bench_id, train_id, COUNT(*) AS n_inter
+  FROM b JOIN keep USING (gram) JOIN t USING (gram)
+  GROUP BY 1, 2
+)
+SELECT bench_id, train_id,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS overlap
+FROM inter JOIN sizes USING (bench_id)
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.5
+ORDER BY bench_id, train_id
+"""
+
+
 QUERIES = {
     "curation_schema_evolution": q_curation_schema_evolution,
+    "curation_decontaminate": q_curation_decontaminate,
     "curation_forget_users": q_forget_users,
     "curation_domain_cap": q_domain_cap,
     "curation_epoch_shuffle": q_epoch_shuffle,
@@ -1140,6 +1199,7 @@ QUERIES = {
 }
 ORACLES = {
     "curation_schema_evolution": _CURATION_SCHEMA_EVOLUTION_SQL,
+    "curation_decontaminate": _CURATION_DECONTAMINATE_SQL,
     "curation_forget_users": _FORGET_SQL,
     "curation_domain_cap": _DOMAIN_CAP_SQL,
     "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,

@@ -343,6 +343,25 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_refined_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-EXACT refined-IVF twin — the exhaustive-twin pattern
+    (ann_ivf_exhaustive r10, ann_pq/ivfpq_exhaustive r11) applied to
+    the last ANN kernel variant without a value-hash row: ivf_topk with
+    refine_iters=2 AND n_probe = n_lists.  The Lloyd refinement only
+    moves centroid VALUES — cell assignment decides which candidates
+    get scored, and exhaustive probing scores them all — so the result
+    must equal brute-force cosine top-k no matter where refinement
+    converges.  This gives the refinement path itself (gemm Lloyd
+    passes, renormalization, degenerate-cell carry-over, the full
+    refined routing + scoring + (cos desc, id) fan-in) a driver
+    value-hash row; ann_ivf_refined keeps the production n_probe=4
+    configuration under the rows-only + recall-floor contract."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, _queries_subset(e), k=5, n_lists=16, n_probe=16, refine_iters=2
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed (64×64) embedding covariance, integer-quantized for
     exact cross-engine parity (operators.clustering.embedding_covariance)
@@ -659,6 +678,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_refined": q_ann_ivf_refined,
+    "ann_ivf_refined_exhaustive": q_ann_ivf_refined_exhaustive,
     "ann_pq_rescored": q_ann_pq_rescored,
     "ann_pq_exhaustive": q_ann_pq_exhaustive,
     "ann_ivfpq_exhaustive": q_ann_ivfpq_exhaustive,
@@ -676,6 +696,7 @@ ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ivf_exhaustive": _ANN_BRUTE_SQL,
+    "ann_ivf_refined_exhaustive": _ANN_BRUTE_SQL,
     "ann_pq_exhaustive": _ANN_BRUTE_SQL,
     "ann_ivfpq_exhaustive": _ANN_BRUTE_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,

@@ -17,6 +17,7 @@ from ..streaming.stream_ops import (
     streaming_running_extrema,
     streaming_running_extrema_apws,
     streaming_session_windows,
+    streaming_sessionize,
     streaming_sliding_counts,
 )
 from ._sql import dsum as sql_dsum
@@ -91,6 +92,44 @@ SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+# APPEND-mode session_window over multi-batch arrival (see
+# stream_ops.streaming_sessionize): the same gaps-and-islands
+# sessionization as _STREAM_SESSION_SQL — the break rule is STRICTLY
+# greater than 30 min (Spark merges windows that merely touch: an
+# exactly-30-min gap continues the session) — but only sessions the
+# final watermark has CLOSED are emitted: close = last event + 30 min,
+# emitted iff close <= max(event time, ms floor) − 2 h.  The <=
+# (non-strict, unlike the interval join's strict eviction) and the
+# merge-at-exact-gap edge are both pinned empirically by
+# tests/test_streaming_sessionize_frontier.py.  tail=False staging
+# means no row is ever late-dropped, so no drop model is needed.
+_STREAM_SESSIONIZE_SQL = """
+WITH wm AS (SELECT MAX(epoch_ms(ts)) - 7200000 AS wf FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), agg AS (
+  SELECT user_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         COUNT(*) AS n_events,
+         MAX(epoch_ms(ts)) + 1800000 AS close_ms
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, n_events
+FROM agg CROSS JOIN wm
+WHERE close_ms <= wf
+ORDER BY user_id, session_start
 """
 
 # stream-stream interval join (views ⋈ clicks within 30 min, same user);
@@ -185,12 +224,31 @@ GROUP BY 1, 2 ORDER BY day, event_type
 # Stream-stream LEFT OUTER interval join (see
 # stream_ops.streaming_join_left_outer): the final emission set equals
 # the batch interval join PLUS unmatched views whose join window closed
-# before the final watermark (max event time, ms floor, minus the 2 h
-# delay) — views whose window is still open stay in state and never
-# emit.  tail=False staging means no row is ever late-dropped, so the
-# oracle is a pure join predicate + the frontier rule.
+# STRICTLY before the final global watermark — views whose window is
+# still open stay in state and never emit.  tail=False staging means no
+# row is ever late-dropped, so the oracle is a pure join predicate + the
+# frontier rule.  The frontier mirrors Spark's multipleWatermarkPolicy=
+# min: each withWatermark node sees only the rows that pass its
+# event_type filter, so the global watermark is the LEAST of the
+# per-side max event times (ms floor) minus the 2 h delay — NOT the max
+# over all events (click/error/signup rows never advance either side,
+# and the two sides' maxima differ by ~32 min at sf0.01).  Both the
+# min-of-sides frontier and the strict-< edge are pinned empirically by
+# tests/test_streaming_left_outer_frontier.py: a view whose window end
+# falls between the two per-side frontiers stays in state, and one whose
+# end equals the watermark exactly does too (eviction fires only when
+# end < watermark).
 _STREAM_LEFT_OUTER_SQL = """
-WITH frontier AS (SELECT MAX(epoch_ms(ts)) - 7200000 AS wf FROM events),
+WITH side_max AS (
+  SELECT MAX(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS vmax,
+         MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS bmax
+  FROM events
+),
+frontier AS (
+  SELECT CASE WHEN vmax IS NULL OR bmax IS NULL THEN NULL
+              ELSE LEAST(vmax, bmax) - 7200000 END AS wf
+  FROM side_max
+),
 v AS (SELECT event_id AS view_id, user_id, ts AS vts
       FROM events WHERE event_type = 'view'),
 b AS (SELECT event_id AS buy_id, user_id, ts AS bts
@@ -207,7 +265,7 @@ unmatched AS (
           SELECT 1 FROM b
           WHERE b.user_id = v.user_id
             AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY)
-    AND epoch_ms(v.vts) + 86400000 <= wf
+    AND epoch_ms(v.vts) + 86400000 < wf
 )
 SELECT user_id, view_id, buy_id FROM matched
 UNION ALL
@@ -229,6 +287,7 @@ QUERIES = {
     "streaming_ewma": streaming_ewma,
     "streaming_late_data": streaming_late_data,
     "streaming_join_left_outer": streaming_join_left_outer,
+    "streaming_sessionize": streaming_sessionize,
 }
 ORACLES = {
     "streaming_click_attribution": _STREAM_ATTRIB_SQL,
@@ -246,6 +305,7 @@ ORACLES = {
     "streaming_ewma": _ts_ewma_oracle_roundfree(),
     "streaming_late_data": _STREAM_LATE_SQL,
     "streaming_join_left_outer": _STREAM_LEFT_OUTER_SQL,
+    "streaming_sessionize": _STREAM_SESSIONIZE_SQL,
 }
 
 # streaming_running_extrema (transformWithStateInPandas) registers only

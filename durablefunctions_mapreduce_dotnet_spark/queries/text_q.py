@@ -78,6 +78,85 @@ FROM s
 """
 
 
+def q_text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen char-trigram language/domain classifier
+    (operators.textops.langid_trigram) — the model-scoring tier beyond
+    the stopword heuristic (text_langid) and the logistic quality score:
+    per-class add-one-smoothed trigram log-probabilities frozen to
+    INTEGER literals (LANGID_SCALE·ln p), broadcast-joined against
+    exploded per-occurrence trigrams, integer-summed per class, argmax
+    with alphabetical tie-break.  Integer scores make the argmax — the
+    part of a classifier that must be exact — bit-identical on both
+    engines."""
+    from ..operators.textops import langid_trigram
+
+    d = read_table(spark, sf_dir, "documents")
+    return langid_trigram(d).orderBy("doc_id")
+
+
+def q_text_langid_trigram_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Arrow twin of text_langid_trigram (no explode, no
+    join, no shuffle — the char_entropy_fast pattern); int64 arithmetic
+    means bit-identity with the slow path is structural, and both share
+    one oracle."""
+    from ..operators.textops import langid_trigram_fast
+
+    d = read_table(spark, sf_dir, "documents")
+    return langid_trigram_fast(d).orderBy("doc_id")
+
+
+def _langid_trigram_oracle_sql() -> str:
+    """Mirror of langid_trigram over the SAME frozen model: the weight
+    table is interpolated as literal VALUES from langid_model() (the
+    QUALITY_LR_WEIGHTS shared-literal pattern — the model is part of
+    the query spec), scoring re-derived independently: per-occurrence
+    lowered char trigrams, per-class integer sums with the unseen term
+    for out-of-vocabulary grams, GREATEST argmax with alphabetical
+    tie-break."""
+    from ..operators.textops import langid_model
+
+    weights, unseen, classes = langid_model()
+    rows = ",\n    ".join(
+        "('{}', {})".format(
+            g.replace("'", "''"), ", ".join(str(x) for x in w)
+        )
+        for g, w in sorted(weights.items())
+    )
+    cols = ", ".join(f"w_{c}" for c in classes)
+    sums = ",\n         ".join(
+        f"SUM(COALESCE(w_{c}, {unseen[i]})) AS s_{c}"
+        for i, c in enumerate(classes)
+    )
+    best = "greatest({})".format(", ".join(f"s_{c}" for c in classes))
+    # leading NULL guard: a NULL-text doc has no sc row, and without it
+    # the NULL = best comparisons would fall through to the ELSE class
+    case = f"WHEN s_{classes[0]} IS NULL THEN NULL " + " ".join(
+        f"WHEN s_{c} = {best} THEN '{c}'" for c in classes[:-1]
+    ) + f" ELSE '{classes[-1]}'"
+    return f"""
+WITH w(gram, {cols}) AS (VALUES
+    {rows}
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substr(lower(text), i, 3))) AS gram
+  FROM documents WHERE text IS NOT NULL
+),
+sc AS (
+  SELECT doc_id,
+         {sums}
+  FROM tg LEFT JOIN w USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE {case} END AS lang_pred,
+       {best} AS lang_score
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 + Rabin rolling-hash fingerprints of normalized text (the
     xxhash64 companion column is exposed by the operator but left out
@@ -704,6 +783,8 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "text_langid_trigram": q_text_langid_trigram,
+    "text_langid_trigram_fast": q_text_langid_trigram_fast,
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
@@ -726,5 +807,7 @@ ORACLES = {
     "text_decontaminate": _TEXT_DECON_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
+    "text_langid_trigram": _langid_trigram_oracle_sql(),
+    "text_langid_trigram_fast": _langid_trigram_oracle_sql(),
     "text_fingerprint": _TEXT_FP_SQL,
 }

@@ -57,10 +57,27 @@ def run_to_memory(
     try:
         q.processAllAvailable()
         if progress_sink is not None:
-            progress_sink.extend(
+            progs = [
                 p if isinstance(p, dict) else _json.loads(p.json)
                 for p in q.recentProgress
-            )
+            ]
+            # recentProgress is a RING capped by
+            # spark.sql.streaming.numRecentProgressUpdates (default 100):
+            # a run with more micro-batches (data + no-data) than the cap
+            # silently loses its EARLIEST entries, and any cross-check
+            # summing per-batch metrics (e.g. numRowsDroppedByWatermark
+            # in streaming_late_data) would undercount with no error.
+            # Batch ids are assigned contiguously from 0, so coverage is
+            # checkable after the fact — fail loudly instead.
+            ids = sorted(p["batchId"] for p in progs)
+            if ids and (ids[0] != 0 or ids != list(range(ids[0], ids[-1] + 1))):
+                raise RuntimeError(
+                    "progress ring dropped micro-batches (batchIds "
+                    f"{ids[:3]}..{ids[-1]}); raise "
+                    "spark.sql.streaming.numRecentProgressUpdates above "
+                    "the batch count before trusting per-batch metrics"
+                )
+            progress_sink.extend(progs)
     finally:
         q.stop()
     spark = agg.sparkSession
@@ -177,6 +194,59 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """APPEND-mode ``session_window`` aggregation over multi-batch
+    out-of-order arrival — the canonical watermark+state operator the
+    single-trigger complete-mode query (streaming_session_windows)
+    cannot exercise: sessions GROW and MERGE across micro-batches in
+    the state store, and a session is emitted exactly once, only when
+    the watermark proves no future event can extend it.
+
+    Events restage through _restage_arrival_batches (tail=False — no
+    row is ever late-dropped, so the oracle needs no drop model) and
+    aggregate under ``withWatermark(ts, 2 hours)`` with a 30-minute
+    gap.  Emission rule, mirrored by the oracle and pinned empirically
+    by tests/test_streaming_sessionize_frontier.py: a session whose
+    close (last event + 30 min) is < the final watermark (max event
+    time, ms floor, − 2 h) emits; a session closing AT the watermark
+    exactly, or later, stays in state and never appears.  Session
+    merge rule (also pinned): two events belong to one session iff
+    their gap is STRICTLY under 30 min — windows [t, t+gap) merge only
+    when they overlap, so an exactly-30-min gap starts a new session.
+
+    State at scale: one open window per (user, session) — O(active
+    users), bounded by the watermark exactly as in production."""
+    import shutil
+
+    srcdir, tmp = _restage_arrival_batches(spark, sf_dir, tail=False)
+    try:
+        schema = spark.read.parquet(srcdir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = run_to_memory(agg, "append", progress_sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
         "n_events",
     ).orderBy("user_id", "session_start")
 
@@ -639,12 +709,19 @@ def streaming_join_left_outer(
     Emission semantics, mirrored by the oracle: matched (view,
     purchase) pairs emit in whatever batch completes them — timing
     invisible in the final set, which equals the batch interval join;
-    an UNMATCHED view emits with NULL purchase only after the final
-    watermark (max event time − 2 h, ms floor) passes ``view.ts +
-    1 day`` — views younger than that stay in state, unresolved, and
-    never appear.  State at scale: each side holds rows until the
-    watermark clears their join window (1 day + 2 h), so state is
-    O(arrival-rate × window), independent of stream length."""
+    an UNMATCHED view emits with NULL purchase only once the final
+    global watermark STRICTLY passes ``view.ts + 1 day``.  Under the
+    default ``multipleWatermarkPolicy=min`` that watermark is
+    ``LEAST(max view ts, max purchase ts) − 2 h`` (ms floor): each
+    ``withWatermark`` node observes only rows passing its event_type
+    filter, so other event types never advance either side.  Views
+    whose window end is >= that frontier — including one EQUAL to it
+    (eviction is strict <) — stay in state, unresolved, and never
+    appear; both edges are pinned by
+    tests/test_streaming_left_outer_frontier.py.  State at scale: each
+    side holds rows until the watermark clears their join window
+    (1 day + 2 h), so state is O(arrival-rate × window), independent
+    of stream length."""
     import shutil
 
     srcdir, tmp = _restage_arrival_batches(spark, sf_dir, tail=False)

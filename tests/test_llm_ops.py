@@ -1512,3 +1512,46 @@ def test_multimodal_wav_exact_features_roundtrip(spark):
     )
     assert got[90].max_frame_energy == 9 * 256
     assert got[91].sample_rate is None and got[91].total_energy is None
+
+
+def test_langid_trigram_fast_bit_identical_to_join_path(spark):
+    """The Arrow langid kernel must reproduce the explode+broadcast-join
+    formulation BIT-FOR-BIT — NULL text (NULL pred/score), empty and
+    sub-trigram docs (the degenerate substring gram), out-of-vocabulary
+    text (pure unseen-term scoring), and seed-like text (in-vocabulary
+    path + alphabetical tie-break discipline).  Integer scores make any
+    divergence a hard failure, not an ulp."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        langid_trigram,
+        langid_trigram_fast,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    from .conftest import SF_DIR
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "ab"),
+            (4, "zzzqqqxxx 12345 \N{ROCKET}"),
+            (5, "group agg hash merge sort order window"),
+            (6, "stream batch spark data big small"),
+            (7, "customer order line part value"),
+            (8, "the quick brown fox " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = read_table(spark, SF_DIR, "documents")
+    for df in (edge, corpus):
+        slow = {
+            r.doc_id: (r.lang_pred, r.lang_score)
+            for r in langid_trigram(df).collect()
+        }
+        fast = {
+            r.doc_id: (r.lang_pred, r.lang_score)
+            for r in langid_trigram_fast(df).collect()
+        }
+        assert slow == fast
+    preds = {r.lang_pred for r in langid_trigram(corpus).collect()}
+    assert len(preds) >= 2  # non-degenerate classifier on the corpus
