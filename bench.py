@@ -145,6 +145,16 @@ HEADLINE = [
     "multimodal_wav_exact",
     # snapshot write + mergeSchema evolved read + profile aggregate
     "curation_schema_evolution",
+    # round-12 additions: the refined-IVF exhaustive twin (full Lloyd
+    # refine + exhaustive probe cost), the contamination sweep (asym
+    # bench x train inverted index), the frozen trigram classifier in
+    # both formulations (explode+join vs single-pass Arrow — the bench
+    # IS the comparison), and the URL canonicalization rollup
+    "ann_ivf_refined_exhaustive",
+    "curation_decontaminate",
+    "text_langid_trigram",
+    "text_langid_trigram_fast",
+    "curation_url_normalize",
 ]
 
 
@@ -428,6 +438,18 @@ def main() -> None:
         raise SystemExit(preflight())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-state provenance (r11 VERDICT #8): sampled BEFORE the JVM
+    # spins up, so the note reflects pre-existing contention, not our
+    # own load.  Best-of-3 absorbs bursts but not a steadily busy host;
+    # recording quiet-vs-contended per official run ends the
+    # ratio-archaeology of re-measuring stale scale probes.  Override
+    # with SPARK_GRAFT_HOST_NOTE for a manual annotation.
+    la1, la5, _ = os.getloadavg()
+    ncpu = os.cpu_count() or 1
+    host_note = os.environ.get("SPARK_GRAFT_HOST_NOTE") or (
+        f"{'quiet' if la5 < ncpu * 0.25 else 'contended'} host at start: "
+        f"loadavg {la1:.1f}/{la5:.1f} (1/5 min) on {ncpu} cpus"
+    )
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -478,6 +500,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "n_queries": len(times),
+        "host_note": host_note,
         # No silent caps (r07 VERDICT #3): the detail record names what
         # was NOT measured.  HEADLINE is a representative cut — one per
         # operator family plus everything performance-interesting — not

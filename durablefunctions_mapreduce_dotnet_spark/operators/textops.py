@@ -1255,42 +1255,53 @@ def langid_trigram_fast(
     weights, unseen, classes = langid_model()
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((weights, unseen, classes))
-    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         w, u, cls = bc.value
+        # int trigram keys (3 shifted codepoints — the lm_score_fast
+        # encoding widened to trigrams) so per-doc counting is one
+        # np.unique instead of a per-occurrence Python dict loop; the
+        # weight lookup then runs once per DISTINCT doc trigram.  Every
+        # vocab gram is exactly 3 chars, so degenerate (<3 char) grams
+        # can never collide into the table — they fall to the unseen
+        # term, same as the slow path's failed join.
+        int_w = {
+            (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2]): wv
+            for g, wv in w.items()
+        }
+        uarr = np.array(u, dtype=np.int64)
         for pdf in batches:
             ids, preds, scores = [], [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
                 ids.append(doc_id)
                 if t is None:
                     preds.append(None)
                     scores.append(None)
                     continue
                 s = t.lower()
-                n = max(len(s) - 2, 1)
-                totals = [0] * len(cls)
-                seen = 0
-                counts: dict[str, int] = {}
-                for i in range(n):
-                    g = s[i : i + 3]
-                    counts[g] = counts.get(g, 0) + 1
-                for g, cnt in counts.items():
-                    wg = w.get(g)
-                    if wg is None:
-                        continue
-                    seen += cnt
-                    for j, wj in enumerate(wg):
-                        totals[j] += wj * cnt
-                miss = n - seen
-                for j in range(len(cls)):
-                    totals[j] += u[j] * miss
-                best = max(totals)
-                preds.append(cls[totals.index(best)])  # first == alpha min
+                if len(s) < 3:
+                    totals = uarr.copy()  # one degenerate gram, unseen
+                else:
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    keys = (codes[:-2] << 42) | (codes[1:-1] << 21) | codes[2:]
+                    uk, cnt = np.unique(keys, return_counts=True)
+                    totals = np.zeros(len(cls), dtype=np.int64)
+                    seen = 0
+                    for k, c in zip(uk.tolist(), cnt.tolist()):
+                        wv = int_w.get(k)
+                        if wv is not None:
+                            seen += c
+                            for j, wj in enumerate(wv):
+                                totals[j] += wj * c
+                    totals += uarr * (len(keys) - seen)
+                best = int(totals.max())
+                preds.append(cls[int(totals.argmax())])  # first == alpha min
                 scores.append(best)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype=id_type.replace("bigint", "int64")),
+                    "doc_id": pd.Series(ids, dtype="int64"),
                     "lang_pred": pd.Series(preds, dtype="object"),
                     "lang_score": pd.array(scores, dtype="Int64"),
                 }

@@ -145,7 +145,16 @@ def all_oracles() -> dict[str, str]:
 #   r12:      HALF_A first  <-- CURRENT STATE of _ROTATION below
 #             (re-verifies the relational core under rotation, incl. the
 #             r11 streaming left-outer frontier fix resting on the
-#             mirror; r12 newcomers pinned via _WINDOW_FIRST)
+#             mirror; r12 newcomers pinned via _WINDOW_FIRST.
+#             Scale-probe re-measurement on a quiet host (r11 VERDICT
+#             #3, same protocol as the r11 dedup_clusters/triangles
+#             re-probe): time_gapfill_interpolate sf1.0/sf0.1 ratio
+#             9.73 -> 6.71 — the 9.7 was contention noise;
+#             text_lm_score 9.1 -> 9.83 — stable at ~linear for 10x
+#             data, the expected cost of the deliberately
+#             oracle-shaped explode+join formulation (its Arrow twin
+#             text_lm_score_fast rides ratio ~5.9).  Official runs now
+#             record host_note in BENCH_DETAIL.json.)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -198,6 +207,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_langid_trigram_fast",
     # r12 newcomer: append-mode session_window over multi-batch arrival
     "streaming_sessionize",
+    # r12 newcomer: URL canonicalization + host rollup (synth-URL round-trip)
+    "curation_url_normalize",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -1166,9 +1166,104 @@ ORDER BY bench_id, train_id
 """
 
 
+def q_curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host canonicalization + host-level rollup — the key crawl
+    pipelines dedup, cap and robots-gate on.  The corpus carries no
+    URLs, so each doc synthesizes a deterministic MESSY one closed-form
+    from (doc_id, source) — upper-case scheme/host, www., default and
+    non-default ports, tracking params, unsorted query keys, fragments
+    (operators.curation.synth_url_col, the synth_bmp/wav pattern) —
+    then operators.curation.normalize_urls canonicalizes with pure
+    codegen'd string expressions and the rollup profiles each host:
+    doc count, distinct normalized URLs, and the min/max normalized
+    URL (full-string hash coverage of every rule).  The oracle
+    regenerates and renormalizes independently in SQL."""
+    from ..operators.curation import normalize_urls, synth_url_col
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", synth_url_col("doc_id", "source").alias("url")
+    )
+    n = normalize_urls(d, "url")
+    return (
+        n.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url_norm").alias("n_urls"),
+            F.min("url_norm").alias("first_url"),
+            F.max("url_norm").alias("last_url"),
+        )
+        .orderBy("host")
+    )
+
+
+# Mirrors synth_url_col + normalize_urls rule for rule with DuckDB
+# string ops only (no engine URL functions): same portable nonneg mods,
+# same regexes, same tracking-param filter + byte-sort of query params.
+_P = "((doc_id % {m} + {m}) % {m})"
+_CURATION_URL_SQL = f"""
+WITH gen AS (
+  SELECT doc_id,
+         (CASE WHEN {_P.format(m=2)} = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN {_P.format(m=3)} = 0 THEN 'WWW.' || upper(source) || '.Example.COM'
+                  WHEN {_P.format(m=3)} = 1 THEN source || '.example.com'
+                  ELSE 'www.' || source || '.EXAMPLE.com' END)
+         || (CASE WHEN {_P.format(m=5)} = 0 THEN ':80'
+                  WHEN {_P.format(m=5)} = 1 THEN ':443'
+                  WHEN {_P.format(m=5)} = 2 THEN ':8080' ELSE '' END)
+         || '/docs/' || CAST({_P.format(m=50)} AS VARCHAR)
+         || (CASE WHEN {_P.format(m=4)} = 0
+                  THEN '?utm_source=feed&id=' || CAST({_P.format(m=7)} AS VARCHAR) || '&utm_campaign=x'
+                  WHEN {_P.format(m=4)} = 1
+                  THEN '?ref=home&id=' || CAST({_P.format(m=7)} AS VARCHAR)
+                  WHEN {_P.format(m=4)} = 2 THEN '?utm_medium=em'
+                  ELSE '' END)
+         || (CASE WHEN {_P.format(m=6)} = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM gen
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''), '^www\\.', '') AS host,
+         scheme, path,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         list_sort(list_filter(string_split(qs, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid)='))) AS params
+  FROM parts
+),
+built AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+         || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+         || path
+         || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                  ELSE '' END) AS url_norm
+  FROM norm
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url_norm) AS n_urls,
+       MIN(url_norm) AS first_url,
+       MAX(url_norm) AS last_url
+FROM built
+GROUP BY host
+ORDER BY host
+"""
+
+
 QUERIES = {
     "curation_schema_evolution": q_curation_schema_evolution,
     "curation_decontaminate": q_curation_decontaminate,
+    "curation_url_normalize": q_curation_url_normalize,
     "curation_forget_users": q_forget_users,
     "curation_domain_cap": q_domain_cap,
     "curation_epoch_shuffle": q_epoch_shuffle,
@@ -1200,6 +1295,7 @@ QUERIES = {
 ORACLES = {
     "curation_schema_evolution": _CURATION_SCHEMA_EVOLUTION_SQL,
     "curation_decontaminate": _CURATION_DECONTAMINATE_SQL,
+    "curation_url_normalize": _CURATION_URL_SQL,
     "curation_forget_users": _FORGET_SQL,
     "curation_domain_cap": _DOMAIN_CAP_SQL,
     "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,

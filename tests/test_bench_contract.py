@@ -97,3 +97,10 @@ def test_detail_record_names_exclusions():
     assert cov["headline"] == len(headline), (
         "BENCH_DETAIL.json headline count is stale — regenerate+commit"
     )
+    # r11 VERDICT #8: every official run records the host state it ran
+    # under (quiet vs contended), so scale-probe ratio archaeology has
+    # provenance instead of guesswork
+    assert detail.get("host_note"), (
+        "BENCH_DETAIL.json lacks host_note — regenerate with the "
+        "current bench.py (it samples loadavg before the JVM starts)"
+    )

@@ -638,3 +638,41 @@ def test_evolved_read_still_prunes_columns_and_pushes_filters(spark, tmp_path):
     q = m.where(F.col("lang") == "en").select("doc_id", "lang")
     assert_read_schema_only(q, "/s", {"doc_id", "lang"})
     assert_pushed_filters(q, "EqualTo(lang,en)")
+
+
+def test_r12_queries_plan_shapes(spark):
+    """The r12 additions keep their 100 TB contracts in the PLAN:
+
+    * curation_decontaminate — the asymmetric inverted index joins
+      bench x train postings only: no CartesianProduct, and the
+      documents scan reads exactly (doc_id, text)
+    * text_langid_trigram — the vocabulary-sized weight table joins as
+      a BROADCAST hash join (a shuffled join of a 168-row table against
+      the exploded trigram stream would be the classic small-dim miss)
+    * curation_url_normalize — generation + normalization are pure
+      codegen'd string expressions: no Python eval in the plan, one
+      documents scan reading only (doc_id, source)
+    """
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_curation_decontaminate,
+        q_curation_url_normalize,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.text_q import (
+        q_text_langid_trigram,
+    )
+
+    dec = q_curation_decontaminate(spark, SF_DIR)
+    plan = explain_str(dec)
+    assert "CartesianProduct" not in plan
+    assert_read_schema_only(dec, "documents", {"doc_id", "text"})
+
+    lang = q_text_langid_trigram(spark, SF_DIR)
+    plan = explain_str(lang)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    url = q_curation_url_normalize(spark, SF_DIR)
+    plan = explain_str(url)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_read_schema_only(url, "documents", {"doc_id", "source"})
+    assert explain_str(url, "simple").count("FileScan parquet") == 1
