@@ -155,6 +155,12 @@ HEADLINE = [
     "text_langid_trigram",
     "text_langid_trigram_fast",
     "curation_url_normalize",
+    # metadata-filtered vector search, MMR diversified re-rank, and the
+    # incrementally-maintained near-dup clustering (its timing includes
+    # rebuilding the prior state from scratch — see the query docstring)
+    "ann_filtered",
+    "ann_mmr_rerank",
+    "dedup_clusters_incremental",
 ]
 
 

@@ -289,6 +289,93 @@ def canonicalize_clusters(
     )
 
 
+def incremental_components(
+    prior: DataFrame,
+    new_pairs: DataFrame,
+    node: str = "node",
+    comp: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint: CheckpointFn = local_checkpoint,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Incrementally maintain min-label connected components when a NEW
+    batch of pairs arrives (the recurring-crawl sibling of
+    :func:`connected_components`, completing the incremental story
+    begun by ``incremental_dedup`` / ``minhash_near_dup_incremental``):
+    given the PRIOR labeling ``(node, component)`` — component = min
+    member id, the invariant :func:`connected_components` guarantees —
+    and pairs touching the new batch, produce the labeling a full
+    recompute over (all prior pairs ∪ new pairs) would produce, WITHOUT
+    ever reading the prior pair set.
+
+    The trick is graph CONTRACTION: prior components are already
+    transitively closed, so each acts as a super-node represented by
+    its label.  Map every new pair endpoint to its representative
+    (prior component if known, the node itself if new — one lookup
+    join per side), drop self-loops, and run CC over that contracted
+    edge set, which is bounded by the NEW batch size, not the corpus.
+    Because prior labels are min member ids and new nodes are their own
+    ids, min-label CC over representatives yields exactly the global
+    min member id of each merged component — the same invariant,
+    restored.  Finally the delta labeling joins back onto the prior
+    table (label' = delta(component) where present) and onto the new
+    nodes (label' = delta(node)).
+
+    Scale shape: O(|new pairs|) CC work + one hash join per side of the
+    new pairs + ONE join over the prior labeling — with
+    ``broadcast_delta`` (default; the delta is batch-sized by
+    construction) that join is a broadcast, so the petabyte-scale prior
+    labeling is never shuffled at all.  Equality with the full
+    recompute is the driver-checked contract
+    (``dedup_clusters_incremental`` shares the full-closure oracle —
+    the agg_incremental_maintenance IVM pattern applied to graphs)."""
+    rep_a = prior.select(
+        F.col(node).alias(src), F.col(comp).alias("_ca")
+    )
+    rep_b = prior.select(
+        F.col(node).alias(dst), F.col(comp).alias("_cb")
+    )
+    contracted = (
+        new_pairs.select(src, dst)
+        .join(rep_a, src, "left")
+        .join(rep_b, dst, "left")
+        .select(
+            F.coalesce("_ca", F.col(src)).alias("u"),
+            F.coalesce("_cb", F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    delta = connected_components(contracted, "u", "v", checkpoint=checkpoint)
+    dl = delta.select(
+        F.col("n").alias("_rep"), F.col("component").alias("_new")
+    )
+    dlb = F.broadcast(dl) if broadcast_delta else dl
+    # prior rows: relabel components merged by the delta, keep the rest
+    upd_prior = (
+        prior.join(dlb, prior[comp] == dlb["_rep"], "left")
+        .select(
+            F.col(node),
+            F.coalesce("_new", F.col(comp)).alias(comp),
+        )
+    )
+    # genuinely new nodes: endpoints of new pairs absent from prior
+    new_nodes = (
+        new_pairs.select(F.col(src).alias(node))
+        .union(new_pairs.select(F.col(dst).alias(node)))
+        .distinct()
+        .join(prior.select(node), node, "anti")
+    )
+    upd_new = (
+        new_nodes.join(dlb, new_nodes[node] == dlb["_rep"], "left")
+        .select(
+            F.col(node),
+            F.coalesce("_new", F.col(node)).alias(comp),
+        )
+    )
+    return upd_prior.unionByName(upd_new)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -120,6 +120,161 @@ def brute_force_topk(
     return _topk_window(partial, k)
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    filter_col: str = "label",
+) -> DataFrame:
+    """METADATA-FILTERED exact cosine top-k — the constrained vector
+    search every production retrieval stack needs (tenant-scoped,
+    same-language, time-fenced): each query retrieves only corpus rows
+    whose ``filter_col`` equals its own.
+
+    The filter applies INSIDE the scoring kernel, not as a post-rank
+    cut: post-filtering a plain top-k silently under-fills whenever
+    fewer than k of the unconstrained neighbors share the attribute —
+    the classic filtered-ANN correctness trap.  Per Arrow batch the
+    corpus gemm is shared across all queries and the per-query
+    eligibility mask (attribute match + self-exclusion) is applied to
+    the score column before the exact (cos desc, id) partial top-k, so
+    the plan stays ONE corpus pass with a broadcast query matrix and no
+    shuffle of vectors — same 100 TB posture as brute_force_topk; at
+    scale a highly selective attribute instead pushes down as a
+    partition/scan filter and degenerates to the unfiltered kernel."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qpdf = queries.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(filter_col).alias("_f"),
+    ).toPandas()
+    qids = qpdf["_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
+    qf = qpdf["_f"].to_numpy(dtype=np.int64)
+    qn = np.linalg.norm(qm, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qm, qn, qf))
+
+    def gen(batches):
+        b_qids, b_qm, b_qn, b_qf = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["_id"].to_numpy(dtype=np.int64)
+            labs = batch["_f"].to_numpy(dtype=np.int64)
+            m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            scores = (m @ b_qm.T) / (nrm[:, None] * b_qn[None, :])
+            out = []
+            for j in range(len(b_qids)):
+                mask = (ids != b_qids[j]) & (labs == b_qf[j])
+                cand_ids, cand = ids[mask], scores[mask, j]
+                if not len(cand_ids):
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), b_qids[j], dtype=np.int64),
+                            "vid": cand_ids[order],
+                            "cos": cand[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(filter_col).alias("_f"),
+    ).mapInPandas(gen, "qid bigint, vid bigint, cos double")
+    return _topk_window(partial, k)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998) — the standard redundancy cut of a retrieval/RAG
+    stack: from each query's exact top-``n_candidates``, greedily pick
+    ``k`` results maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)``
+    so near-duplicate hits don't crowd the result list.
+
+    Scale shape: candidate generation is the one corpus-sized pass
+    (the shared brute/IVF kernels); the MMR loop itself runs per query
+    over ≤ n_candidates rows inside one ``applyInPandas`` group — the
+    candidate matrix gemm is (n_cand)², driver state zero, and the
+    corpus is never touched again.  Ties break (score desc, id asc) at
+    every pick, so output ids are deterministic; the oracle unrolls the
+    k greedy iterations in SQL and must agree pick for pick."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qids, qm = _collect_matrix(queries, vec_col, id_col)
+    qn = np.linalg.norm(qm, axis=1)
+    bc = spark.sparkContext.broadcast(
+        ({int(q): j for j, q in enumerate(qids)}, qm, qn)
+    )
+    cand = brute_force_topk(
+        embeddings, queries, k=n_candidates, vec_col=vec_col, id_col=id_col
+    )
+    cv = cand.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "_v")
+
+    def mmr(key, pdf):
+        qmap, b_qm, b_qn = bc.value
+        j = qmap[int(key[0])]
+        qv, qnorm = b_qm[j], b_qn[j]
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        rel = (m @ qv) / (nrm * qnorm)
+        simm = (m @ m.T) / (nrm[:, None] * nrm[None, :])
+        picked: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        out_ids, out_rank = [], []
+        for t in range(1, min(k, len(ids)) + 1):
+            if t == 1:
+                score = rel.copy()
+            else:
+                worst = simm[:, picked].max(axis=1)
+                score = lam * rel - (1.0 - lam) * worst
+            score = np.where(avail, score, -np.inf)
+            # argmax with (score desc, id asc): lexsort on (-score, id)
+            best = np.lexsort((ids, -score))[0]
+            picked.append(best)
+            avail[best] = False
+            out_ids.append(ids[best])
+            out_rank.append(t)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(out_ids), key[0], dtype=np.int64),
+                "neighbor_id": np.array(out_ids, dtype=np.int64),
+                "rank": np.array(out_rank, dtype=np.int32),
+            }
+        )
+
+    return cv.groupBy("query_id").applyInPandas(
+        mmr, "query_id bigint, neighbor_id bigint, rank int"
+    )
+
+
 def make_planes(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-Gaussian hyperplanes (sum of uniforms), no
     numpy dependency in the plan — planes are baked in as literals."""

@@ -209,6 +209,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "streaming_sessionize",
     # r12 newcomer: URL canonicalization + host rollup (synth-URL round-trip)
     "curation_url_normalize",
+    # r12 newcomers: metadata-filtered exact vector search, MMR
+    # diversified re-rank, incrementally-maintained near-dup clusters
+    "ann_filtered",
+    "ann_mmr_rerank",
+    "dedup_clusters_incremental",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -362,6 +362,124 @@ def q_ann_ivf_refined_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact vector search (operators.similarity.
+    filtered_topk): each query retrieves its top-5 only among corpus
+    vectors sharing its ``label`` — the tenant-/language-/time-scoped
+    constraint of production retrieval.  The filter applies inside the
+    scoring kernel (pre-rank), so queries whose attribute is rare still
+    fill k — post-filtering an unconstrained top-k would under-fill.
+    Exact kernel, exact SQL mirror: hash-exact, no FP margin beyond the
+    shared cosine tie-break discipline."""
+    from ..operators.similarity import filtered_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return filtered_topk(e, _queries_subset(e), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_ANN_FILTERED_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn
+      FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+           / (qn * e.nrm) AS cos
+  FROM q JOIN e ON q.qid != e.vec_id AND q.ql = e.label
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 from each query's exact top-20
+    (operators.similarity.mmr_rerank, λ=0.5): the greedy
+    relevance-vs-redundancy re-rank every RAG stack applies so
+    near-duplicate passages don't crowd the context window.  The
+    oracle unrolls the five greedy picks in SQL (the kmeans/pagerank
+    unroll pattern) — ids-only output, so cross-engine FP noise in the
+    scores can only matter at ~1e-15 score ties, orders below the
+    corpus's observed margins."""
+    from ..operators.similarity import mmr_rerank
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(e, _queries_subset(e), k=5, n_candidates=20).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, n_cand: int = 20, lam: float = 0.5) -> str:
+    """Unrolled greedy MMR: rel = exact top-n_cand per query, sim =
+    candidate-pair cosines, then k argmax picks, each excluding prior
+    picks and penalizing max similarity to them — (score desc, vid)
+    tie-break at every step, mirroring the kernel's lexsort."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+rel AS (
+  SELECT qid, vid, r FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+             / (qn * e.nrm) AS r
+    FROM q JOIN e ON q.qid != e.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, vid) <= {n_cand}
+),
+sim AS (
+  SELECT ra.qid, ra.vid AS va, rb.vid AS vb,
+         list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i]))
+           / (ea.nrm * eb.nrm) AS s
+  FROM rel ra JOIN rel rb ON ra.qid = rb.qid AND ra.vid != rb.vid
+  JOIN e ea ON ea.vec_id = ra.vid
+  JOIN e eb ON eb.vec_id = rb.vid
+),
+p1 AS (
+  SELECT qid, vid FROM rel
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, vid) = 1
+),
+pc1 AS (SELECT qid, vid, 1 AS rank FROM p1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f""",
+sc{t} AS (
+  SELECT r.qid, r.vid, {lam} * r.r - {1.0 - lam} * MAX(s.s) AS score
+  FROM rel r
+  JOIN sim s ON s.qid = r.qid AND s.va = r.vid
+  JOIN pc{t - 1} p ON p.qid = s.qid AND p.vid = s.vb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pc{t - 1} x WHERE x.qid = r.qid AND x.vid = r.vid)
+  GROUP BY r.qid, r.vid, r.r
+),
+p{t} AS (
+  SELECT qid, vid FROM sc{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) = 1
+),
+pc{t} AS (
+  SELECT * FROM pc{t - 1}
+  UNION ALL SELECT qid, vid, {t} AS rank FROM p{t}
+)""")
+    parts.append(f"""
+SELECT qid AS query_id, vid AS neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM pc{k}
+ORDER BY query_id, rank
+""")
+    return "".join(parts)
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed (64×64) embedding covariance, integer-quantized for
     exact cross-engine parity (operators.clustering.embedding_covariance)
@@ -679,6 +797,8 @@ QUERIES = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_ivf_refined_exhaustive": q_ann_ivf_refined_exhaustive,
+    "ann_filtered": q_ann_filtered,
+    "ann_mmr_rerank": q_ann_mmr_rerank,
     "ann_pq_rescored": q_ann_pq_rescored,
     "ann_pq_exhaustive": q_ann_pq_exhaustive,
     "ann_ivfpq_exhaustive": q_ann_ivfpq_exhaustive,
@@ -697,6 +817,8 @@ ORACLES = {
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ivf_exhaustive": _ANN_BRUTE_SQL,
     "ann_ivf_refined_exhaustive": _ANN_BRUTE_SQL,
+    "ann_filtered": _ANN_FILTERED_SQL,
+    "ann_mmr_rerank": _mmr_oracle_sql(),
     "ann_pq_exhaustive": _ANN_BRUTE_SQL,
     "ann_ivfpq_exhaustive": _ANN_BRUTE_SQL,
     "ann_quantized_topk": _ANN_QUANTIZED_SQL,

@@ -1555,3 +1555,123 @@ def test_langid_trigram_fast_bit_identical_to_join_path(spark):
         assert slow == fast
     preds = {r.lang_pred for r in langid_trigram(corpus).collect()}
     assert len(preds) >= 2  # non-degenerate classifier on the corpus
+
+
+def test_incremental_components_merge_cases(spark):
+    """incremental_components must reproduce the full-recompute labeling
+    on each structural merge case: a bridge pair merging two prior
+    clusters, a new node attaching to a prior cluster, a new-new pair
+    forming a fresh cluster, an untouched prior cluster passing through,
+    and a new pair INSIDE one prior cluster (contraction self-loop — no
+    effect).  Labels must stay min-member ids throughout."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    # prior world: {1,2,3} labeled 1, {10,11} labeled 10, {20} singleton
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "node long, component long",
+    )
+    # new batch: bridge 3-10 (merges 1&10), attach 30 to 11, fresh pair
+    # 40-41, and an intra-cluster pair 1-2 (self-loop after contraction)
+    new_pairs = spark.createDataFrame(
+        [(3, 10), (11, 30), (40, 41), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in incremental_components(prior, new_pairs).collect()
+    }
+    # full recompute over (prior node->label edges) + new pairs
+    prior_edges = prior.select(
+        F.col("node").alias("id_a"), F.col("component").alias("id_b")
+    ).where(F.col("id_a") != F.col("id_b"))
+    full = {
+        r.n: r.component
+        for r in connected_components(
+            prior_edges.unionByName(new_pairs)
+        ).collect()
+    }
+    full.setdefault(20, 20)  # singleton: no edges, keeps own label
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 30: 1, 40: 40, 41: 40, 20: 20}
+    assert {n: got[n] for n in full} == full
+
+
+def test_filtered_topk_fills_from_constrained_pool(spark):
+    """The filtered-ANN correctness trap: when fewer than k of a query's
+    UNCONSTRAINED top-k share its attribute, post-filtering under-fills
+    — the in-kernel mask must instead fill k from the constrained pool.
+    Construct a query whose 5 nearest global neighbors all carry the
+    wrong label; filtered_topk must still return 5 same-label rows."""
+    import math
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = [(0, vec(0.0), 7)]  # the query, label 7
+    # 5 near neighbors (small angles), WRONG label
+    rows += [(i, vec(0.01 * i), 9) for i in range(1, 6)]
+    # 6 far neighbors (large angles), query's label
+    rows += [(10 + i, vec(0.8 + 0.05 * i), 7) for i in range(6)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = e.where(F.col("vec_id") == 0)
+    unfiltered = {r.neighbor_id for r in brute_force_topk(e, q, k=5).collect()}
+    assert unfiltered == {1, 2, 3, 4, 5}  # post-filter would keep 0 of these
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in filtered_topk(e, q, k=5).orderBy("rank").collect()
+    ]
+    assert [n for n, _ in got] == [10, 11, 12, 13, 14]  # nearest same-label
+    assert len(got) == 5
+
+
+def test_mmr_rerank_diversifies_known_case(spark):
+    """MMR on a hand-built corpus: two tight near-duplicate bundles near
+    the query and scattered singletons.  Plain top-k drowns in bundle A;
+    MMR(λ=0.5) must interleave — after taking bundle A's best, the next
+    pick comes from bundle B, not A's clone."""
+    import math
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    # bundle B sits on the OPPOSITE side of the query, so its angle to
+    # bundle A (0.32 rad) exceeds its angle to the query (0.30 rad) —
+    # the configuration where diversification genuinely pays: same-side
+    # geometry can never beat a clone under MMR (sim to A >= rel, by
+    # the spherical triangle inequality)
+    rows = [(0, vec(0.0))]  # query
+    rows += [(1, vec(0.020)), (2, vec(0.021)), (3, vec(0.022))]  # bundle A
+    rows += [(11, vec(-0.30)), (12, vec(-0.301))]  # bundle B
+    rows += [(21, vec(0.9)), (22, vec(-1.2))]  # scattered
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 0)
+    plain = [r.neighbor_id for r in brute_force_topk(e, q, k=3).orderBy("rank").collect()]
+    assert plain == [1, 2, 3]  # pure relevance: bundle A crowds the list
+    mmr = [
+        r.neighbor_id
+        for r in mmr_rerank(e, q, k=3, n_candidates=7, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # hand-computed greedy trace at λ=0.5: pick 1 is pure relevance
+    # (doc 1); pick 2 maximizes 0.5·rel − 0.5·sim-to-1, won by the
+    # near-orthogonal doc 22 (rel 0.362, sim 0.344) over bundle B
+    # (rel 0.955 but sim 0.949) and over A's clone (sim ≈ 1); pick 3 is
+    # doc 12 (bundle B edges its twin 11 because its sim-to-1 is
+    # fractionally lower).  Bundle A's clones (2, 3) never reappear.
+    assert mmr == [1, 22, 12]
+    assert not {2, 3} & set(mmr)
