@@ -264,19 +264,22 @@ def canonicalize_clusters(
     checkpoint: CheckpointFn = local_checkpoint,
     pairs_distinct_ordered: bool = False,
     small_graph_threshold: int = 65_536,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Full dedup keep-list: every row of ``universe`` labeled with its
     near-dup cluster id (its own id when it has no duplicate) and a
     ``keep`` flag for the canonical (minimum-id) representative —
     the operator a training-data pipeline actually applies after pair
-    generation.  ``pairs_distinct_ordered`` and
-    ``small_graph_threshold`` forward to :func:`connected_components`
+    generation.  ``pairs_distinct_ordered``, ``small_graph_threshold``
+    and ``pointer_jumping`` forward to :func:`connected_components`
     (skip the edge-distinct shuffle when the pair table is already
-    distinct with src < dst; solve tiny pair graphs driver-side)."""
+    distinct with src < dst; solve tiny pair graphs driver-side; add
+    the label-chasing join for chain graphs)."""
     comp = connected_components(
         pairs, src, dst, checkpoint=checkpoint,
         pairs_distinct_ordered=pairs_distinct_ordered,
         small_graph_threshold=small_graph_threshold,
+        pointer_jumping=pointer_jumping,
     )
     return (
         universe.select(id_col)

@@ -214,6 +214,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_filtered",
     "ann_mmr_rerank",
     "dedup_clusters_incremental",
+    # r12 newcomers: the pointer-jumping + forced-distributed CC path's
+    # first driver row; packing-waste audit over the 2048-token packs
+    "dedup_clusters_pj",
+    "curation_pack_efficiency",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -178,6 +178,63 @@ FROM t
 """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the 2048-token packs — the metric a
+    training pipeline reads before committing a packing policy (waste =
+    padding the trainer burns): per source, doc/pack counts, exact token
+    totals, the largest pack (concat-and-chunk assigns whole docs to the
+    pack where they START, so a straddling doc overfills it), and the
+    fill ratio vs budget.  Integer aggregates end-to-end; the single
+    ratio is one IEEE division rounded 6 dp."""
+    d = read_table(spark, sf_dir, "documents")
+    packs = pack_documents(d, budget_tokens=2048)
+    per_pack = packs.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").alias("_pt"), F.count(F.lit(1)).alias("_pd")
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.sum("_pd").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("_pt").alias("total_tokens"),
+            F.max("_pt").alias("max_pack_tokens"),
+            F.round(
+                F.sum("_pt") / (F.count(F.lit(1)) * F.lit(2048.0)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_EFFICIENCY_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              / 2048.0) AS BIGINT) AS pack_id
+  FROM t
+),
+per_pack AS (
+  SELECT source, pack_id, SUM(n_tokens) AS pt, COUNT(*) AS pd
+  FROM p GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(SUM(pd) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_packs,
+       CAST(SUM(pt) AS BIGINT) AS total_tokens,
+       CAST(MAX(pt) AS BIGINT) AS max_pack_tokens,
+       ROUND(CAST(SUM(pt) AS DOUBLE) / (COUNT(*) * 2048.0), 6) AS fill_ratio
+FROM per_pack
+GROUP BY source ORDER BY source
+"""
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 vocabulary by document frequency (df desc, term asc)."""
     d = read_table(spark, sf_dir, "documents")
@@ -1288,6 +1345,7 @@ QUERIES = {
     "curation_chunk_overlap": q_chunk_overlap,
     "curation_chunk_tokens": q_chunk_tokens,
     "curation_pack_sequences": q_pack,
+    "curation_pack_efficiency": q_pack_efficiency,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
     "curation_redact_pii": q_redact_pii,
@@ -1320,6 +1378,7 @@ ORACLES = {
     "curation_chunk_overlap": _CHUNK_SQL,
     "curation_chunk_tokens": _CHUNK_TOKENS_SQL,
     "curation_pack_sequences": _PACK_SQL,
+    "curation_pack_efficiency": _PACK_EFFICIENCY_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,
     "curation_redact_pii": _REDACT_SQL,

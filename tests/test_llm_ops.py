@@ -1675,3 +1675,47 @@ def test_mmr_rerank_diversifies_known_case(spark):
     # fractionally lower).  Bundle A's clones (2, 3) never reappear.
     assert mmr == [1, 22, 12]
     assert not {2, 3} & set(mmr)
+
+
+def test_incremental_components_composes_across_batches(spark):
+    """IVM must COMPOSE: applying incremental_components twice (batch 1
+    then batch 2, feeding the first output in as the prior) must equal
+    one full recompute over all edges — the recurring-crawl lifecycle,
+    where the labeling is a live table updated per ingest.  Batch 2
+    deliberately merges components that only EXIST because batch 1
+    merged them (10-40 bridges the {1..3,10,11} super-cluster formed in
+    batch 1 with batch-2 newcomer 40), so label-invariant violations
+    (component != min member) surface immediately."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "node long, component long",
+    )
+    batch1 = spark.createDataFrame([(3, 10), (30, 31)], "id_a long, id_b long")
+    batch2 = spark.createDataFrame(
+        [(10, 40), (41, 20), (30, 42)], "id_a long, id_b long"
+    )
+    after1 = incremental_components(prior, batch1)
+    after2 = incremental_components(after1, batch2)
+    got = {r.node: r.component for r in after2.collect()}
+    prior_edges = prior.select(
+        F.col("node").alias("id_a"), F.col("component").alias("id_b")
+    ).where(F.col("id_a") != F.col("id_b"))
+    full = {
+        r.n: r.component
+        for r in connected_components(
+            prior_edges.unionByName(batch1).unionByName(batch2)
+        ).collect()
+    }
+    full.setdefault(20, got.get(20, 20))
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1,  # original cluster + merged 10s
+        40: 1,                            # batch-2 newcomer joins via 10
+        20: 20, 41: 20,                   # 41 attaches to singleton 20
+        30: 30, 31: 30, 42: 30,           # batch-1 pair grows in batch 2
+    }
+    assert {n: got[n] for n in full} == full
