@@ -151,7 +151,10 @@ sc AS (
 )
 SELECT d.doc_id,
        CASE {case} END AS lang_pred,
-       {best} AS lang_score
+       -- DuckDB SUM(BIGINT) is HUGEINT, which pandas surfaces as
+       -- float64 — the driver's strict compare would see 1540.0 vs
+       -- Spark's int64 1540; cast the OUTPUT back to BIGINT
+       CAST({best} AS BIGINT) AS lang_score
 FROM documents d LEFT JOIN sc USING (doc_id)
 ORDER BY d.doc_id
 """
