@@ -676,3 +676,30 @@ def test_r12_queries_plan_shapes(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert_read_schema_only(url, "documents", {"doc_id", "source"})
     assert explain_str(url, "simple").count("FileScan parquet") == 1
+
+
+def test_incremental_components_broadcasts_delta_onto_prior(spark):
+    """incremental_components' 100 TB claim in the PLAN: the relabeling
+    join onto the (petabyte-scale) prior table must be a BROADCAST hash
+    join of the batch-sized delta — a shuffled join there would
+    repartition the entire prior labeling every ingest."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        incremental_components,
+    )
+
+    prior = spark.range(0, 10_000).select(
+        F.col("id").alias("node"), (F.col("id") - F.col("id") % 3).alias("component")
+    )
+    new_pairs = spark.createDataFrame(
+        [(1, 20_001), (5, 8), (20_002, 20_003)], "id_a long, id_b long"
+    )
+    out = incremental_components(prior, new_pairs)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan
+    # EVERY join broadcasts (rep lookups, anti vs prior, relabels) — a
+    # sort-merge or shuffled-hash join anywhere means a corpus-scale
+    # repartition snuck in.  (The one hashpartitioning in the plan is
+    # the batch-sized new_nodes distinct, which is fine.)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the prior labeling itself must never repartition by component
+    assert "hashpartitioning(component" not in plan
