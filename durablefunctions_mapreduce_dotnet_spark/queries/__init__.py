@@ -145,7 +145,14 @@ def all_oracles() -> dict[str, str]:
 #   r12:      HALF_A first  <-- CURRENT STATE of _ROTATION below
 #             (re-verifies the relational core under rotation, incl. the
 #             r11 streaming left-outer frontier fix resting on the
-#             mirror; r12 newcomers pinned via _WINDOW_FIRST.
+#             mirror; the 11 r12 newcomers pinned via _WINDOW_FIRST:
+#             ann_ivf_refined_exhaustive, curation_decontaminate,
+#             text_langid_trigram(+_fast), streaming_sessionize,
+#             curation_url_normalize, ann_filtered, ann_mmr_rerank,
+#             dedup_clusters_incremental, dedup_clusters_pj,
+#             curation_pack_efficiency — every one hash-exact against
+#             the local mirror at sf0.001 AND sf0.01 (strict
+#             dtype-equal) before pinning.
 #             Scale-probe re-measurement on a quiet host (r11 VERDICT
 #             #3, same protocol as the r11 dedup_clusters/triangles
 #             re-probe): time_gapfill_interpolate sf1.0/sf0.1 ratio
