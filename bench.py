@@ -161,6 +161,11 @@ HEADLINE = [
     "ann_filtered",
     "ann_mmr_rerank",
     "dedup_clusters_incremental",
+    # round-13 additions: incremental IVF maintenance (frozen-centroid
+    # batch assignment + drift report; timing includes the prior-state
+    # rebuild, same self-containment convention as dedup_clusters_
+    # incremental)
+    "ann_ivf_incremental",
 ]
 
 
@@ -492,13 +497,21 @@ def main() -> None:
     # shared VM with bursty CPU contention; the minimum is the faithful
     # cost of the plan.  Warmups above are frozen as of r2.
     times: dict[str, float] = {}
+    # Per-query spread = (max - min) / min over the 3 samples (r12
+    # VERDICT #2): the diagnostic that separates a real plan regression
+    # (spread small, min moved) from host contention (spread large, min
+    # stable).  A quiet host reads spreads mostly < 0.3; a loaded host
+    # blows them past 1.0 while the min column stays comparable.
+    spreads: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             run_one(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
         times[name] = round(best, 4)
+        spreads[name] = round((max(samples) - best) / best, 3)
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
@@ -507,6 +520,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "n_queries": len(times),
         "host_note": host_note,
+        "spread": spreads,
+        "spread_median": round(sorted(spreads.values())[len(spreads) // 2], 3)
+        if spreads
+        else None,
         # No silent caps (r07 VERDICT #3): the detail record names what
         # was NOT measured.  HEADLINE is a representative cut — one per
         # operator family plus everything performance-interesting — not

@@ -155,7 +155,10 @@ def filtered_topk(
     ).toPandas()
     qids = qpdf["_id"].to_numpy(dtype=np.int64)
     qm = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
-    qf = qpdf["_f"].to_numpy(dtype=np.int64)
+    # Labels stay generic (object dtype): filter_col may be int, string,
+    # float, or nullable — SQL `=` semantics, so a NULL label on either
+    # side matches nothing (the oracle's equality join drops NULLs too).
+    qf = qpdf["_f"].to_numpy(dtype=object)
     qn = np.linalg.norm(qm, axis=1)
     bc = spark.sparkContext.broadcast((qids, qm, qn, qf))
 
@@ -165,13 +168,16 @@ def filtered_topk(
             if not len(batch):
                 continue
             ids = batch["_id"].to_numpy(dtype=np.int64)
-            labs = batch["_f"].to_numpy(dtype=np.int64)
+            labs = batch["_f"].to_numpy(dtype=object)
+            lab_ok = ~pd.isnull(labs)
             m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
             nrm = np.linalg.norm(m, axis=1)
             scores = (m @ b_qm.T) / (nrm[:, None] * b_qn[None, :])
             out = []
             for j in range(len(b_qids)):
-                mask = (ids != b_qids[j]) & (labs == b_qf[j])
+                if pd.isnull(b_qf[j]):
+                    continue
+                mask = (ids != b_qids[j]) & lab_ok & (labs == b_qf[j])
                 cand_ids, cand = ids[mask], scores[mask, j]
                 if not len(cand_ids):
                     continue
@@ -433,6 +439,109 @@ def ivf_topk(
         gen, "qid bigint, vid bigint, cos double"
     )
     return _topk_window(partial, k)
+
+
+def ivf_seed_centroids(
+    history: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The FROZEN coarse-quantizer asset of an IVF index: the
+    ``n_lists`` lowest-id vectors of the stored corpus, L2-normalized —
+    exactly the deterministic seed construction ``ivf_topk`` uses, but
+    materialized driver-side as the persisted artifact an incremental
+    maintenance pass assigns against.  O(n_lists x dim) driver memory
+    (a broadcast build side), one ``TakeOrderedAndProject`` scan."""
+    import numpy as np
+
+    cents = (
+        _vec_rows(history, vec_col, id_col).orderBy("_id").limit(n_lists).toPandas()
+    )
+    cm = np.stack(cents["_v"].to_numpy()).astype(np.float64)
+    return cm / np.linalg.norm(cm, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cell assignment against a FROZEN (pre-normalized) centroid
+    matrix — the maintenance half of an IVF index, split out of
+    ``ivf_topk``'s fused search kernel so a recurring-crawl pipeline
+    can assign a NEW batch without touching the stored corpus.
+
+    One gemm pass per Arrow batch, argmax cosine with the same
+    tie-break as search (np.argmax takes the first max -> lowest
+    cell), no shuffle: each executor reads its split and emits one
+    (id, cell) scalar row per vector.  Assignment is per-row
+    independent, so batch-wise application trivially equals
+    from-scratch application — pinned by
+    tests/test_llm_ops.py::test_ivf_assign_incremental_equals_scratch."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def gen(batches):
+        cm = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["_id"].to_numpy(dtype=np.int64)
+            m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            cell = np.argmax((m @ cm.T) / nrm[:, None], axis=1)
+            yield pd.DataFrame({"vec_id": ids, "cell": cell.astype(np.int32)})
+
+    return _vec_rows(embeddings, vec_col, id_col).mapInPandas(
+        gen, f"{id_col} bigint, cell int"
+    )
+
+
+def ivf_cell_drift(
+    history_assign: DataFrame,
+    batch_assign: DataFrame,
+    n_lists: int = 16,
+    retrain_threshold: float = 0.02,
+) -> DataFrame:
+    """Per-cell occupancy drift report — the retrain trigger of an
+    incrementally-maintained IVF index: for every cell, the stored
+    corpus's occupancy share vs the new batch's, their signed delta,
+    and a ``retrain`` flag when |delta| exceeds ``retrain_threshold``
+    (a drifting crawl distribution unbalances the inverted lists and
+    recall at fixed n_probe decays — the standard re-cluster signal).
+
+    All 100 TB of assignments reduce to two n_lists-row count
+    aggregates (map-side combined) before anything else happens; the
+    join onto the literal cell spine and the share arithmetic run on
+    n_lists rows.  Shares are double divisions of exact integer
+    counts, so the report is bit-deterministic cross-engine (IEEE 754
+    division is exactly rounded — no decimal scaffolding needed)."""
+    spark = history_assign.sparkSession
+    cells = spark.range(n_lists).select(F.col("id").cast("int").alias("cell"))
+    h = history_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("hist_n"))
+    b = batch_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("batch_n"))
+    rep = (
+        cells.join(F.broadcast(h), "cell", "left")
+        .join(F.broadcast(b), "cell", "left")
+        .fillna(0, subset=["hist_n", "batch_n"])
+    )
+    w = Window.partitionBy()  # n_lists rows — a single tiny partition
+    rep = rep.withColumn("_ht", F.sum("hist_n").over(w)).withColumn(
+        "_bt", F.sum("batch_n").over(w)
+    )
+    drift = F.col("batch_n") / F.col("_bt") - F.col("hist_n") / F.col("_ht")
+    return rep.select(
+        "cell",
+        "hist_n",
+        "batch_n",
+        drift.alias("drift"),
+        (F.abs(drift) > F.lit(retrain_threshold)).alias("retrain"),
+    )
 
 
 def quantize_embeddings_int8(

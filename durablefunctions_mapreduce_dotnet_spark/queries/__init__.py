@@ -162,6 +162,16 @@ def all_oracles() -> dict[str, str]:
 #             oracle-shaped explode+join formulation (its Arrow twin
 #             text_lm_score_fast rides ratio ~5.9).  Official runs now
 #             record host_note in BENCH_DETAIL.json.)
+#   r13:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#             (CORRECTNESS_r12 came back 50/50 hash-exact, zero red rows
+#             — every r12 pin earned its row and was dropped.  r13
+#             re-verifies the LLM surface under rotation; the r12 driver
+#             artifacts were committed at round open by the driver itself
+#             (commit 711ca3b), closing the 5-round working-tree-drift
+#             streak.  Environment gates re-probed at r13 open: protobuf
+#             still absent (no transformWithStateInPandas), Pillow still
+#             absent (BMP-only image decode) — both gates hold.
+#             r13 newcomers pinned via _WINDOW_FIRST as they land.)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -190,7 +200,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_A + _HALF_B
+_ROTATION = _HALF_B + _HALF_A
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -199,32 +209,12 @@ _ROTATION = _HALF_A + _HALF_B
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r11 window: every r11 pin earned its row — 11 hash-exact incl.
-    #  the ts_motif_topk re-pin, plus fresh no_oracle rows for the seven
-    #  rows-only sketch/multimodal pins — and all were dropped.
-    #  CORRECTNESS_r11 came back 38 hash-exact + 12 rows-only by design,
-    #  zero red rows.  r12 newcomers join below as they land.)
-    # r12 newcomer: last ANN kernel variant without a value-hash row —
-    # Lloyd-refined IVF probed exhaustively ≡ brute force
-    "ann_ivf_refined_exhaustive",
-    # r12 newcomer: train-vs-eval benchmark contamination sweep
-    "curation_decontaminate",
-    # r12 newcomers: frozen integer char-trigram classifier + Arrow twin
-    "text_langid_trigram",
-    "text_langid_trigram_fast",
-    # r12 newcomer: append-mode session_window over multi-batch arrival
-    "streaming_sessionize",
-    # r12 newcomer: URL canonicalization + host rollup (synth-URL round-trip)
-    "curation_url_normalize",
-    # r12 newcomers: metadata-filtered exact vector search, MMR
-    # diversified re-rank, incrementally-maintained near-dup clusters
-    "ann_filtered",
-    "ann_mmr_rerank",
-    "dedup_clusters_incremental",
-    # r12 newcomers: the pointer-jumping + forced-distributed CC path's
-    # first driver row; packing-waste audit over the 2048-token packs
-    "dedup_clusters_pj",
-    "curation_pack_efficiency",
+    # (r12 window: every r12 pin earned its row — CORRECTNESS_r12 came
+    #  back 50/50 hash-exact, zero red rows, zero rows-only — and all 11
+    #  were dropped.  r13 newcomers join below as they land.)
+    # r13 newcomer: incremental IVF maintenance — frozen-centroid batch
+    # assignment + per-cell drift report (completes the incremental triad)
+    "ann_ivf_incremental",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -788,8 +788,79 @@ ORDER BY rrf_score DESC, doc_id
 """
 
 
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — completes the
+    recurring-crawl incremental triad (exact dedup -> MinHash -> CC ->
+    similarity): odd vec_ids arrive as the new batch, even vec_ids are
+    the stored corpus whose 16 lowest-id vectors are the FROZEN
+    coarse-quantizer asset.  The batch is assigned with ONE gemm pass
+    (operators.similarity.ivf_assign — the stored corpus's vectors are
+    never re-scored in production; rebuilding its assignments here is
+    driver-contract self-containment, the dedup_clusters_incremental
+    convention), and the output is the per-cell drift report
+    (ivf_cell_drift): stored vs batch occupancy share, signed delta,
+    and the retrain flag that triggers re-clustering when the crawl
+    distribution shifts.  The oracle mirrors seed construction, argmax
+    assignment, spine zero-fill and share arithmetic; counts are exact
+    integers and shares are single IEEE-754 divisions, so the row is
+    hash-exact despite living downstream of an FP argmax (assignment
+    cosine gaps ~1e-3 vs ~1e-16 engine divergence — the _ANN_IVF_SQL
+    margin argument)."""
+    from ..operators.similarity import ivf_assign, ivf_cell_drift, ivf_seed_centroids
+
+    e = read_table(spark, sf_dir, "embeddings")
+    hist = e.where(F.col("vec_id") % 2 == 0)
+    batch = e.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_seed_centroids(hist, n_lists=16)
+    hist_assign = ivf_assign(hist, cents)  # persisted state, rebuilt
+    batch_assign = ivf_assign(batch, cents)  # the incremental pass
+    return ivf_cell_drift(hist_assign, batch_assign, n_lists=16).orderBy("cell")
+
+
+_ANN_IVF_INCR_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         v AS cv, nrm AS cn
+  FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+),
+assign AS (  -- every vector -> its max-cosine cell (ties: lowest cell)
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+               / (e.nrm * c.cn) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT cell,
+         COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS hist_n,
+         COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS batch_n
+  FROM assign GROUP BY cell
+),
+rep AS (
+  SELECT CAST(s.range AS INTEGER) AS cell,
+         COALESCE(c.hist_n, 0)::BIGINT AS hist_n,
+         COALESCE(c.batch_n, 0)::BIGINT AS batch_n
+  FROM range(0, 16) s LEFT JOIN counts c ON CAST(s.range AS INTEGER) = c.cell
+),
+tot AS (SELECT SUM(hist_n)::DOUBLE AS ht, SUM(batch_n)::DOUBLE AS bt FROM rep)
+SELECT cell, hist_n, batch_n,
+       batch_n / bt - hist_n / ht AS drift,
+       abs(batch_n / bt - hist_n / ht) > 0.02 AS retrain
+FROM rep, tot
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "ann_hybrid_rrf": q_hybrid_rrf,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
@@ -811,6 +882,7 @@ QUERIES = {
 }
 ORACLES = {
     "ann_hybrid_rrf": _rrf_oracle_sql(),
+    "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca2_exact": _PCA2_EXACT_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,

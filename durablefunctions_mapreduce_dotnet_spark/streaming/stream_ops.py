@@ -214,13 +214,16 @@ def streaming_sessionize(
     row is ever late-dropped, so the oracle needs no drop model) and
     aggregate under ``withWatermark(ts, 2 hours)`` with a 30-minute
     gap.  Emission rule, mirrored by the oracle and pinned empirically
-    by tests/test_streaming_sessionize_frontier.py: a session whose
-    close (last event + 30 min) is < the final watermark (max event
-    time, ms floor, − 2 h) emits; a session closing AT the watermark
-    exactly, or later, stays in state and never appears.  Session
-    merge rule (also pinned): two events belong to one session iff
-    their gap is STRICTLY under 30 min — windows [t, t+gap) merge only
-    when they overlap, so an exactly-30-min gap starts a new session.
+    by tests/test_streaming_sessionize_frontier.py: emission is
+    NON-strict (unlike the interval join's strict eviction) — a
+    session whose close (last event + 30 min) is <= the final
+    watermark (max event time, ms floor, − 2 h) emits, including a
+    close landing ON the watermark exactly; only a close strictly
+    past the watermark stays in state.  Session merge rule (also
+    pinned): touching windows coalesce — [t, t+gap) and
+    [t+gap, t+2gap) share a boundary and MERGE, so an exactly-30-min
+    gap CONTINUES the session; only a gap strictly over 30 min starts
+    a new one (the oracle's island break is ``gap > 30 min``).
 
     State at scale: one open window per (user, session) — O(active
     users), bounded by the watermark exactly as in production."""

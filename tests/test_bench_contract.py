@@ -104,3 +104,14 @@ def test_detail_record_names_exclusions():
         "BENCH_DETAIL.json lacks host_note — regenerate with the "
         "current bench.py (it samples loadavg before the JVM starts)"
     )
+    # r12 VERDICT #2: the official record must carry per-query spread
+    # ((max-min)/min over the 3 samples) alongside host_note, so a
+    # contended run (large spreads, stable mins) is distinguishable from
+    # a plan regression (small spreads, moved mins) without archaeology.
+    spread = detail.get("spread")
+    assert isinstance(spread, dict) and set(spread) == set(detail["queries"]), (
+        "BENCH_DETAIL.json lacks per-query spread — regenerate with the "
+        "current bench.py"
+    )
+    assert all(isinstance(v, (int, float)) and v >= 0 for v in spread.values())
+    assert isinstance(detail.get("spread_median"), (int, float))

@@ -1633,7 +1633,74 @@ def test_filtered_topk_fills_from_constrained_pool(spark):
     assert len(got) == 5
 
 
-def test_mmr_rerank_diversifies_known_case(spark):
+def test_filtered_topk_generic_labels(spark):
+    """filter_col is generic: string and NULLABLE labels must work (the
+    kernel may not hard-cast labels to int64), and SQL `=` semantics
+    apply — a NULL label on either side matches nothing."""
+    import math
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = [
+        (0, vec(0.0), "en"),  # query 1
+        (1, vec(0.05), "en"),
+        (2, vec(0.10), "en"),
+        (3, vec(0.02), "fr"),  # nearer but wrong label
+        (4, vec(0.03), None),  # nearer but NULL label: never matches
+        (5, vec(0.5), None),  # query 2: NULL label matches nothing
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    q = e.where(F.col("vec_id").isin(0, 5))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in filtered_topk(e, q, k=3).collect()
+    }
+    # query 0 sees only the non-null "en" rows; query 5 (NULL) sees none
+    assert got == {(0, 1), (0, 2)}
+
+
+def test_ivf_assign_incremental_equals_scratch(spark):
+    """Incremental IVF maintenance invariant: assigning ONLY the new
+    batch against the frozen centroids and unioning with the stored
+    assignments must equal assigning the whole corpus from scratch on
+    the same centroids — per-row independence is what makes the one-
+    gemm-pass incremental path legitimate.  Also checks the drift
+    report's counts reconcile with the corpus split sizes."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cell_drift,
+        ivf_seed_centroids,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    hist = e.where(F.col("vec_id") % 2 == 0)
+    batch = e.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_seed_centroids(hist, n_lists=16)
+
+    scratch = {
+        r.vec_id: r.cell for r in ivf_assign(e, cents).collect()
+    }
+    hist_assign = ivf_assign(hist, cents)
+    batch_assign = ivf_assign(batch, cents)
+    incremental = {
+        r.vec_id: r.cell
+        for r in hist_assign.unionByName(batch_assign).collect()
+    }
+    assert incremental == scratch
+
+    rep = ivf_cell_drift(hist_assign, batch_assign, n_lists=16).collect()
+    assert len(rep) == 16
+    assert sum(r.hist_n for r in rep) == hist.count()
+    assert sum(r.batch_n for r in rep) == batch.count()
+    # shares are shares: signed drift sums to ~0
+    assert abs(sum(r.drift for r in rep)) < 1e-12
     """MMR on a hand-built corpus: two tight near-duplicate bundles near
     the query and scattered singletons.  Plain top-k drowns in bundle A;
     MMR(λ=0.5) must interleave — after taking bundle A's best, the next
