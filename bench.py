@@ -164,8 +164,11 @@ HEADLINE = [
     # round-13 additions: incremental IVF maintenance (frozen-centroid
     # batch assignment + drift report; timing includes the prior-state
     # rebuild, same self-containment convention as dedup_clusters_
-    # incremental)
+    # incremental); the FFD packer + its three-policy audit (the audit
+    # runs all three packers, so it times the whole family)
     "ann_ivf_incremental",
+    "curation_pack_bestfit",
+    "curation_pack_policy_audit",
 ]
 
 

@@ -275,6 +275,121 @@ def pack_documents(
     )
 
 
+def pack_bestfit(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 2,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the fill-maximizing
+    upgrade of ``pack_documents``'s concat-and-chunk: within each
+    (group, bucket) the docs are taken in (tokens DESC, id ASC) order
+    and each is placed into the LOWEST-indexed open pack that still
+    has room, else a new pack opens (packs numbered 1.. by opening
+    order).  Every pack respects the budget, so the trainer pays
+    padding only — never the truncation/overflow of whole-doc
+    concat-and-chunk (``q_pack_policy_audit`` quantifies the gap).
+    A doc longer than the budget opens its own pack whose remainder
+    goes negative — nothing else ever fits in it, so oversize docs are
+    deterministic singletons, uniform with the normal rule.
+
+    Scale shape: docs are split into ``n_buckets`` portable-hash
+    buckets (60-bit md5-prefix of the id — bit-reproducible in DuckDB)
+    and FFD runs per (group, bucket) in ``applyInPandas``: one shuffle
+    keyed on (group, bucket), task memory O(bucket), no global sort.
+    Hash buckets see a representative length mix (rank-sliced buckets
+    would segregate lengths and pack strictly worse).  Production
+    sizing: n_buckets ≈ corpus_docs / target_bucket_docs keeps the
+    per-task working set fixed as data grows; packing quality degrades
+    only by the bucket-boundary fragmentation (≤ one underfilled pack
+    per bucket)."""
+    import pandas as pd
+
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
+    bucket = (
+        F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % n_buckets
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        bucket.alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[int] = []  # remaining capacity per open pack
+        packs = []
+        for need in pdf["n_tokens"]:
+            for i, r in enumerate(rem):
+                if r >= need:
+                    rem[i] = r - need
+                    packs.append(i + 1)
+                    break
+            else:
+                rem.append(budget_tokens - int(need))
+                packs.append(len(rem))
+        pdf["pack"] = pd.Series(packs, dtype="int32")
+        return pdf
+
+    return base.groupBy(group_col, "bucket").applyInPandas(
+        ffd,
+        f"{id_col} bigint, {group_col} string, bucket int, n_tokens bigint,"
+        " pack int",
+    )
+
+
+def pack_nextfit(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Next-fit document-granularity packing — the honest LOSSLESS
+    baseline for ``pack_bestfit``: walk docs in id order with ONE open
+    pack, close it whenever the next doc doesn't fit (no straddling,
+    so unlike ``pack_documents`` nothing overfills/truncates; unlike
+    best-fit, closed packs never reopen, so mid-stream waste stays).
+    An oversize doc (> budget) becomes an overfilled singleton — the
+    open pack it forces is closed by whatever follows.
+
+    One ``applyInPandas`` task per group, linear walk: same skew note
+    as ``pack_documents`` (pre-shard hot sources if one dominates —
+    sequential order is only meaningful within a shard anyway)."""
+    import pandas as pd
+
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+    )
+
+    def nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        packs, pack, fill = [], 0, None
+        for need in pdf["n_tokens"]:
+            if fill is None or fill + need > budget_tokens:
+                pack, fill = pack + 1, int(need)
+            else:
+                fill += int(need)
+            packs.append(pack)
+        pdf["pack"] = pd.Series(packs, dtype="int32")
+        return pdf
+
+    return base.groupBy(group_col).applyInPandas(
+        nextfit,
+        f"{id_col} bigint, {group_col} string, n_tokens bigint, pack int",
+    )
+
+
 def vocab_top_terms(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

@@ -215,6 +215,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # r13 newcomer: incremental IVF maintenance — frozen-centroid batch
     # assignment + per-cell drift report (completes the incremental triad)
     "ann_ivf_incremental",
+    # r13 newcomers: first-fit-decreasing packer (recursive-CTE oracle
+    # with open-pack remainder-list state) + three-policy packing audit
+    # (bestfit / lossless nextfit / truncating chunk)
+    "curation_pack_bestfit",
+    "curation_pack_policy_audit",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -235,6 +235,195 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing at budget 256 (the corpus's ~40-100
+    token docs make 2048 degenerate — one pack per source) — the
+    policy ``q_pack_efficiency`` motivated: every pack respects the
+    budget, so waste is padding only.  The oracle unrolls the exact
+    greedy in a recursive CTE whose per-step state is the open-pack
+    remainder LIST per (source, bucket) — all buckets advance in
+    lockstep, depth = max bucket size.  Assignments are pure integer
+    decisions (no FP anywhere), so the row is hash-exact by
+    construction."""
+    from ..operators.curation import pack_bestfit
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_bestfit(d, budget_tokens=256, n_buckets=2).orderBy(
+        "source", "bucket", "pack", "doc_id"
+    )
+
+
+_PACK_BESTFIT_CTE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2 AS INTEGER) AS bucket
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, bucket, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                 ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rn
+  FROM t
+),
+ffd AS (  -- greedy first-fit-decreasing, open-pack remainders as list state
+  SELECT source, bucket, rn, doc_id, n_tokens,
+         1 AS pack,
+         [256 - n_tokens] AS rem
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT source, bucket, rn, doc_id, n_tokens,
+         CAST(COALESCE(idx, len(rem0) + 1) AS INTEGER) AS pack,
+         CASE WHEN idx IS NULL THEN list_append(rem0, 256 - need)
+              ELSE list_transform(range(1, len(rem0) + 1),
+                                  j -> CASE WHEN j = idx THEN rem0[j] - need
+                                            ELSE rem0[j] END)
+         END AS rem
+  FROM (
+    SELECT nb.source, nb.bucket, nb.rn, nb.doc_id, nb.n_tokens,
+           nb.n_tokens AS need, f.rem AS rem0,
+           list_filter(range(1, len(f.rem) + 1),
+                       i -> f.rem[i] >= nb.n_tokens)[1] AS idx
+    FROM ffd f
+    JOIN b nb ON nb.source = f.source AND nb.bucket = f.bucket
+             AND nb.rn = f.rn + 1
+  )
+)
+"""
+
+_PACK_BESTFIT_SQL = (
+    _PACK_BESTFIT_CTE
+    + """
+SELECT doc_id, source, bucket, n_tokens, CAST(pack AS INTEGER) AS pack
+FROM ffd ORDER BY source, bucket, pack, doc_id
+"""
+)
+
+
+def q_pack_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side packing-policy audit at budget 256 — the decision
+    table ``q_pack_efficiency`` set up: per (source, policy), pack
+    count, overflow tokens a trainer would TRUNCATE (whole-doc
+    concat-and-chunk overfills the pack a straddling doc starts in —
+    that's destroyed training data), padding tokens it would burn, and
+    the USABLE fill ratio (tokens landing inside the physical budget
+    window / capacity).  Three policies: ``bestfit`` (FFD, bucketed),
+    ``nextfit`` (the honest lossless sequential baseline), ``chunk``
+    (pack_documents — fewest packs, but fill is bought with
+    truncation).  The packing claim — bestfit loses nothing AND fills
+    strictly better than the lossless baseline — is pinned by
+    tests/test_llm_ops.py::test_pack_bestfit_beats_chunk.  Integer
+    aggregates end-to-end; fill is one IEEE division rounded 6 dp."""
+    from ..operators.curation import pack_bestfit, pack_nextfit
+
+    d = read_table(spark, sf_dir, "documents")
+    bf = (
+        pack_bestfit(d, budget_tokens=256, n_buckets=2)
+        .groupBy("source", "bucket", "pack")
+        .agg(F.sum("n_tokens").alias("_pt"))
+    )
+    nf = (
+        pack_nextfit(d, budget_tokens=256)
+        .groupBy("source", "pack")
+        .agg(F.sum("n_tokens").alias("_pt"))
+    )
+    ch = (
+        pack_documents(d, budget_tokens=256)
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("_pt"))
+    )
+
+    def audit(per_pack: DataFrame, policy: str) -> DataFrame:
+        usable = F.least(F.col("_pt"), F.lit(256))
+        return per_pack.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum(F.greatest(F.col("_pt") - F.lit(256), F.lit(0))).alias(
+                "overflow_tokens"
+            ),
+            F.sum(F.lit(256) - usable).alias("padding_tokens"),
+            F.round(
+                F.sum(usable) / (F.count(F.lit(1)) * F.lit(256.0)), 6
+            ).alias("fill_ratio"),
+        ).withColumn("policy", F.lit(policy))
+    return (
+        audit(bf, "bestfit")
+        .unionByName(audit(nf, "nextfit"))
+        .unionByName(audit(ch, "chunk"))
+        .orderBy("source", "policy")
+    )
+
+
+_PACK_POLICY_AUDIT_SQL = (
+    _PACK_BESTFIT_CTE
+    + r""",
+bf_packs AS (
+  SELECT source, bucket, pack, SUM(n_tokens) AS pt
+  FROM ffd GROUP BY source, bucket, pack
+),
+bid AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS INTEGER) AS rn
+  FROM t
+),
+nf AS (  -- next-fit: one open pack, closed when the next doc overflows
+  SELECT source, rn, doc_id, n_tokens, 1 AS pack, n_tokens AS fill
+  FROM bid WHERE rn = 1
+  UNION ALL
+  SELECT nb.source, nb.rn, nb.doc_id, nb.n_tokens,
+         CASE WHEN f.fill + nb.n_tokens <= 256 THEN f.pack
+              ELSE f.pack + 1 END AS pack,
+         CASE WHEN f.fill + nb.n_tokens <= 256 THEN f.fill + nb.n_tokens
+              ELSE nb.n_tokens END AS fill
+  FROM nf f JOIN bid nb ON nb.source = f.source AND nb.rn = f.rn + 1
+),
+nf_packs AS (
+  SELECT source, pack, SUM(n_tokens) AS pt
+  FROM nf GROUP BY source, pack
+),
+ch AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              / 256.0) AS BIGINT) AS pack_id
+  FROM t
+),
+ch_packs AS (
+  SELECT source, pack_id, SUM(n_tokens) AS pt
+  FROM ch GROUP BY source, pack_id
+),
+audits AS (
+  SELECT source, 'bestfit' AS policy,
+         COUNT(*) AS n_packs,
+         CAST(SUM(GREATEST(pt - 256, 0)) AS BIGINT) AS overflow_tokens,
+         CAST(SUM(256 - LEAST(pt, 256)) AS BIGINT) AS padding_tokens,
+         ROUND(CAST(SUM(LEAST(pt, 256)) AS DOUBLE) / (COUNT(*) * 256.0), 6)
+           AS fill_ratio
+  FROM bf_packs GROUP BY source
+  UNION ALL
+  SELECT source, 'nextfit' AS policy,
+         COUNT(*) AS n_packs,
+         CAST(SUM(GREATEST(pt - 256, 0)) AS BIGINT) AS overflow_tokens,
+         CAST(SUM(256 - LEAST(pt, 256)) AS BIGINT) AS padding_tokens,
+         ROUND(CAST(SUM(LEAST(pt, 256)) AS DOUBLE) / (COUNT(*) * 256.0), 6)
+           AS fill_ratio
+  FROM nf_packs GROUP BY source
+  UNION ALL
+  SELECT source, 'chunk' AS policy,
+         COUNT(*) AS n_packs,
+         CAST(SUM(GREATEST(pt - 256, 0)) AS BIGINT) AS overflow_tokens,
+         CAST(SUM(256 - LEAST(pt, 256)) AS BIGINT) AS padding_tokens,
+         ROUND(CAST(SUM(LEAST(pt, 256)) AS DOUBLE) / (COUNT(*) * 256.0), 6)
+           AS fill_ratio
+  FROM ch_packs GROUP BY source
+)
+SELECT * FROM audits ORDER BY source, policy
+"""
+)
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 vocabulary by document frequency (df desc, term asc)."""
     d = read_table(spark, sf_dir, "documents")
@@ -1346,6 +1535,8 @@ QUERIES = {
     "curation_chunk_tokens": q_chunk_tokens,
     "curation_pack_sequences": q_pack,
     "curation_pack_efficiency": q_pack_efficiency,
+    "curation_pack_bestfit": q_pack_bestfit,
+    "curation_pack_policy_audit": q_pack_policy_audit,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
     "curation_redact_pii": q_redact_pii,
@@ -1379,6 +1570,8 @@ ORACLES = {
     "curation_chunk_tokens": _CHUNK_TOKENS_SQL,
     "curation_pack_sequences": _PACK_SQL,
     "curation_pack_efficiency": _PACK_EFFICIENCY_SQL,
+    "curation_pack_bestfit": _PACK_BESTFIT_SQL,
+    "curation_pack_policy_audit": _PACK_POLICY_AUDIT_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,
     "curation_redact_pii": _REDACT_SQL,

@@ -1666,6 +1666,59 @@ def test_filtered_topk_generic_labels(spark):
     assert got == {(0, 1), (0, 2)}
 
 
+def test_pack_bestfit_beats_chunk(spark):
+    """The packing-policy claim of q_pack_policy_audit: at the same
+    corpus and budget, best-fit loses nothing (zero overflow — every
+    pack respects the budget) and fills strictly better than the
+    lossless next-fit baseline; concat-and-chunk's higher fill is
+    exposed as bought with truncation (overflow > 0)."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_pack_policy_audit,
+    )
+
+    rows = q_pack_policy_audit(spark, SF_DIR).collect()
+    by = {(r.source, r.policy): r for r in rows}
+    sources = {r.source for r in rows}
+    assert all(by[s, "bestfit"].overflow_tokens == 0 for s in sources)
+    assert all(by[s, "nextfit"].overflow_tokens == 0 for s in sources)
+    assert sum(by[s, "chunk"].overflow_tokens for s in sources) > 0
+
+    def usable(policy):
+        cap = sum(by[s, policy].n_packs for s in sources) * 256
+        pad = sum(by[s, policy].padding_tokens for s in sources)
+        return (cap - pad) / cap
+
+    assert usable("bestfit") > usable("nextfit")
+
+
+def test_pack_bestfit_rules(spark):
+    """FFD determinism edges: (a) an oversize doc becomes a singleton
+    pack that nothing else joins (negative remainder); (b) pack ids
+    are opening-order; (c) every non-oversize pack fits the budget."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        pack_bestfit,
+    )
+
+    rows = [
+        (1, "s", " ".join(["w"] * 300)),  # oversize (budget 256)
+        (2, "s", " ".join(["w"] * 200)),
+        (3, "s", " ".join(["w"] * 100)),
+        (4, "s", " ".join(["w"] * 56)),
+        (5, "s", " ".join(["w"] * 50)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = pack_bestfit(d, budget_tokens=256, n_buckets=1).collect()
+    pack_of = {r.doc_id: r.pack for r in got}
+    # FFD order: 300(oversize, pack1), 200(pack2), 100(new pack3 — 56
+    # left in pack2 < 100), 56(pack2 full), 50(pack3)
+    assert pack_of == {1: 1, 2: 2, 3: 3, 4: 2, 5: 3}
+    sums: dict = {}
+    for r in got:
+        sums[r.pack] = sums.get(r.pack, 0) + r.n_tokens
+    assert sums[2] <= 256 and sums[3] <= 256
+    assert sums[1] == 300  # oversize singleton
+
+
 def test_ivf_assign_incremental_equals_scratch(spark):
     """Incremental IVF maintenance invariant: assigning ONLY the new
     batch against the frozen centroids and unioning with the stored
