@@ -43,6 +43,8 @@ def gap_fill(
     step_seconds: int,
     id_col: str = "event_id",
     pinned: list[DataFrame] | None = None,
+    max_grid_buckets: int = 10_000_000,
+    chunk_buckets: int = 65_536,
 ) -> DataFrame:
     """Densified (series, bucket) grid with columns:
 
@@ -91,27 +93,48 @@ def gap_fill(
     # grid size is data-dependent (span / step per series): one corrupt
     # epoch-0 timestamp in a current-dated corpus would demand a
     # billion-element sequence and OOM the executor — fail loudly with
-    # the offending series instead (assert_true keeps the check lazy,
-    # inside the same job).
-    max_buckets = 10_000_000
+    # the offending series instead (``max_grid_buckets``; the error
+    # stays lazy, inside the same job).
     guarded_mx = F.when(
-        (F.col("_mx") - F.col("_mn")) < F.lit(max_buckets), F.col("_mx")
+        (F.col("_mx") - F.col("_mn")) < F.lit(max_grid_buckets), F.col("_mx")
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("gap_fill: series "),
                 F.col("series").cast("string"),
                 F.lit(
-                    f" spans more than {max_buckets} buckets — outlier "
+                    f" spans more than {max_grid_buckets} buckets — outlier "
                     "timestamp or step_seconds too small"
                 ),
             )
         ).cast("bigint")
     )
-    grid = (
+    # Chunked densification (r12 VERDICT #5): sequence() materializes
+    # its whole array per input row before explode, so a single sparse
+    # series spanning the full time range used to cost a span-sized
+    # allocation in one task.  Two nested generators bound that: the
+    # outer emits span/chunk_buckets chunk STARTS, the inner densifies
+    # one ≤chunk_buckets-element chunk at a time — peak task memory is
+    # O(chunk + span/chunk), span-independent for any realistic span,
+    # while the emitted grid (and every downstream plan) is identical.
+    step = F.lit(chunk_buckets)
+    starts = (
         obs.groupBy("series")
         .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
-        .select("series", F.explode(F.sequence("_mn", guarded_mx)).alias("bucket"))
+        .select(
+            "series",
+            "_mx",
+            F.explode(F.sequence(F.col("_mn"), guarded_mx, step)).alias("_cs"),
+        )
+    )
+    grid = starts.select(
+        "series",
+        F.explode(
+            F.sequence(
+                F.col("_cs"),
+                F.least(F.col("_cs") + F.lit(chunk_buckets - 1), F.col("_mx")),
+            )
+        ).alias("bucket"),
     )
     dense = grid.join(obs, ["series", "bucket"], "left")
 
