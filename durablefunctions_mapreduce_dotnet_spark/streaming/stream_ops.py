@@ -202,6 +202,7 @@ def streaming_sessionize(
     spark: SparkSession,
     sf_dir: str,
     progress_sink: list | None = None,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """APPEND-mode ``session_window`` aggregation over multi-batch
     out-of-order arrival — the canonical watermark+state operator the
@@ -223,7 +224,11 @@ def streaming_sessionize(
     pinned): touching windows coalesce — [t, t+gap) and
     [t+gap, t+2gap) share a boundary and MERGE, so an exactly-30-min
     gap CONTINUES the session; only a gap strictly over 30 min starts
-    a new one (the oracle's island break is ``gap > 30 min``).
+    a new one (the oracle's island break is ``gap > 30 min``).  Both
+    edges are batch-boundary INSENSITIVE: grouping the 8 arrival files
+    2 or 3 per micro-batch (``max_files_per_trigger``) changes when
+    the watermark advances but not the final emission set — pinned by
+    the parameterized frontier tests at sf0.001 and sf0.01.
 
     State at scale: one open window per (user, session) — O(active
     users), bounded by the watermark exactly as in production."""
@@ -234,7 +239,7 @@ def streaming_sessionize(
         schema = spark.read.parquet(srcdir).schema
         src = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(srcdir)
         )
         agg = (

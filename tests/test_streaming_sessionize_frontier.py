@@ -74,6 +74,45 @@ def test_spark_emission_set(spark, sess_dir):
     assert got == _EXPECTED, got
 
 
+@pytest.mark.parametrize("mfpt", [2, 3])
+def test_emission_set_batch_boundary_invariant(spark, sess_dir, mfpt):
+    """r12 VERDICT #6 — batch-boundary sensitivity of the frontier
+    edges: the restaged 8 arrival files grouped 2 or 3 per micro-batch
+    change WHEN the watermark advances, but the final emission set —
+    including the session closing EXACTLY at the final watermark
+    (user 2) — must be identical to the one-file-per-trigger run the
+    oracle mirrors.  A data-dependent pass at mfpt=1 would surface
+    here (the left-outer frontier lesson)."""
+    got = [
+        tuple(r)
+        for r in streaming_sessionize(
+            spark, sess_dir, max_files_per_trigger=mfpt
+        ).collect()
+    ]
+    assert got == _EXPECTED, (mfpt, got)
+
+
+@pytest.mark.parametrize(
+    "sf,mfpt", [("0.001", 2), ("0.001", 3), ("0.01", 2), ("0.01", 3)]
+)
+def test_oracle_parity_multi_trigger(spark, sf, mfpt):
+    """The registered oracle must hold under every trigger grouping at
+    real data scales, not just the mfpt=1 arrival order the driver
+    exercises."""
+    sfd = f"/root/testdata/sf{sf}"
+    sdf = streaming_sessionize(spark, sfd, max_files_per_trigger=mfpt).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sfd}/events.parquet')"
+        )
+        odf = con.execute(_STREAM_SESSIONIZE_SQL).df()
+    finally:
+        con.close()
+    assert_frames_match(sdf, odf, f"streaming_sessionize[sf{sf},mfpt{mfpt}]")
+
+
 def test_oracle_mirrors_spark_semantics(spark, sess_dir):
     con = duckdb.connect()
     try:
