@@ -169,6 +169,10 @@ HEADLINE = [
     "ann_ivf_incremental",
     "curation_pack_bestfit",
     "curation_pack_policy_audit",
+    # Gopher top-gram concentration (three n-gram count aggregates —
+    # a new text kernel shape; ann_recall_audit stays untimed: it only
+    # composes the two already-timed ANN kernels)
+    "text_topgram_concentration",
 ]
 
 

@@ -236,6 +236,78 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 BPE_ISH_RE = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def gram_concentration(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-gram CONCENTRATION signals — the other half of the Gopher
+    repetition rule family (``repetition_stats`` measures how many
+    gram occurrences are repeats; this measures how much of the doc
+    the WORST offenders cover — a doc can be 20% one spammed bigram
+    yet have plenty of distinct grams elsewhere):
+
+    ``max_word_frac``     count of the most frequent token / n_tokens
+    ``top_bigram_frac``   tokens covered by the single most frequent
+                          word-2-gram (2 x its count, overlap-counted)
+                          / n_tokens
+    ``dup_trigram_frac``  trigram positions whose trigram occurs >= 2x
+                          / total trigram positions (NULL when the doc
+                          has < 3 tokens)
+    ``flagged``           Gopher-inspired cut (token- not char-based):
+                          top_bigram_frac > 0.18 OR dup_trigram_frac
+                          > 0.30 OR max_word_frac > 0.20
+
+    Only MAX counts feed the fractions, so no tie-break is needed
+    anywhere (ties share the max).  Plan: three combiner-reduced
+    (doc, gram) count aggregates joined on the doc id — linear,
+    shuffle keyed by (id, gram), no text after tokenize, no windows.
+    Fractions are single IEEE divisions of exact integers —
+    hash-exact cross-engine."""
+    tt = df.select(
+        F.col(id_col), F.expr(_word_tokens_sql(text_col)).alias("_t")
+    ).where(F.size("_t") > 0)
+
+    def top_counts(n: int, out: str) -> DataFrame:
+        src = tt.where(F.size("_t") >= n)
+        grams = (
+            src.select(F.col(id_col), F.explode("_t").alias("g"))
+            if n == 1
+            else src.select(
+                F.col(id_col),
+                F.explode(F.expr(_word_grams_sql("_t", n))).alias("g"),
+            )
+        )
+        counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        aggs = [F.max("c").alias(f"max_{out}"), F.sum("c").alias(f"n_{out}")]
+        if n == 3:
+            aggs.append(
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                    f"dup_{out}"
+                )
+            )
+        return counts.groupBy(id_col).agg(*aggs)
+
+    w = top_counts(1, "w")
+    b = top_counts(2, "b")
+    t3 = top_counts(3, "t")
+    mwf = F.col("max_w") / F.col("n_w")
+    tbf = F.lit(2) * F.col("max_b") / F.col("n_w")
+    dtf = F.col("dup_t") / F.col("n_t")
+    return (
+        w.join(b, id_col, "left")
+        .join(t3, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_w").alias("n_tokens"),
+            mwf.alias("max_word_frac"),
+            tbf.alias("top_bigram_frac"),
+            dtf.alias("dup_trigram_frac"),
+            (
+                (tbf > F.lit(0.18)) | (dtf > F.lit(0.30)) | (mwf > F.lit(0.20))
+            ).alias("flagged"),
+        )
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

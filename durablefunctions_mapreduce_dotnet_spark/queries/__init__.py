@@ -220,6 +220,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # (bestfit / lossless nextfit / truncating chunk)
     "curation_pack_bestfit",
     "curation_pack_policy_audit",
+    # r13 newcomers: Gopher top-gram concentration signals; recall@5
+    # audit of the IVF path against exact brute force
+    "text_topgram_concentration",
+    "ann_recall_audit",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

@@ -858,9 +858,109 @@ ORDER BY cell
 """
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the registered IVF path against exact brute
+    force — the quality gauge a production ANN deployment tracks
+    beside its latency (probe count / centroid drift tuning both read
+    it; ``ivf_cell_drift``'s retrain flag is actioned by exactly this
+    number).  Per query: true top-5 size, how many the 4-probe IVF
+    recovered, and the recall ratio.  Both top-5 sets are individually
+    hash-exact driver rows (ann_bruteforce_topk / ann_ivf_topk), so
+    their intersection count carries no new FP exposure; the plan runs
+    the two one-pass kernels and a semi-join of two 5-row-per-query
+    frames — corpus never shuffles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _queries_subset(e)
+    bf = brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(e, q, k=5).select("query_id", "neighbor_id")
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+bf AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+             / (qn * e.nrm) AS cos
+    FROM q JOIN e ON q.qid != e.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         v AS cv, nrm AS cn
+  FROM e ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+               / (e.nrm * c.cn) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+               / (q.qn * c.cn) DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+ivf AS (
+  SELECT qid, vid FROM (
+    SELECT p.qid, a.vec_id AS vid,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i]))
+             / (q.qn * e.nrm) AS cos
+    FROM probes p
+    JOIN assign a USING (cell)
+    JOIN q ON q.qid = p.qid
+    JOIN e ON e.vec_id = a.vec_id
+    WHERE a.vec_id != p.qid
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+base AS (SELECT qid, COUNT(*) AS n_true FROM bf GROUP BY qid),
+hits AS (
+  SELECT bf.qid, COUNT(*) AS n
+  FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.vid = ivf.vid
+  GROUP BY bf.qid
+)
+SELECT base.qid AS query_id,
+       n_true::BIGINT AS n_true,
+       COALESCE(hits.n, 0)::BIGINT AS n_hits,
+       COALESCE(hits.n, 0) / n_true AS recall
+FROM base LEFT JOIN hits ON base.qid = hits.qid
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "ann_hybrid_rrf": q_hybrid_rrf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
+    "ann_recall_audit": q_ann_recall_audit,
     "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
@@ -883,6 +983,7 @@ QUERIES = {
 ORACLES = {
     "ann_hybrid_rrf": _rrf_oracle_sql(),
     "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
+    "ann_recall_audit": _ANN_RECALL_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca2_exact": _PCA2_EXACT_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,

@@ -207,6 +207,68 @@ FROM g
 """
 
 
+def q_text_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-gram concentration signals (operators.textops.
+    gram_concentration) — the Gopher rule family text_repetition
+    doesn't cover: how much of each doc its single worst token /
+    bigram and its duplicated trigrams account for, plus the flag.
+    Only MAX counts feed the fractions, so the row is hash-exact with
+    no tie-break argument needed."""
+    from ..operators.textops import gram_concentration
+
+    return gram_concentration(read_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+_TEXT_TOPGRAM_SQL = r"""
+WITH tt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\S+')) > 0
+),
+w AS (
+  SELECT doc_id, MAX(c)::BIGINT AS max_w, SUM(c)::BIGINT AS n_w FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM tt)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, MAX(c)::BIGINT AS max_b FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM tt WHERE len(t) >= 2)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_t,
+         SUM(c)::BIGINT AS n_t
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i + 1] || ' '
+                                            || t[i + 2])) AS g
+          FROM tt WHERE len(t) >= 3)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id, n_w AS n_tokens,
+       max_w / n_w AS max_word_frac,
+       2 * max_b / n_w AS top_bigram_frac,
+       dup_t / n_t AS dup_trigram_frac,
+       (2 * max_b / n_w > 0.18) OR (dup_t / n_t > 0.30)
+         OR (max_w / n_w > 0.20) AS flagged
+FROM w LEFT JOIN b USING (doc_id) LEFT JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: hash-buckets 97-99 of documents play
     the held-out eval set; flag remaining corpus docs sharing any word
@@ -783,6 +845,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_stats": q_text_stats,
     "text_repetition": q_text_repetition,
+    "text_topgram_concentration": q_text_topgram,
     "text_decontaminate": q_text_decontaminate,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -807,6 +870,7 @@ ORACLES = {
     "text_tokens": _TEXT_TOKENS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
+    "text_topgram_concentration": _TEXT_TOPGRAM_SQL,
     "text_decontaminate": _TEXT_DECON_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
