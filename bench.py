@@ -173,6 +173,8 @@ HEADLINE = [
     # a new text kernel shape; ann_recall_audit stays untimed: it only
     # composes the two already-timed ANN kernels)
     "text_topgram_concentration",
+    # split-then-pack: sequence-explode piece split + the bucketed FFD
+    "curation_pack_split_bestfit",
 ]
 
 

@@ -305,9 +305,25 @@ def pack_bestfit(
     per-task working set fixed as data grows; packing quality degrades
     only by the bucket-boundary fragmentation (≤ one underfilled pack
     per bucket)."""
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+    )
+    return _ffd_pack_counts(base, budget_tokens, id_col, group_col, n_buckets)
+
+
+def _ffd_pack_counts(
+    base: DataFrame,
+    budget_tokens: int,
+    id_col: str,
+    group_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """FFD over precomputed (id, group, n_tokens) rows — the shared
+    core of ``pack_bestfit`` (whole docs) and ``split_pack_bestfit``
+    (budget-capped pieces)."""
     import pandas as pd
 
-    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
     bucket = (
         F.expr(
             f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"
@@ -315,11 +331,11 @@ def pack_bestfit(
         )
         % n_buckets
     ).cast("int")
-    base = df.select(
+    base = base.select(
         F.col(id_col),
         F.col(group_col),
         bucket.alias("bucket"),
-        n_tokens.alias("n_tokens"),
+        F.col("n_tokens"),
     )
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -344,6 +360,61 @@ def pack_bestfit(
         ffd,
         f"{id_col} bigint, {group_col} string, bucket int, n_tokens bigint,"
         " pack int",
+    )
+
+
+def split_pack_bestfit(
+    df: DataFrame,
+    budget_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 2,
+) -> DataFrame:
+    """Split-then-pack — the policy a production trainer actually
+    runs, completing the q_pack_policy_audit decision table: each doc
+    is first cut into budget-capped token runs (full pieces + one
+    remainder; ``piece_id = doc_id·10⁶ + piece_idx`` keeps ids
+    deterministic and join-recoverable), then FFD packs the PIECES.
+    No piece exceeds the budget, so unlike whole-doc best-fit there
+    are no oversize singletons (zero overflow at ANY budget) and the
+    full pieces close packs at exactly 100% fill; only remainders
+    fragment.  Token runs are contiguous, so attention-mask packing
+    can reconstruct each doc from (doc_id, piece_idx) order.
+
+    Plan: the split is a codegen'd sequence-explode over the token
+    count (no text shuffles — only (piece, count) scalars), then the
+    shared bucketed-FFD core; same O(bucket) task memory."""
+    n = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint")
+    b = F.lit(budget_tokens).cast("bigint")
+    base = df.select(F.col(id_col), F.col(group_col), n.alias("_n")).where(
+        F.col("_n") > 0
+    )
+    pieces = base.select(
+        F.col(id_col).alias("_doc"),
+        F.col(group_col),
+        F.col("_n"),
+        F.explode(
+            F.expr(f"sequence(cast(0 as bigint), (_n - 1) div {budget_tokens})")
+        ).alias("piece_idx"),
+    ).select(
+        (F.col("_doc") * F.lit(1_000_000) + F.col("piece_idx")).alias("piece_id"),
+        F.col("_doc").alias(id_col),
+        F.col("piece_idx"),
+        F.col(group_col),
+        F.least(b, F.col("_n") - F.col("piece_idx") * b).alias("n_tokens"),
+    )
+    packed = _ffd_pack_counts(
+        pieces.select("piece_id", group_col, "n_tokens"),
+        budget_tokens,
+        "piece_id",
+        group_col,
+        n_buckets,
+    )
+    return packed.join(
+        pieces.select("piece_id", id_col, "piece_idx"), "piece_id"
+    ).select(
+        "piece_id", id_col, "piece_idx", group_col, "bucket", "n_tokens", "pack"
     )
 
 

@@ -257,6 +257,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # audit of the IVF path against exact brute force
     "text_topgram_concentration",
     "ann_recall_audit",
+    # r13 newcomer: split-then-pack — budget-capped token runs FFD-packed
+    # by piece (zero overflow at any budget; the production policy)
+    "curation_pack_split_bestfit",
     # r13 re-pin (see _REPINNED): gap_fill's grid densification was
     # re-formed as chunked nested generators — emitted grid proven
     # identical (oracle parity re-run at sf0.01), but the plan change

@@ -301,6 +301,80 @@ FROM ffd ORDER BY source, bucket, pack, doc_id
 )
 
 
+def q_pack_split_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-then-pack at budget 64 (the corpus's 15-99-token docs make
+    1-2 pieces each, so the split is live): budget-capped contiguous
+    token runs FFD-packed by piece — zero overflow at ANY budget
+    (whole-doc best-fit gets oversize singletons once a doc exceeds
+    the budget; this never does) and full pieces close packs at
+    exactly 100% fill.  Oracle: piece explosion + the same
+    remainder-list recursive greedy, budget 64, on piece rows."""
+    from ..operators.curation import split_pack_bestfit
+
+    d = read_table(spark, sf_dir, "documents")
+    return split_pack_bestfit(d, budget_tokens=64, n_buckets=2).orderBy(
+        "source", "bucket", "pack", "piece_id"
+    )
+
+
+_PACK_SPLIT_BESTFIT_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) > 0
+),
+p0 AS (
+  SELECT doc_id, source, n,
+         unnest(range(0, (n - 1) // 64 + 1)) AS piece_idx
+  FROM d
+),
+p AS (
+  SELECT doc_id * 1000000 + piece_idx AS piece_id,
+         doc_id, piece_idx, source,
+         LEAST(64, n - piece_idx * 64) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id * 1000000 + piece_idx
+                                          AS VARCHAR)), 1, 15))::BIGINT
+              % 2 AS INTEGER) AS bucket
+  FROM p0
+),
+b AS (
+  SELECT piece_id, source, bucket, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                 ORDER BY n_tokens DESC, piece_id)
+              AS INTEGER) AS rn
+  FROM p
+),
+ffd AS (
+  SELECT source, bucket, rn, piece_id, n_tokens,
+         1 AS pack,
+         [64 - n_tokens] AS rem
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT source, bucket, rn, piece_id, n_tokens,
+         CAST(COALESCE(idx, len(rem0) + 1) AS INTEGER) AS pack,
+         CASE WHEN idx IS NULL THEN list_append(rem0, 64 - need)
+              ELSE list_transform(range(1, len(rem0) + 1),
+                                  j -> CASE WHEN j = idx THEN rem0[j] - need
+                                            ELSE rem0[j] END)
+         END AS rem
+  FROM (
+    SELECT nb.source, nb.bucket, nb.rn, nb.piece_id, nb.n_tokens,
+           nb.n_tokens AS need, f.rem AS rem0,
+           list_filter(range(1, len(f.rem) + 1),
+                       i -> f.rem[i] >= nb.n_tokens)[1] AS idx
+    FROM ffd f
+    JOIN b nb ON nb.source = f.source AND nb.bucket = f.bucket
+             AND nb.rn = f.rn + 1
+  )
+)
+SELECT f.piece_id, p.doc_id, p.piece_idx, f.source, f.bucket,
+       f.n_tokens, CAST(f.pack AS INTEGER) AS pack
+FROM ffd f JOIN p USING (piece_id)
+ORDER BY f.source, f.bucket, pack, f.piece_id
+"""
+
+
 def q_pack_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Side-by-side packing-policy audit at budget 256 — the decision
     table ``q_pack_efficiency`` set up: per (source, policy), pack
@@ -1536,6 +1610,7 @@ QUERIES = {
     "curation_pack_sequences": q_pack,
     "curation_pack_efficiency": q_pack_efficiency,
     "curation_pack_bestfit": q_pack_bestfit,
+    "curation_pack_split_bestfit": q_pack_split_bestfit,
     "curation_pack_policy_audit": q_pack_policy_audit,
     "curation_vocab_topk": q_vocab,
     "curation_doc_topterms": q_doc_topterms,
@@ -1571,6 +1646,7 @@ ORACLES = {
     "curation_pack_sequences": _PACK_SQL,
     "curation_pack_efficiency": _PACK_EFFICIENCY_SQL,
     "curation_pack_bestfit": _PACK_BESTFIT_SQL,
+    "curation_pack_split_bestfit": _PACK_SPLIT_BESTFIT_SQL,
     "curation_pack_policy_audit": _PACK_POLICY_AUDIT_SQL,
     "curation_vocab_topk": _VOCAB_SQL,
     "curation_doc_topterms": _DOC_TOPTERMS_SQL,

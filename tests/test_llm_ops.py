@@ -1719,6 +1719,55 @@ def test_pack_bestfit_rules(spark):
     assert sums[1] == 300  # oversize singleton
 
 
+def test_pack_split_bestfit_zero_overflow_any_budget(spark):
+    """split-then-pack claims: (a) token conservation — piece tokens
+    per doc sum to the doc's count and piece_idx runs 0..k contiguously
+    (reconstruction order); (b) NO pack exceeds the budget, even at a
+    budget smaller than the longest doc (whole-doc best-fit overflows
+    there); (c) fill is at least whole-doc best-fit's at equal budget."""
+    import collections
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        pack_bestfit,
+        split_pack_bestfit,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    rows = split_pack_bestfit(d, budget_tokens=64, n_buckets=2).collect()
+
+    per_doc = collections.defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append((r.piece_idx, r.n_tokens))
+    n_truth = {
+        r.doc_id: r.n
+        for r in d.selectExpr(
+            "doc_id", r"size(regexp_extract_all(text, '\\S+', 0)) AS n"
+        ).collect()
+        if r.n > 0
+    }
+    for doc, pieces in per_doc.items():
+        idxs = sorted(i for i, _ in pieces)
+        assert idxs == list(range(len(pieces)))
+        assert sum(t for _, t in pieces) == n_truth[doc]
+
+    pack_tot = collections.Counter()
+    for r in rows:
+        pack_tot[(r.source, r.bucket, r.pack)] += r.n_tokens
+    assert max(pack_tot.values()) <= 64  # zero overflow by construction
+
+    whole = pack_bestfit(d, budget_tokens=64, n_buckets=2).collect()
+    wtot = collections.Counter()
+    for r in whole:
+        wtot[(r.source, r.bucket, r.pack)] += r.n_tokens
+    assert max(wtot.values()) > 64  # whole-doc FFD overflows at 64
+
+    def fill(tot):
+        capped = sum(min(v, 64) for v in tot.values())
+        return capped / (len(tot) * 64)
+
+    assert fill(pack_tot) >= fill(wtot)
+
+
 def test_ivf_assign_incremental_equals_scratch(spark):
     """Incremental IVF maintenance invariant: assigning ONLY the new
     batch against the frozen centroids and unioning with the stored
