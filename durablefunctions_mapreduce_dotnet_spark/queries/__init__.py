@@ -266,6 +266,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # r13 newcomer: split-then-pack — budget-capped token runs FFD-packed
     # by piece (zero overflow at any budget; the production policy)
     "curation_pack_split_bestfit",
+    # r13 newcomers: the accuracy dashboard's other two faces — MRL
+    # prefix-truncation recall (dims 8/16/32) and int8-quantization recall
+    "ann_matryoshka_audit",
+    "ann_quantized_recall",
     # r13 re-pin (see _REPINNED): gap_fill's grid densification was
     # re-formed as chunked nested generators — emitted grid proven
     # identical (oracle parity re-run at sf0.01), but the plan change

@@ -957,10 +957,188 @@ ORDER BY query_id
 """
 
 
+def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): recall@5 of
+    cosine search on the embedding PREFIX (dims 8/16/32) against the
+    full 64-dim exact top-5 — the dimension-vs-recall decision table
+    behind serving truncated MRL embeddings (4-8x memory/gemm savings
+    when the prefix carries the signal).  Each tier is the same
+    one-pass brute-force kernel on sliced vectors; all slices verified
+    non-degenerate (min prefix-8 squared norm ~0.02 — no zero-norm
+    NaN edge); counts are exact integers, recall one IEEE division."""
+    e = read_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(e, _queries_subset(e), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    base = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    parts = []
+    for d in (8, 16, 32):
+        et = e.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        td = brute_force_topk(et, _queries_subset(et), k=5).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            td.join(full, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            base.join(hits, "query_id", "left")
+            .fillna(0, subset=["n_hits"])
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "query_id",
+                "n_true",
+                "n_hits",
+                (F.col("n_hits") / F.col("n_true")).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim", "query_id")
+
+
+def _matryoshka_oracle_sql(dims: "tuple[int, ...]" = (8, 16, 32)) -> str:
+    tiers = []
+    for d in dims:
+        tiers.append(f"""
+t{d} AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, {d + 1}), i -> q.qv[i] * e.v[i]))
+             / (sqrt(list_sum(list_transform(q.qv[1:{d}], x -> x * x)))
+                * sqrt(list_sum(list_transform(e.v[1:{d}], x -> x * x)))) AS cos
+    FROM q JOIN e ON q.qid != e.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+a{d} AS (
+  SELECT b.qid, {d} AS dim, COUNT(*) AS n_true,
+         COALESCE(SUM(CASE WHEN t.vid IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+  FROM full5 b LEFT JOIN t{d} t ON t.qid = b.qid AND t.vid = b.vid
+  GROUP BY b.qid
+)""")
+        # (n_hits counts full-top5 rows recovered by the truncated tier)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT dim, qid, n_true, n_hits FROM a{d}" for d in dims
+    )
+    return (
+        """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+full5 AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+             / (qn * e.nrm) AS cos
+    FROM q JOIN e ON q.qid != e.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),"""
+        + ",".join(tiers)
+        + f"""
+SELECT CAST(dim AS INTEGER) AS dim, qid AS query_id,
+       n_true::BIGINT AS n_true, n_hits::BIGINT AS n_hits,
+       n_hits / n_true AS recall
+FROM ({unions})
+ORDER BY dim, query_id
+"""
+    )
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantization recall audit — third face of the accuracy
+    dashboard (IVF probes: ann_recall_audit; dimension truncation:
+    ann_matryoshka_audit; precision: this): per query, how many of the
+    exact cosine top-5 the symmetric per-vector int8 dot-product top-5
+    recovers.  Both rankings are hash-exact rows already; the
+    intersection is pure integers."""
+    from ..operators.similarity import quantized_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(e, _queries_subset(e), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    qt = quantized_topk(e, _queries_subset(e), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    base = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        qt.join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_QUANTIZED_RECALL_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+full5 AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+             / (qn * e.nrm) AS cos
+    FROM q JOIN e ON q.qid != e.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+), qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (CASE WHEN m = 0 THEN 1.0
+                                                     ELSE m / 127.0 END)) AS INTEGER)) AS q
+  FROM mx
+),
+q5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS dot_q
+    FROM qq a JOIN qq b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, neighbor_id) <= 5
+),
+base AS (SELECT qid, COUNT(*) AS n_true FROM full5 GROUP BY qid),
+hits AS (
+  SELECT f.qid, COUNT(*) AS n
+  FROM full5 f JOIN q5 ON q5.query_id = f.qid AND q5.neighbor_id = f.vid
+  GROUP BY f.qid
+)
+SELECT base.qid AS query_id,
+       n_true::BIGINT AS n_true,
+       COALESCE(hits.n, 0)::BIGINT AS n_hits,
+       COALESCE(hits.n, 0) / n_true AS recall
+FROM base LEFT JOIN hits ON base.qid = hits.qid
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "ann_hybrid_rrf": q_hybrid_rrf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "ann_recall_audit": q_ann_recall_audit,
+    "ann_matryoshka_audit": q_ann_matryoshka,
+    "ann_quantized_recall": q_ann_quantized_recall,
     "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
@@ -984,6 +1162,8 @@ ORACLES = {
     "ann_hybrid_rrf": _rrf_oracle_sql(),
     "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
+    "ann_matryoshka_audit": _matryoshka_oracle_sql(),
+    "ann_quantized_recall": _ANN_QUANTIZED_RECALL_SQL,
     "embedding_covariance": _COVARIANCE_SQL,
     "embedding_pca2_exact": _PCA2_EXACT_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
