@@ -184,24 +184,29 @@ def all_oracles() -> dict[str, str]:
 #             time_gapfill_interpolate re-pin (chunked grid plan).
 #             Bench methodology (r12 VERDICT #2): BENCH_DETAIL now
 #             records per-query spread ((max-min)/min over the 3
-#             samples) + spread_median.  FOUR full official runs were
-#             taken across the round to exercise the new diagnostic:
-#             140.83 / 136.95 (109 headline) / 165.26 / 136.27 s (110
-#             headline after curation_pack_split_bestfit joined) —
-#             run 3 hit sustained EXTERNAL load (host loadavg 6.4
-#             observed minutes later with nothing of ours running; two
-#             clusters of run-order-adjacent queries 3-5x slow, some
-#             with LOW spread = all three reps inside the load window),
-#             runs 1/2/4 show sub-second whipsaw up to 2x in BOTH
-#             directions with spreads 0.4-1.9 — burst contention.
-#             The decisive check: per-query MIN over all four runs on
-#             the 105 queries common with the r12 quiet baseline =
-#             121.4 s vs 120.6 s (+0.7%) with ZERO >1.3x survivors
-#             above 0.5 s — no plan regressed; every single-run delta
-#             was host noise, now provable in-round from the committed
-#             spread columns instead of by archaeology.  The committed
-#             BENCH_DETAIL is run 4 (136.27 s / 110, quiet note,
-#             spread_median 0.281 — the lowest of the four).
+#             samples) + spread_median.  SIX full official runs were
+#             taken across the round as the headline grew 105->110
+#             (pack_bestfit/policy_audit/topgram joined at 109;
+#             split_bestfit at 110; the two recall audits grew only the
+#             registry): 140.83 / 136.95 / 165.26 / 136.27 / 158.83 /
+#             146.87 s.  The host threw recurring EXTERNAL load storms
+#             (loadavg spikes to 6-15 observed with nothing of ours
+#             running; runs 3/5/6 each caught one — clusters of
+#             run-order-adjacent queries uniformly slow, some with LOW
+#             spread = all three reps inside the storm), and quiet
+#             runs still show sub-second whipsaw up to 2x in BOTH
+#             directions with spreads 0.4-1.9.  The decisive check:
+#             per-query MIN over all six runs on the 105 queries
+#             common with the r12 quiet baseline = 121.0 s vs 120.6 s
+#             (+0.3%) with ZERO >1.3x survivors above 0.5 s — no plan
+#             regressed; every single-run delta is host noise, now
+#             provable in-round from the committed spread columns
+#             instead of by archaeology.  The committed BENCH_DETAIL
+#             is run 6 (146.87 s / 110, the better of the two runs
+#             whose coverage matches the final 250-query registry);
+#             new-query min costs: ann_ivf_incremental 0.66,
+#             pack_bestfit 0.83, pack_policy_audit 1.06,
+#             pack_split_bestfit 1.01, topgram 1.52 s.
 #             Scale probe (gapfill grid now CHUNKED — r12 VERDICT #5):
 #             time_gapfill_interpolate sf1.0/sf0.1 ratio 7.43/7.82
 #             across the two runs — linear-cost proof: the emitted grid
