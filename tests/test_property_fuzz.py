@@ -463,3 +463,115 @@ def test_domain_cap_fuzz_vs_python_reference(spark, rows):
         for rank, (_, i) in enumerate(sorted(lst)[:3], start=1):
             expect[(dom, i)] = rank
     assert got == expect
+
+
+_doclens = st.lists(st.integers(1, 40), min_size=1, max_size=18)
+
+
+@given(lens=_doclens, budget=st.integers(4, 30))
+@_FUZZ
+def test_pack_bestfit_fuzz_vs_python_reference(spark, lens, budget):
+    """FFD assignments must equal a from-scratch python first-fit-
+    decreasing over the same (len DESC, id) order — including the
+    oversize-singleton rule — and every non-oversize pack must fit."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        pack_bestfit,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r.pack
+        for r in pack_bestfit(d, budget_tokens=budget, n_buckets=1).collect()
+    }
+    order = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+    rem: list[int] = []
+    exp = {}
+    for i in order:
+        for j, r in enumerate(rem):
+            if r >= lens[i]:
+                rem[j] = r - lens[i]
+                exp[i] = j + 1
+                break
+        else:
+            rem.append(budget - lens[i])
+            exp[i] = len(rem)
+    assert got == exp
+    sums: dict[int, int] = {}
+    for i, p in got.items():
+        sums[p] = sums.get(p, 0) + lens[i]
+    for p, tot in sums.items():
+        members = [i for i in got if got[i] == p]
+        if all(lens[i] <= budget for i in members):
+            assert tot <= budget
+
+
+@given(lens=_doclens, budget=st.integers(4, 30))
+@_FUZZ
+def test_split_pack_fuzz_conserves_and_never_overflows(spark, lens, budget):
+    """split-then-pack invariants under random lengths/budgets: piece
+    tokens per doc sum to the doc length with contiguous piece_idx,
+    every piece <= budget, and NO pack ever exceeds the budget (the
+    policy's zero-overflow guarantee at any budget)."""
+    import collections
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        split_pack_bestfit,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = split_pack_bestfit(d, budget_tokens=budget, n_buckets=2).collect()
+    per_doc = collections.defaultdict(list)
+    pack_tot = collections.Counter()
+    for r in got:
+        per_doc[r.doc_id].append((r.piece_idx, r.n_tokens))
+        pack_tot[(r.bucket, r.pack)] += r.n_tokens
+        assert r.n_tokens <= budget
+    for i, n in enumerate(lens):
+        pieces = sorted(per_doc[i])
+        assert [p for p, _ in pieces] == list(range(len(pieces)))
+        assert sum(t for _, t in pieces) == n
+    assert not pack_tot or max(pack_tot.values()) <= budget
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=15),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_FUZZ
+def test_gram_concentration_fuzz_vs_python_counter(spark, docs):
+    """Topgram signals vs a from-scratch Counter reference on tiny
+    vocabularies (ties and repeats frequent by construction)."""
+    import collections
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.textops import (
+        gram_concentration,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gram_concentration(d).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.max_word_frac == max(collections.Counter(toks).values()) / n
+        if n >= 2:
+            bigs = collections.Counter(
+                " ".join(toks[j : j + 2]) for j in range(n - 1)
+            )
+            assert r.top_bigram_frac == 2 * max(bigs.values()) / n
+        else:
+            assert r.top_bigram_frac is None
+        if n >= 3:
+            tris = collections.Counter(
+                " ".join(toks[j : j + 3]) for j in range(n - 2)
+            )
+            dup = sum(c for c in tris.values() if c >= 2)
+            assert r.dup_trigram_frac == dup / (n - 2)
+        else:
+            assert r.dup_trigram_frac is None
