@@ -530,10 +530,14 @@ def ivf_cell_drift(
         .join(F.broadcast(b), "cell", "left")
         .fillna(0, subset=["hist_n", "batch_n"])
     )
-    w = Window.partitionBy()  # n_lists rows — a single tiny partition
-    rep = rep.withColumn("_ht", F.sum("hist_n").over(w)).withColumn(
-        "_bt", F.sum("batch_n").over(w)
+    # totals as a broadcast 1-row crossJoin (the graph_pagerank
+    # dangling-mass pattern) — an unpartitioned window here would be
+    # harmless at n_lists rows but spams single-partition warnings in
+    # every driver log
+    totals = rep.agg(
+        F.sum("hist_n").alias("_ht"), F.sum("batch_n").alias("_bt")
     )
+    rep = rep.crossJoin(F.broadcast(totals))
     drift = F.col("batch_n") / F.col("_bt") - F.col("hist_n") / F.col("_ht")
     return rep.select(
         "cell",

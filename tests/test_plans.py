@@ -130,6 +130,9 @@ _BNLJ_OK = {
     # dangling-mass scalar per power iteration: broadcast 1-row cross
     # join (operators/graph.pagerank)
     "graph_pagerank",
+    # corpus/batch totals scalar for the drift shares: broadcast 1-row
+    # cross join (operators/similarity.ivf_cell_drift)
+    "ann_ivf_incremental",
     # total-token-count scalar for the integer heavy-hitter threshold:
     # broadcast 1-row cross join (textops.heavy_hitters_exact)
     "text_heavy_hitters",
