@@ -14,6 +14,18 @@ dict at 2 dp ONLY if the serialized line stays under _LINE_BUDGET chars
 
 Each query is executed to a noop sink so the full plan runs without
 driver-side transfer skewing the numbers.
+
+Official-run MERGING (r13 VERDICT #2): a single sf0.1 run is one draw
+from a noisy distribution — six near-identical r13 runs spanned
+136-165 s under external load storms.  The committed headline is now
+the per-query MIN over the round's official runs: each sf0.1 run
+merge-mins its per-query times into the existing BENCH_DETAIL.json
+(same ``bench_epoch`` only), appends its own total to the ``runs``
+array, and records per-query run counts.  ``BENCH_EPOCH`` must be
+bumped at round open AND after any committed change that can alter a
+measured plan, so a stale minimum can never mask a real regression;
+adding new headline queries needs no bump (they enter with run count
+1 and merge from there).
 """
 
 from __future__ import annotations
@@ -27,6 +39,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from durablefunctions_mapreduce_dotnet_spark.queries import all_queries
 from durablefunctions_mapreduce_dotnet_spark.session import get_spark
+
+#: Merge epoch for official-run min-of-runs (see module docstring).
+#: Bump at round open and after any plan-affecting change; the bench
+#: contract test pins the committed BENCH_DETAIL.json to this value so
+#: a round can't ship minima carried over from different code.
+BENCH_EPOCH = "r14"
 
 #: headline set — extended as operators land
 HEADLINE = [
@@ -175,6 +193,11 @@ HEADLINE = [
     "text_topgram_concentration",
     # split-then-pack: sequence-explode piece split + the bucketed FFD
     "curation_pack_split_bestfit",
+    # round-14 addition: the RAG retrieve-side composite (chunk →
+    # fingerprint dedup → embed-join → filtered top-20 → MMR-from-
+    # candidates) — times the full funnel incl. the two scalar
+    # materializations
+    "ann_pipeline_end2end",
 ]
 
 
@@ -415,6 +438,8 @@ def compact_result(result: dict) -> dict:
         "n_queries": result.get("n_queries", len(result.get("queries", {}))),
         "detail": "BENCH_DETAIL.json",
     }
+    if "runs" in result:  # min-of-runs provenance: how many runs merged
+        compact["runs"] = len(result["runs"])
     with_q = dict(compact)
     with_q["queries"] = {k: round(v, 2) for k, v in result.get("queries", {}).items()}
     if len(json.dumps(with_q, separators=(",", ":"))) <= _LINE_BUDGET:
@@ -521,13 +546,54 @@ def main() -> None:
         best = min(samples)
         times[name] = round(best, 4)
         spreads[name] = round((max(samples) - best) / best, 3)
+    # Min-of-runs merge (official sf0.1 runs only — see module
+    # docstring): fold this run's per-query best-of-3 into the prior
+    # BENCH_DETAIL.json minima when the merge epoch matches.  The
+    # committed "value"/"queries" are then the round's per-query MIN
+    # over all official runs — immune to one run catching a host load
+    # storm — while "runs" keeps every run's own total for provenance
+    # and "spread" stays THIS run's contention diagnostic.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    this_run_total = round(sum(times.values()), 4)
+    merged: dict[str, float] = dict(times)
+    runs_per_query: dict[str, int] = {n: 1 for n in times}
+    runs: list[dict] = []
+    if sf == "0.1":
+        try:
+            with open(detail_path) as fh:
+                prior = json.loads(fh.read())
+            if prior.get("bench_epoch") == BENCH_EPOCH:
+                runs = list(prior.get("runs", []))
+                pq, pc = prior.get("queries", {}), prior.get("runs_per_query", {})
+                for n in merged:
+                    if n in pq:
+                        merged[n] = min(merged[n], pq[n])
+                        runs_per_query[n] = pc.get(n, 1) + 1
+        except (OSError, ValueError):
+            pass
+    runs.append(
+        {
+            "total": this_run_total,
+            "host_note": host_note,
+            "spread_median": round(
+                sorted(spreads.values())[len(spreads) // 2], 3
+            )
+            if spreads
+            else None,
+        }
+    )
     result = {
         "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 4),
+        "value": round(sum(merged.values()), 4),
         "unit": "sec",
-        "queries": times,
+        "queries": merged,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "n_queries": len(times),
+        "n_queries": len(merged),
+        "bench_epoch": BENCH_EPOCH,
+        "runs": runs,
+        "runs_per_query": runs_per_query,
         "host_note": host_note,
         "spread": spreads,
         "spread_median": round(sorted(spreads.values())[len(spreads) // 2], 3)
@@ -569,6 +635,10 @@ def main() -> None:
                     t0 = time.perf_counter()
                     run_one(qs[name](spark, big_dir))
                     best = min(best, time.perf_counter() - t0)
+                # ratio uses THIS run's sf0.1 best (same host window as
+                # the sf1.0 samples), not the cross-run merged min — a
+                # quiet-run min under a contended sf1.0 reading would
+                # bias every ratio high by construction
                 curve[name] = {
                     "sf0.1": times[name],
                     "sf1.0": round(best, 4),
@@ -585,10 +655,7 @@ def main() -> None:
     print(detail_line)
     if sf == "0.1":
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-                "w",
-            ) as fh:
+            with open(detail_path, "w") as fh:
                 fh.write(detail_line + "\n")
         except OSError:
             pass

@@ -210,12 +210,20 @@ def mmr_rerank(
     lam: float = 0.5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified re-rank (Carbonell &
     Goldstein 1998) — the standard redundancy cut of a retrieval/RAG
     stack: from each query's exact top-``n_candidates``, greedily pick
     ``k`` results maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)``
     so near-duplicate hits don't crowd the result list.
+
+    ``candidates`` (optional, columns query_id/neighbor_id) replaces
+    the internal brute-force top-``n_candidates`` with a precomputed
+    retrieval stage — e.g. ``filtered_topk`` or an IVF probe — so a
+    RAG pipeline can compose retrieve→MMR without a second corpus
+    pass; the greedy loop is agnostic to where candidates came from
+    (every query_id must appear in ``queries``).
 
     Scale shape: candidate generation is the one corpus-sized pass
     (the shared brute/IVF kernels); the MMR loop itself runs per query
@@ -233,8 +241,12 @@ def mmr_rerank(
     bc = spark.sparkContext.broadcast(
         ({int(q): j for j, q in enumerate(qids)}, qm, qn)
     )
-    cand = brute_force_topk(
-        embeddings, queries, k=n_candidates, vec_col=vec_col, id_col=id_col
+    cand = (
+        candidates.select("query_id", "neighbor_id")
+        if candidates is not None
+        else brute_force_topk(
+            embeddings, queries, k=n_candidates, vec_col=vec_col, id_col=id_col
+        )
     )
     cv = cand.join(
         embeddings.select(
@@ -479,7 +491,13 @@ def ivf_assign(
     (id, cell) scalar row per vector.  Assignment is per-row
     independent, so batch-wise application trivially equals
     from-scratch application — pinned by
-    tests/test_llm_ops.py::test_ivf_assign_incremental_equals_scratch."""
+    tests/test_llm_ops.py::test_ivf_assign_incremental_equals_scratch.
+
+    A zero-norm vector has no cosine direction, so its argmax would
+    silently land in cell 0 via NaN propagation; like
+    ``seasonal_decompose``'s even-period discipline, the operator
+    refuses loudly instead (pytest-pinned) — drop or impute zero
+    vectors upstream."""
     import numpy as np
     import pandas as pd
 
@@ -494,8 +512,15 @@ def ivf_assign(
             ids = batch["_id"].to_numpy(dtype=np.int64)
             m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
             nrm = np.linalg.norm(m, axis=1)
+            if not nrm.all():
+                bad = ids[nrm == 0.0][:5].tolist()
+                raise ValueError(
+                    "ivf_assign: zero-norm vector(s) have no cosine "
+                    f"direction (ids {bad}...); drop or impute them "
+                    "before assignment"
+                )
             cell = np.argmax((m @ cm.T) / nrm[:, None], axis=1)
-            yield pd.DataFrame({"vec_id": ids, "cell": cell.astype(np.int32)})
+            yield pd.DataFrame({id_col: ids, "cell": cell.astype(np.int32)})
 
     return _vec_rows(embeddings, vec_col, id_col).mapInPandas(
         gen, f"{id_col} bigint, cell int"
@@ -520,7 +545,11 @@ def ivf_cell_drift(
     join onto the literal cell spine and the share arithmetic run on
     n_lists rows.  Shares are double divisions of exact integer
     counts, so the report is bit-deterministic cross-engine (IEEE 754
-    division is exactly rounded — no decimal scaffolding needed)."""
+    division is exactly rounded — no decimal scaffolding needed).
+    An EMPTY side (total 0) has no share distribution, so ``drift``
+    and ``retrain`` are explicitly NULL for every cell rather than a
+    divide-by-zero whose NULL/NaN/Inf spelling differs between
+    engines (pytest-pinned)."""
     spark = history_assign.sparkSession
     cells = spark.range(n_lists).select(F.col("id").cast("int").alias("cell"))
     h = history_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("hist_n"))
@@ -538,7 +567,9 @@ def ivf_cell_drift(
         F.sum("hist_n").alias("_ht"), F.sum("batch_n").alias("_bt")
     )
     rep = rep.crossJoin(F.broadcast(totals))
-    drift = F.col("batch_n") / F.col("_bt") - F.col("hist_n") / F.col("_ht")
+    share_b = F.when(F.col("_bt") > 0, F.col("batch_n") / F.col("_bt"))
+    share_h = F.when(F.col("_ht") > 0, F.col("hist_n") / F.col("_ht"))
+    drift = share_b - share_h  # NULL when either side is empty
     return rep.select(
         "cell",
         "hist_n",

@@ -162,7 +162,7 @@ def all_oracles() -> dict[str, str]:
 #             oracle-shaped explode+join formulation (its Arrow twin
 #             text_lm_score_fast rides ratio ~5.9).  Official runs now
 #             record host_note in BENCH_DETAIL.json.)
-#   r13:      HALF_B first  <-- CURRENT STATE of _ROTATION below
+#   r13:      HALF_B first
 #             (CORRECTNESS_r12 came back 50/50 hash-exact, zero red rows
 #             — every r12 pin earned its row and was dropped.  r13
 #             re-verifies the LLM surface under rotation; the r12 driver
@@ -221,6 +221,19 @@ def all_oracles() -> dict[str, str]:
 #             bound peak task memory at O(chunk + span/chunk)
 #             regardless, so a single full-span sparse series can no
 #             longer spike one task (pytest-pinned).
+#   r14:      HALF_A first  <-- CURRENT STATE of _ROTATION below
+#             (CORRECTNESS_r13 came back 50/50 green — 45 hash-exact +
+#             5 rows-only by design, zero red rows — every r13 pin
+#             earned its row (incl. the time_gapfill_interpolate re-pin)
+#             and was dropped; _REPINNED cleared.  The r13 driver
+#             artifacts were committed by the driver itself at round
+#             close (b0050ec) — clean tree at r14 open, second round in
+#             a row the drift remedy held.  Environment gates re-probed
+#             at r14 open: protobuf still absent (no
+#             transformWithStateInPandas), Pillow still absent
+#             (BMP-only image decode) — both gates hold.
+#             r14 re-verifies the relational core under rotation; r14
+#             newcomers pinned via _WINDOW_FIRST as they land.)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -249,7 +262,7 @@ _HALF_B = (
     "linkage_q",
     "graph_q",
 )
-_ROTATION = _HALF_B + _HALF_A
+_ROTATION = _HALF_A + _HALF_B
 
 # Queries awaiting their FIRST driver-green CORRECTNESS row, pinned to the
 # front of the registry so the driver's 50-row window is guaranteed to cover
@@ -258,33 +271,14 @@ _ROTATION = _HALF_B + _HALF_A
 # once a name earns its driver row, drop it from this tuple; newly added
 # queries join it.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # (r12 window: every r12 pin earned its row — CORRECTNESS_r12 came
-    #  back 50/50 hash-exact, zero red rows, zero rows-only — and all 11
-    #  were dropped.  r13 newcomers join below as they land.)
-    # r13 newcomer: incremental IVF maintenance — frozen-centroid batch
-    # assignment + per-cell drift report (completes the incremental triad)
-    "ann_ivf_incremental",
-    # r13 newcomers: first-fit-decreasing packer (recursive-CTE oracle
-    # with open-pack remainder-list state) + three-policy packing audit
-    # (bestfit / lossless nextfit / truncating chunk)
-    "curation_pack_bestfit",
-    "curation_pack_policy_audit",
-    # r13 newcomers: Gopher top-gram concentration signals; recall@5
-    # audit of the IVF path against exact brute force
-    "text_topgram_concentration",
-    "ann_recall_audit",
-    # r13 newcomer: split-then-pack — budget-capped token runs FFD-packed
-    # by piece (zero overflow at any budget; the production policy)
-    "curation_pack_split_bestfit",
-    # r13 newcomers: the accuracy dashboard's other two faces — MRL
-    # prefix-truncation recall (dims 8/16/32) and int8-quantization recall
-    "ann_matryoshka_audit",
-    "ann_quantized_recall",
-    # r13 re-pin (see _REPINNED): gap_fill's grid densification was
-    # re-formed as chunked nested generators — emitted grid proven
-    # identical (oracle parity re-run at sf0.01), but the plan change
-    # re-earns its driver row rather than resting on the mirror
-    "time_gapfill_interpolate",
+    # (r13 window: every r13 pin earned its row — CORRECTNESS_r13 came
+    #  back 50/50 green, 45 hash-exact + 5 rows-only by design, zero red
+    #  rows — and all 9 were dropped, incl. the time_gapfill_interpolate
+    #  re-pin.  r14 newcomers join below as they land.)
+    # r14 newcomer: the RAG composite — chunk → fingerprint dedup →
+    # embed-join → filtered retrieval → MMR (via the new candidates
+    # hook), stage counts + integer pick checksum vs the staged CTE
+    "ann_pipeline_end2end",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old
@@ -293,7 +287,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
 #: green in a committed correctness file; a re-pinned name is exempt until
 #: a committed green row from a round >= the re-pin round exists (the fix
 #: has then re-earned its row and the pin must be dropped as usual).
-_REPINNED: dict[str, int] = {"time_gapfill_interpolate": 13}
+_REPINNED: dict[str, int] = {}
 
 
 def _modules():

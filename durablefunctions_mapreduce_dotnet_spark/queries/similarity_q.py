@@ -1133,7 +1133,169 @@ ORDER BY query_id
 """
 
 
+def q_ann_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RAG composite (similarity twin of curation_pipeline_end2end):
+    the retrieve-side funnel a RAG stack runs end-to-end — token-budget
+    chunking (``chunk_documents_tokens`` 64/8) → chunk-level exact
+    fingerprint dedup (md5 of whitespace-normalized lowercase chunk
+    text, keep lowest chunk id) → embed-join (docs retaining ≥1 unique
+    chunk join the embeddings table 1:1 on doc_id = vec_id) →
+    label-scoped exact retrieval (``filtered_topk`` k=20) → MMR
+    diversified selection (``mmr_rerank`` k=5, λ=0.5, consuming the
+    retrieval stage via its ``candidates`` hook — no second corpus
+    pass).  Emits the per-stage survivor/candidate counts plus an
+    integer pick-checksum binding the identity of every final
+    (query, rank, neighbor) pick — all integers, hash-exact against
+    the staged CTE composition in SQL.
+
+    Scale shape: the chunk fingerprints are materialized ONCE as
+    scalar rows (two longs + a 16-byte md5 — never the chunk text),
+    the corpus once at embeddings width; retrieval is the one
+    corpus-sized gemm pass (broadcast query matrix, no vector
+    shuffle) and the MMR loop touches only ≤20 candidate rows per
+    query.  Every leg is an individually driver-green operator; the
+    composite hash-checks their composition."""
+    from ..operators.curation import chunk_documents_tokens
+    from ..operators.similarity import filtered_topk, mmr_rerank
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    chunks = chunk_documents_tokens(d, chunk_tokens=64, overlap_tokens=8)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("chunk_text"), r"\s+", " ")))
+    ch = chunks.select(
+        "doc_id",
+        (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("chunk_id"),
+        fp.alias("_fp"),
+    ).localCheckpoint(eager=True)
+    winners = ch.groupBy("_fp").agg(F.min("chunk_id").alias("chunk_id"))
+    uniq = ch.join(winners.select("chunk_id"), "chunk_id", "semi")
+    corpus = e.join(
+        uniq.select(F.col("doc_id").alias("vec_id")).distinct(), "vec_id", "semi"
+    ).localCheckpoint(eager=True)
+    queries = corpus.where(F.col("vec_id") % 50 == 0)
+    retrieved = filtered_topk(corpus, queries, k=20).localCheckpoint(eager=True)
+    picks = mmr_rerank(corpus, queries, k=5, lam=0.5, candidates=retrieved)
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    checksum = picks.agg(
+        F.sum(
+            F.col("query_id") * 131
+            + F.col("rank").cast("bigint") * 17
+            + F.col("neighbor_id") * 7
+        ).alias("n")
+    ).select(F.lit("07_pick_checksum").alias("stage"), "n")
+    return (
+        cnt(d, "00_docs")
+        .unionByName(cnt(ch, "01_chunks"))
+        .unionByName(cnt(uniq, "02_unique_chunks"))
+        .unionByName(cnt(corpus, "03_corpus_docs"))
+        .unionByName(cnt(queries, "04_queries"))
+        .unionByName(cnt(retrieved, "05_retrieval_candidates"))
+        .unionByName(cnt(picks, "06_mmr_picks"))
+        .unionByName(checksum)
+        .orderBy("stage")
+    )
+
+
+def _rag_pipeline_sql(k: int = 5, n_cand: int = 20, lam: float = 0.5) -> str:
+    """Staged CTE mirror of q_ann_pipeline_end2end: chunk (the
+    curation_chunk_tokens CTE at 64/8) → fingerprint dedup → corpus →
+    label-filtered top-n_cand rel → the same unrolled greedy MMR as
+    _mmr_oracle_sql (rel/sim redefined over the filtered candidates)
+    → stage counts + the integer pick checksum."""
+    from .curation_q import _BPE_RE_SQL
+
+    parts = [
+        f"""
+WITH tk AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(CAST(ceil((len(toks) - 64) / 56.0) AS BIGINT), 0) AS k
+  FROM (SELECT doc_id, regexp_extract_all(text, {_BPE_RE_SQL}) AS toks
+        FROM documents)
+  WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, doc_id * 10000 + i AS chunk_id,
+         md5(trim(regexp_replace(lower(array_to_string(
+           list_slice(toks, CAST(i * 56 + 1 AS BIGINT),
+                      CAST(i * 56 + 64 AS BIGINT)), '')),
+           '\\s+', ' ', 'g'))) AS fp
+  FROM tk, unnest(range(0, k + 1)) AS u(i)
+),
+uniq AS (
+  SELECT doc_id, chunk_id FROM chunks
+  WHERE chunk_id IN (SELECT MIN(chunk_id) FROM chunks GROUP BY fp)
+),
+corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings WHERE vec_id IN (SELECT DISTINCT doc_id FROM uniq)
+),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn
+      FROM corpus WHERE vec_id % 50 = 0),
+rel AS (
+  SELECT qid, vid, r FROM (
+    SELECT q.qid, c.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i]))
+             / (qn * c.nrm) AS r
+    FROM q JOIN corpus c ON q.qid != c.vec_id AND q.ql = c.label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, vid) <= {n_cand}
+),
+sim AS (
+  SELECT ra.qid, ra.vid AS va, rb.vid AS vb,
+         list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i]))
+           / (ea.nrm * eb.nrm) AS s
+  FROM rel ra JOIN rel rb ON ra.qid = rb.qid AND ra.vid != rb.vid
+  JOIN corpus ea ON ea.vec_id = ra.vid
+  JOIN corpus eb ON eb.vec_id = rb.vid
+),
+p1 AS (
+  SELECT qid, vid FROM rel
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, vid) = 1
+),
+pc1 AS (SELECT qid, vid, 1 AS rank FROM p1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f""",
+sc{t} AS (
+  SELECT r.qid, r.vid, {lam} * r.r - {1.0 - lam} * MAX(s.s) AS score
+  FROM rel r
+  JOIN sim s ON s.qid = r.qid AND s.va = r.vid
+  JOIN pc{t - 1} p ON p.qid = s.qid AND p.vid = s.vb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pc{t - 1} x WHERE x.qid = r.qid AND x.vid = r.vid)
+  GROUP BY r.qid, r.vid, r.r
+),
+p{t} AS (
+  SELECT qid, vid FROM sc{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) = 1
+),
+pc{t} AS (
+  SELECT * FROM pc{t - 1}
+  UNION ALL SELECT qid, vid, {t} AS rank FROM p{t}
+)""")
+    parts.append(f"""
+SELECT * FROM (
+  SELECT '00_docs' AS stage, COUNT(*)::BIGINT AS n FROM documents
+  UNION ALL SELECT '01_chunks', COUNT(*)::BIGINT FROM chunks
+  UNION ALL SELECT '02_unique_chunks', COUNT(*)::BIGINT FROM uniq
+  UNION ALL SELECT '03_corpus_docs', COUNT(*)::BIGINT FROM corpus
+  UNION ALL SELECT '04_queries', COUNT(*)::BIGINT FROM q
+  UNION ALL SELECT '05_retrieval_candidates', COUNT(*)::BIGINT FROM rel
+  UNION ALL SELECT '06_mmr_picks', COUNT(*)::BIGINT FROM pc{k}
+  UNION ALL SELECT '07_pick_checksum',
+         CAST(SUM(qid * 131 + rank * 17 + vid * 7) AS BIGINT) FROM pc{k}
+) ORDER BY stage
+""")
+    return "".join(parts)
+
+
 QUERIES = {
+    "ann_pipeline_end2end": q_ann_pipeline_end2end,
     "ann_hybrid_rrf": q_hybrid_rrf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "ann_recall_audit": q_ann_recall_audit,
@@ -1159,6 +1321,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans,
 }
 ORACLES = {
+    "ann_pipeline_end2end": _rag_pipeline_sql(),
     "ann_hybrid_rrf": _rrf_oracle_sql(),
     "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,

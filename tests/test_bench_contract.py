@@ -115,3 +115,32 @@ def test_detail_record_names_exclusions():
     )
     assert all(isinstance(v, (int, float)) and v >= 0 for v in spread.values())
     assert isinstance(detail.get("spread_median"), (int, float))
+
+
+def test_committed_headline_is_min_of_runs():
+    """r13 VERDICT #2: the committed official number must be the
+    per-query min over the round's official runs, not one draw from a
+    noisy host.  The detail record carries the merge epoch (pinned to
+    bench.BENCH_EPOCH so stale minima can't ship), the per-run totals,
+    and per-query run counts; the headline value must equal the sum of
+    the per-query minima exactly."""
+    with open("BENCH_DETAIL.json") as fh:
+        detail = json.loads(fh.read())
+    assert detail.get("bench_epoch") == bench.BENCH_EPOCH, (
+        f"BENCH_DETAIL.json epoch {detail.get('bench_epoch')!r} != "
+        f"bench.BENCH_EPOCH {bench.BENCH_EPOCH!r} — run an official "
+        "sf0.1 bench to regenerate (round open bumps the epoch)"
+    )
+    runs = detail.get("runs")
+    assert isinstance(runs, list) and runs, "no runs array in detail"
+    for r in runs:
+        assert isinstance(r.get("total"), (int, float)) and r["total"] > 0
+        assert r.get("host_note")
+    counts = detail.get("runs_per_query")
+    assert isinstance(counts, dict) and set(counts) == set(detail["queries"])
+    assert all(1 <= c <= len(runs) for c in counts.values())
+    # the headline IS the min-of-runs: exact sum of the per-query minima
+    assert detail["value"] == round(sum(detail["queries"].values()), 4)
+    # compact line surfaces the run count
+    compact = bench.compact_result(detail)
+    assert compact["runs"] == len(runs)

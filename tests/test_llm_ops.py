@@ -1803,6 +1803,83 @@ def test_ivf_assign_incremental_equals_scratch(spark):
     assert sum(r.batch_n for r in rep) == batch.count()
     # shares are shares: signed drift sums to ~0
     assert abs(sum(r.drift for r in rep)) < 1e-12
+
+
+def test_ivf_assign_zero_norm_refuses_and_id_col_generic(spark):
+    """A zero-norm vector has no cosine direction — NaN propagation
+    would silently argmax it into cell 0, so ivf_assign refuses loudly
+    (r13 VERDICT #4).  Also pins the generic id_col contract: the
+    output column is named after id_col, not hard-coded (ADVICE r13)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings").limit(32)
+    cents = ivf_seed_centroids(e, n_lists=4)
+    dim = len(e.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_assign(
+            e.select("vec_id", "embedding").unionByName(zero), cents
+        ).collect()
+
+    renamed = e.withColumnRenamed("vec_id", "row_id")
+    out = ivf_assign(renamed, cents, id_col="row_id")
+    assert out.columns == ["row_id", "cell"]
+    assert {r.row_id: r.cell for r in out.collect()} == {
+        r.vec_id: r.cell for r in ivf_assign(e, cents).collect()
+    }
+
+
+def test_ivf_cell_drift_empty_side_yields_null(spark):
+    """An empty assignment side has no share distribution: drift and
+    retrain must be explicit NULLs on every cell, never an engine-
+    dependent divide-by-zero spelling (ADVICE r13).  Counts stay 0."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cell_drift,
+        ivf_seed_centroids,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings").limit(16)
+    cents = ivf_seed_centroids(e, n_lists=4)
+    assign = ivf_assign(e, cents)
+    empty = assign.limit(0)
+    rep = ivf_cell_drift(assign, empty, n_lists=4).collect()
+    assert len(rep) == 4
+    assert all(r.batch_n == 0 for r in rep)
+    assert all(r.drift is None and r.retrain is None for r in rep)
+    both = ivf_cell_drift(empty, empty, n_lists=4).collect()
+    assert len(both) == 4
+    assert all(
+        r.hist_n == 0 and r.batch_n == 0 and r.drift is None for r in both
+    )
+
+
+def test_pack_bestfit_group_col_type_mirrors_input(spark):
+    """The applyInPandas output schema derives the group column's type
+    from the input instead of hard-coding string (ADVICE r13): an int
+    group column round-trips as int with identical FFD assignments."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        pack_bestfit,
+        pack_nextfit,
+    )
+
+    rows = [(i, i % 3, "w " * (3 + i % 7)) for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, src int, text string")
+    out = pack_bestfit(d, budget_tokens=16, group_col="src", n_buckets=1)
+    assert dict(out.dtypes)["src"] == "int"
+    got = {r.doc_id: (r.src, r.pack) for r in out.collect()}
+    assert len(got) == 30
+    nf = pack_nextfit(d, budget_tokens=16, group_col="src")
+    assert dict(nf.dtypes)["src"] == "int"
+    assert nf.count() == 30
+
+
+def test_mmr_rerank_diversifies_known_case(spark):
     """MMR on a hand-built corpus: two tight near-duplicate bundles near
     the query and scattered singletons.  Plain top-k drowns in bundle A;
     MMR(λ=0.5) must interleave — after taking bundle A's best, the next

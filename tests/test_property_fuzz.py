@@ -575,3 +575,50 @@ def test_gram_concentration_fuzz_vs_python_counter(spark, docs):
             assert r.dup_trigram_frac == dup / (n - 2)
         else:
             assert r.dup_trigram_frac is None
+
+
+@given(
+    lens=st.lists(st.integers(0, 400), min_size=0, max_size=250),
+    budget=st.integers(1, 300),
+)
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_firstfit_tree_fuzz_vs_linear_scan(lens, budget):
+    """The segment-tree first-fit (r13 VERDICT #5) must place every
+    item in EXACTLY the pack the O(n x open_packs) linear scan would —
+    including oversize items whose remainder goes negative and
+    zero-length items that ride the first non-negative open pack.
+    Pure-python differential, no Spark round-trip, so examples can be
+    an order of magnitude larger than the end-to-end FFD fuzz."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        _FirstFit,
+    )
+
+    fit = _FirstFit(len(lens))
+    rem: list[int] = []
+    for need in lens:
+        for i, r in enumerate(rem):
+            if r >= need:
+                rem[i] = r - need
+                exp = i + 1
+                break
+        else:
+            rem.append(budget - need)
+            exp = len(rem)
+        assert fit.place(need, budget) == exp
+
+
+def test_firstfit_tree_pathological_bucket_stays_loglinear():
+    """The case that sent the linear scan quadratic: every item just
+    over half the budget, so each opens a new pack and the scan walks
+    ALL open packs per item — 200k items would be ~2e10 comparisons.
+    The tree does it in O(n log n); this completes in well under a
+    second or the regression is obvious in CI wall time."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        _FirstFit,
+    )
+
+    n, budget = 200_000, 1024
+    fit = _FirstFit(n)
+    for j in range(n):
+        assert fit.place(513, budget) == j + 1
+    assert fit.n_open == n
