@@ -453,6 +453,113 @@ def ivf_topk(
     return _topk_window(partial, k)
 
 
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    filter_col: str = "label",
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Metadata-filtered IVF top-k — the SCALE path of
+    ``filtered_topk``: the same deterministic seed-centroid inverted
+    lists as ``ivf_topk`` (probing is attribute-blind — cells are
+    geometry-only), with the per-query eligibility mask (label
+    equality + self-exclusion, SQL ``=`` semantics so NULL matches
+    nothing) applied inside the per-cell scoring exactly as the exact
+    kernel applies it.  k under-fills only when the probed cells
+    genuinely lack k same-label rows — the recall cost that
+    ``ann_filtered_recall`` measures; at ``n_probe = n_lists`` the
+    probe is exhaustive and the result equals ``filtered_topk``
+    bit-for-bit (the exact-twin discipline of the other ANN tiers).
+
+    One corpus pass, O(|Q| * N * n_probe / n_lists) scoring, broadcast
+    query matrix + centroids, no vector shuffle — same 100 TB posture
+    as ``ivf_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cents = (
+        _vec_rows(embeddings, vec_col, id_col).orderBy("_id").limit(n_lists).toPandas()
+    )
+    cm = np.stack(cents["_v"].to_numpy()).astype(np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qpdf = queries.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(filter_col).alias("_f"),
+    ).toPandas()
+    qids = qpdf["_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
+    qf = qpdf["_f"].to_numpy(dtype=object)
+    qn = np.linalg.norm(qm, axis=1)
+    qsim = (qm @ cm.T) / qn[:, None]
+    cells_idx = np.arange(cm.shape[0])
+    probes = np.stack(
+        [np.lexsort((cells_idx, -qsim[i]))[:n_probe] for i in range(len(qids))]
+    )
+    cell_to_q = {
+        c: np.nonzero((probes == c).any(axis=1))[0] for c in range(cm.shape[0])
+    }
+    bc = spark.sparkContext.broadcast((qids, qm, qn, qf, cm, cell_to_q))
+
+    def gen(batches):
+        b_qids, b_qm, b_qn, b_qf, b_cm, b_cq = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["_id"].to_numpy(dtype=np.int64)
+            labs = batch["_f"].to_numpy(dtype=object)
+            lab_ok = ~pd.isnull(labs)
+            m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            cell = np.argmax((m @ b_cm.T) / nrm[:, None], axis=1)
+            out = []
+            for c in np.unique(cell):
+                qidx = b_cq.get(int(c))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.nonzero(cell == c)[0]
+                scores = (m[rows] @ b_qm[qidx].T) / (
+                    nrm[rows][:, None] * b_qn[qidx][None, :]
+                )
+                for jj, qj in enumerate(qidx):
+                    if pd.isnull(b_qf[qj]):
+                        continue
+                    mask = (
+                        (ids[rows] != b_qids[qj])
+                        & lab_ok[rows]
+                        & (labs[rows] == b_qf[qj])
+                    )
+                    cand_ids, cand = ids[rows][mask], scores[:, jj][mask]
+                    if not len(cand_ids):
+                        continue
+                    order = np.lexsort((cand_ids, -cand))[:k]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.full(
+                                    len(order), b_qids[qj], dtype=np.int64
+                                ),
+                                "vid": cand_ids[order],
+                                "cos": cand[order],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(filter_col).alias("_f"),
+    ).mapInPandas(gen, "qid bigint, vid bigint, cos double")
+    return _topk_window(partial, k)
+
+
 def ivf_seed_centroids(
     history: DataFrame,
     n_lists: int = 16,

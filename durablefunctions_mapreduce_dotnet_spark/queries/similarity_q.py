@@ -401,6 +401,125 @@ ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the filtered-IVF scale path: probing ALL 16 cells
+    makes the inverted-list search brute-force-equivalent, so the
+    label-filtered top-5 must equal ``filtered_topk``'s bit for bit —
+    the same `_ANN_FILTERED_SQL` oracle serves both (the
+    ann_ivf_exhaustive exact-twin convention, extended to the filtered
+    axis of the accuracy dashboard)."""
+    from ..operators.similarity import ivf_filtered_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_filtered_topk(
+        e, _queries_subset(e), k=5, n_lists=16, n_probe=16
+    ).orderBy("query_id", "rank")
+
+
+def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered recall@5 — the fourth face of the ANN accuracy
+    dashboard (probes / dimensions / precision / now ATTRIBUTE
+    constraint): per query, how many of the exact label-filtered top-5
+    the 4-probe filtered IVF recovers.  Attribute filters are where
+    ANN recall quietly collapses in production (the constrained
+    neighbors may live outside the probed cells even when
+    unconstrained recall is high) — this is the number that decides
+    between more probes and attribute-partitioned indexes.  Both legs
+    are individually hash-exact kernels, so the intersection counts
+    carry no FP exposure."""
+    from ..operators.similarity import filtered_topk, ivf_filtered_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _queries_subset(e)
+    exact = filtered_topk(e, q, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_filtered_topk(e, q, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_true")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_FILTERED_RECALL_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn
+      FROM e WHERE vec_id % 50 = 0),
+bf AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+             / (qn * e.nrm) AS cos
+    FROM q JOIN e ON q.qid != e.vec_id AND q.ql = e.label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         v AS cv, nrm AS cn
+  FROM e ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+               / (e.nrm * c.cn) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+               / (q.qn * c.cn) DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+ivf AS (
+  SELECT qid, vid FROM (
+    SELECT p.qid, a.vec_id AS vid,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i]))
+             / (q.qn * e.nrm) AS cos
+    FROM probes p
+    JOIN assign a USING (cell)
+    JOIN q ON q.qid = p.qid
+    JOIN e ON e.vec_id = a.vec_id
+    WHERE a.vec_id != p.qid AND e.label = q.ql
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) <= 5
+),
+base AS (SELECT qid, COUNT(*) AS n_true FROM bf GROUP BY qid),
+hits AS (
+  SELECT bf.qid, COUNT(*) AS n
+  FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.vid = ivf.vid
+  GROUP BY bf.qid
+)
+SELECT base.qid AS query_id,
+       n_true::BIGINT AS n_true,
+       COALESCE(hits.n, 0)::BIGINT AS n_hits,
+       COALESCE(hits.n, 0) / n_true AS recall
+FROM base LEFT JOIN hits ON base.qid = hits.qid
+ORDER BY query_id
+"""
+
+
 def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-5 from each query's exact top-20
     (operators.similarity.mmr_rerank, λ=0.5): the greedy
@@ -1309,6 +1428,8 @@ QUERIES = {
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_ivf_refined_exhaustive": q_ann_ivf_refined_exhaustive,
     "ann_filtered": q_ann_filtered,
+    "ann_ivf_filtered_exhaustive": q_ann_ivf_filtered_exhaustive,
+    "ann_filtered_recall": q_ann_filtered_recall,
     "ann_mmr_rerank": q_ann_mmr_rerank,
     "ann_pq_rescored": q_ann_pq_rescored,
     "ann_pq_exhaustive": q_ann_pq_exhaustive,
@@ -1334,6 +1455,8 @@ ORACLES = {
     "ann_ivf_exhaustive": _ANN_BRUTE_SQL,
     "ann_ivf_refined_exhaustive": _ANN_BRUTE_SQL,
     "ann_filtered": _ANN_FILTERED_SQL,
+    "ann_ivf_filtered_exhaustive": _ANN_FILTERED_SQL,
+    "ann_filtered_recall": _ANN_FILTERED_RECALL_SQL,
     "ann_mmr_rerank": _mmr_oracle_sql(),
     "ann_pq_exhaustive": _ANN_BRUTE_SQL,
     "ann_ivfpq_exhaustive": _ANN_BRUTE_SQL,

@@ -12,6 +12,7 @@ from ..streaming.stream_ops import (
     streaming_ewma,
     streaming_first_seen,
     streaming_flagship,
+    streaming_join_full_outer,
     streaming_join_left_outer,
     streaming_late_data,
     streaming_running_extrema,
@@ -273,6 +274,60 @@ SELECT user_id, view_id, buy_id FROM unmatched
 ORDER BY user_id, view_id, buy_id
 """
 
+# Batch-equivalent oracle for the FULL outer stream-stream interval
+# join (stream_ops.streaming_join_full_outer): matched pairs = the
+# batch interval join; unmatched views use the left-outer frontier rule
+# (window end vts + 1 day STRICTLY before the final global watermark);
+# unmatched purchases use the symmetric-but-tighter rule — matchable
+# views carry vts ∈ [bts − 1 day, bts], so a purchase resolves once the
+# watermark strictly passes bts itself.  Same min-of-sides frontier
+# (each withWatermark node sees only its event_type's rows).
+_STREAM_FULL_OUTER_SQL = """
+WITH side_max AS (
+  SELECT MAX(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS vmax,
+         MAX(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS bmax
+  FROM events
+),
+frontier AS (
+  SELECT CASE WHEN vmax IS NULL OR bmax IS NULL THEN NULL
+              ELSE LEAST(vmax, bmax) - 7200000 END AS wf
+  FROM side_max
+),
+v AS (SELECT event_id AS view_id, user_id, ts AS vts
+      FROM events WHERE event_type = 'view'),
+b AS (SELECT event_id AS buy_id, user_id, ts AS bts
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id, v.view_id, b.buy_id
+  FROM v JOIN b ON v.user_id = b.user_id
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY
+),
+unmatched_v AS (
+  SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS buy_id
+  FROM v CROSS JOIN frontier
+  WHERE NOT EXISTS (
+          SELECT 1 FROM b
+          WHERE b.user_id = v.user_id
+            AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY)
+    AND epoch_ms(v.vts) + 86400000 < wf
+),
+unmatched_b AS (
+  SELECT b.user_id, CAST(-1 AS BIGINT) AS view_id, b.buy_id
+  FROM b CROSS JOIN frontier
+  WHERE NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.user_id = b.user_id
+            AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 1 DAY)
+    AND epoch_ms(b.bts) < wf
+)
+SELECT user_id, view_id, buy_id FROM matched
+UNION ALL
+SELECT user_id, view_id, buy_id FROM unmatched_v
+UNION ALL
+SELECT user_id, view_id, buy_id FROM unmatched_b
+ORDER BY user_id, view_id, buy_id
+"""
+
 QUERIES = {
     "streaming_daily_counts": streaming_daily_counts,
     "streaming_dedup": streaming_dedup,
@@ -287,6 +342,7 @@ QUERIES = {
     "streaming_ewma": streaming_ewma,
     "streaming_late_data": streaming_late_data,
     "streaming_join_left_outer": streaming_join_left_outer,
+    "streaming_join_full_outer": streaming_join_full_outer,
     "streaming_sessionize": streaming_sessionize,
 }
 ORACLES = {
@@ -305,6 +361,7 @@ ORACLES = {
     "streaming_ewma": _ts_ewma_oracle_roundfree(),
     "streaming_late_data": _STREAM_LATE_SQL,
     "streaming_join_left_outer": _STREAM_LEFT_OUTER_SQL,
+    "streaming_join_full_outer": _STREAM_FULL_OUTER_SQL,
     "streaming_sessionize": _STREAM_SESSIONIZE_SQL,
 }
 

@@ -777,3 +777,80 @@ def streaming_join_left_outer(
         # pandas as float64 on one engine and Int64 on the other
         F.coalesce(F.col("buy_id"), F.lit(-1)).alias("buy_id"),
     ).orderBy("user_id", "view_id", "buy_id")
+
+
+def streaming_join_full_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    stream-join family (inner: streaming_click_attribution; left
+    outer: streaming_join_left_outer): BOTH dangling sides must emit,
+    each only once the watermark proves no future match is possible.
+    Same staging (``_restage_arrival_batches``, tail=False), same
+    2 h watermarks, same user + 1-day-interval condition.
+
+    Emission semantics, mirrored by the oracle: matched pairs equal
+    the batch interval join; an unmatched VIEW emits (NULL purchase)
+    once the final global watermark strictly passes ``vts + 1 day``
+    (its window end — the left-outer rule, re-verified here); an
+    unmatched PURCHASE emits (NULL view) once the watermark strictly
+    passes ``bts`` itself: the condition bounds matchable views to
+    ``vts ∈ [bts − 1 day, bts]``, so a purchase is resolvable as soon
+    as no future view can carry ``vts ≤ bts`` — its eviction frontier
+    is a day TIGHTER than the view side's, which is why the two
+    dangling populations differ sharply in the emitted set.  The
+    frontier is ``LEAST(max view ts, max purchase ts) − 2 h`` (ms
+    floor, multipleWatermarkPolicy=min) exactly as in the left-outer
+    oracle.  State at scale: identical to the left-outer — each side
+    holds rows until the watermark clears its matchability window, so
+    state is O(arrival-rate × window), independent of stream length.
+    The -1 sentinels replace NULL ids on BOTH sides (bigint-with-NULL
+    crosses to pandas as float64 on one engine and Int64 on the
+    other); user_id coalesces across sides since either may dangle."""
+    import shutil
+
+    srcdir, tmp = _restage_arrival_batches(spark, sf_dir, tail=False)
+    try:
+        schema = spark.read.parquet(srcdir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        views = (
+            src.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("u"),
+                F.col("ts").alias("vts"),
+            )
+            .withWatermark("vts", "2 hours")
+        )
+        buys = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("buy_id"),
+                F.col("user_id").alias("bu"),
+                F.col("ts").alias("bts"),
+            )
+            .withWatermark("bts", "2 hours")
+        )
+        j = views.join(
+            buys,
+            F.expr(
+                "u = bu AND bts >= vts AND bts <= vts + INTERVAL 1 DAY"
+            ),
+            "fullOuter",
+        )
+        out = run_to_memory(
+            j.select("u", "bu", "view_id", "buy_id"), "append", progress_sink
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        F.coalesce(F.col("u"), F.col("bu")).alias("user_id"),
+        F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        F.coalesce(F.col("buy_id"), F.lit(-1)).alias("buy_id"),
+    ).orderBy("user_id", "view_id", "buy_id")

@@ -1879,6 +1879,42 @@ def test_pack_bestfit_group_col_type_mirrors_input(spark):
     assert nf.count() == 30
 
 
+def test_ivf_filtered_recall_monotone_in_probes(spark):
+    """Filtered-IVF recall is per-query monotone in n_probe: the probed
+    candidate set only grows, and any candidate that displaces a true
+    top-5 hit must out-score it, hence IS itself a true top-5 hit (the
+    exact set is the global label-constrained top-5 under the same
+    scores).  At n_probe = n_lists the probe is exhaustive, so hits
+    must equal the exact set — the filtered exact-twin identity."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        filtered_topk,
+        ivf_filtered_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in filtered_topk(e, q, k=5).collect()
+    }
+
+    def hits_by_query(n_probe):
+        got = ivf_filtered_topk(e, q, k=5, n_lists=16, n_probe=n_probe)
+        pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        per_q: dict[int, int] = {}
+        for qid, vid in pairs & exact:
+            per_q[qid] = per_q.get(qid, 0) + 1
+        return pairs, per_q
+
+    p4, h4 = hits_by_query(4)
+    p8, h8 = hits_by_query(8)
+    p16, h16 = hits_by_query(16)
+    assert p16 == exact  # exhaustive probe == filtered_topk, pair-exact
+    qids = {qid for qid, _ in exact}
+    for qid in qids:
+        assert h4.get(qid, 0) <= h8.get(qid, 0) <= h16.get(qid, 0)
+
+
 def test_mmr_rerank_diversifies_known_case(spark):
     """MMR on a hand-built corpus: two tight near-duplicate bundles near
     the query and scattered singletons.  Plain top-k drowns in bundle A;
