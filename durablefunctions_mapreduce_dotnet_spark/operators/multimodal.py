@@ -906,3 +906,261 @@ def wav_exact_features(
         "doc_id bigint, sample_rate int, n_samples int, n_frames int, "
         "total_energy bigint, max_frame_energy bigint, n_silent bigint",
     )
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG payload for one id — the generator
+    half of the hash-exact PNG round-trip (see
+    :func:`png_exact_features`), completing the pure-bytes image tier
+    (BMP = uncompressed strides; PNG = chunked container + zlib inflate
+    + per-row unfiltering, all stdlib — no Pillow).  Geometry and
+    pixels are closed-form in ``doc_id`` so an oracle predicts every
+    decoded feature WITHOUT parsing a byte:
+
+        w = 12 + (id % 4)·5   ∈ {12,17,22,27}
+        h = 9 + (id % 3)·6    ∈ {9,15,21}
+        R(r,c) = (id + 3r + 5c) % 256
+        G(r,c) = (id//2 + 7r + 2c) % 256
+        B(r,c) = (11·id + r + 6c) % 256
+        scanline r uses PNG filter (id + r) % 3 — None/Sub/Up all
+        exercised, so a broken unfilter breaks the value hash
+        ids % 5 == 0 carry a junk tEXt chunk before IDAT (parsers must
+        skip unknown ancillary chunks)
+        ids % 4 == 0 split the compressed stream across TWO IDAT
+        chunks (decoders must concatenate before inflating)
+
+    Compressed IDAT length is zlib-implementation-defined, so byte
+    size is NOT a feature (unlike the BMP tier) — chunk count is."""
+    import zlib
+
+    import numpy as np
+
+    did = int(doc_id)
+    w = 12 + (did % 4) * 5
+    h = 9 + (did % 3) * 6
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    rgb = np.stack(
+        [
+            (did + 3 * r + 5 * c) % 256,
+            (did // 2 + 7 * r + 2 * c) % 256,
+            (11 * did + r + 6 * c) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    raw = rgb.reshape(h, w * 3)
+    filtered = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for ri in range(h):
+        row = raw[ri]
+        f = (did + ri) % 3
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub: delta vs the pixel 3 bytes left
+            left = np.concatenate([np.zeros(3, dtype=np.uint8), row[:-3]])
+            out = (row.astype(np.int16) - left).astype(np.uint8)
+        else:  # Up: delta vs the same byte one row above
+            out = (row.astype(np.int16) - prev).astype(np.uint8)
+        filtered.append(f)
+        filtered.extend(out.tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, colortype 2 (RGB)
+    )
+    comp = zlib.compress(bytes(filtered))
+    out = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if did % 5 == 0:
+        out.append(chunk(b"tEXt", b"Comment\x00synthetic"))
+    if did % 4 == 0 and len(comp) > 1:
+        mid = len(comp) // 2
+        out.append(chunk(b"IDAT", comp[:mid]))
+        out.append(chunk(b"IDAT", comp[mid:]))
+    else:
+        out.append(chunk(b"IDAT", comp))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content binary) of :func:`synth_png_bytes` payloads — one
+    Arrow pass, no shuffle (the :func:`synth_bmp_table` pattern)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "content": [
+                        synth_png_bytes(int(i)) for i in batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        gen, "doc_id bigint, content binary"
+    )
+
+
+def parse_png(blob) -> "tuple[int, int, int, object] | None":
+    """REAL stdlib PNG decode: signature check, chunk walk with CRC32
+    verification (zlib.crc32 — a flipped byte anywhere NULLs the row),
+    unknown-ancillary-chunk skip, multi-IDAT concatenation, zlib
+    inflate, and per-row unfiltering (filters 0-4; Paeth per the spec
+    even though the synth payloads only exercise 0-2).  Returns
+    (width, height, n_chunks, rgb ndarray[h, w, 3]) or ``None`` for
+    anything that isn't an 8-bit non-interlaced RGB PNG."""
+    import zlib
+
+    import numpy as np
+
+    b = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n_chunks = 0
+    while pos + 12 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(b):
+            return None
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + data) != crc:
+            return None
+        n_chunks += 1
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            pos += 12 + ln
+            break
+        pos += 12 + ln
+    if (
+        w is None
+        or not idat
+        or bit_depth != 8
+        or color_type != 2
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for ri in range(h):
+        f = raw[ri * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=ri * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                bb = prev[i]
+                if f == 1:
+                    cur[i] = (row[i] + a) % 256
+                elif f == 3:
+                    cur[i] = (row[i] + (a + bb) // 2) % 256
+                else:
+                    cc = prev[i - 3] if i >= 3 else 0
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else cc)
+                    cur[i] = (row[i] + pred) % 256
+        else:
+            return None
+        out[ri] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, n_chunks, out.reshape(h, w, 3)
+
+
+def png_exact_features(binary_df: DataFrame) -> DataFrame:
+    """HASH-EXACT decoded features over real PNG payloads — the
+    value-checkable face of the PNG tier (the :func:`bmp_exact_features`
+    discipline on a COMPRESSED container):
+
+    - ``width``/``height``: true IHDR dims.
+    - ``n_chunks``: chunks walked (IHDR + optional tEXt + 1-2 IDAT +
+      IEND) — the container-structure signal byte size can't give
+      (compressed length is zlib-implementation-defined).
+    - ``luma_total``: Σ over pixels of integer BT.601 luma
+      299·R + 587·G + 114·B, computed from the INFLATED, UNFILTERED
+      pixels — any slip in the chunk walk, inflate, or filter reversal
+      changes it.
+    - ``luma_wsum``: position-weighted Σ lum(r,c)·(r·w + c + 1) —
+      catches transposition/row-order bugs that a plain total misses.
+
+    A payload that fails :func:`parse_png` (bad signature, CRC flip,
+    truncated chunk, wrong color type, inflate error, length mismatch)
+    NULLs every feature — corrupt inputs surface, never crash."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            w_, h_, nc_, lt_, lw_ = [], [], [], [], []
+            for content in batch["content"]:
+                parsed = parse_png(content)
+                if parsed is None:
+                    w_.append(None); h_.append(None); nc_.append(None)
+                    lt_.append(None); lw_.append(None)
+                    continue
+                w, h, nchunks, rgb = parsed
+                lum = (
+                    299 * rgb[:, :, 0].astype(np.int64)
+                    + 587 * rgb[:, :, 1].astype(np.int64)
+                    + 114 * rgb[:, :, 2].astype(np.int64)
+                )
+                pos = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                w_.append(w); h_.append(h); nc_.append(nchunks)
+                lt_.append(int(lum.sum()))
+                lw_.append(int((lum * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": pd.array(w_, dtype="Int32"),
+                    "height": pd.array(h_, dtype="Int32"),
+                    "n_chunks": pd.array(nc_, dtype="Int32"),
+                    "luma_total": pd.array(lt_, dtype="Int64"),
+                    "luma_wsum": pd.array(lw_, dtype="Int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, n_chunks int, "
+        "luma_total bigint, luma_wsum bigint",
+    )

@@ -309,6 +309,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # the stream-join family; the purchase side's day-tighter eviction
     # frontier (strict < bts) pinned by its own synthetic edge test
     "streaming_join_full_outer",
+    # r14 newcomer: the PNG tier — chunk walk + CRC32 verify + zlib
+    # inflate + per-row unfiltering, all stdlib; closed-form oracle
+    "multimodal_png_exact",
 )
 
 #: Names RE-pinned after a behavior-touching change invalidated their old

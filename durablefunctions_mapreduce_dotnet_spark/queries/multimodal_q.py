@@ -311,7 +311,65 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_png_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG tier's VALUE-CHECKABLE face — the bmp_exact discipline
+    on a COMPRESSED container: deterministic 8-bit RGB PNGs are
+    generated per doc_id (operators.multimodal.synth_png_bytes —
+    closed-form pixels, per-row None/Sub/Up filters, a junk tEXt chunk
+    on ids%5==0, a split double-IDAT on ids%4==0), REALLY decoded by
+    parse_png (signature, chunk walk with CRC32 verification,
+    unknown-chunk skip, multi-IDAT concat, zlib inflate, filter
+    reversal — all stdlib, no Pillow), and reduced to exact integer
+    features (true dims, chunk count, total + position-weighted BT.601
+    luma).  The oracle never parses a byte: it recomputes every
+    feature analytically from the same closed forms, so any slip in
+    the chunk walk, inflate, or unfiltering breaks the value hash.
+    Compressed size is zlib-implementation-defined and deliberately
+    NOT a feature."""
+    from ..operators.multimodal import png_exact_features, synth_png_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return png_exact_features(synth_png_table(d)).orderBy("doc_id")
+
+
+# Mirrors synth_png_bytes + png_exact_features analytically: pixels are
+# enumerated with lateral range(); the filter chain is invertible by
+# construction so the oracle skips straight to the raw pixel forms.
+_MULTIMODAL_PNG_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         12 + (doc_id % 4) * 5 AS w,
+         9 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, r.r, c.c,
+         299 * ((d.doc_id + 3 * r.r + 5 * c.c) % 256)
+       + 587 * ((d.doc_id // 2 + 7 * r.r + 2 * c.c) % 256)
+       + 114 * ((11 * d.doc_id + r.r + 6 * c.c) % 256) AS lum
+  FROM d, unnest(range(0, d.h)) AS r(r), unnest(range(0, d.w)) AS c(c)
+),
+tot AS (
+  SELECT doc_id,
+         SUM(lum)::BIGINT AS luma_total,
+         SUM(lum * (r * w + c + 1))::BIGINT AS luma_wsum
+  FROM px GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(3 + CASE WHEN d.doc_id % 5 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_chunks,
+       t.luma_total,
+       t.luma_wsum
+FROM d JOIN tot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_png_exact": q_multimodal_png_exact,
     "multimodal_bmp_exact": q_multimodal_bmp_exact,
     "multimodal_wav_exact": q_multimodal_wav_exact,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
@@ -323,6 +381,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
+    "multimodal_png_exact": _MULTIMODAL_PNG_EXACT_SQL,
     "multimodal_bmp_exact": _MULTIMODAL_BMP_EXACT_SQL,
     "multimodal_wav_exact": _MULTIMODAL_WAV_EXACT_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,

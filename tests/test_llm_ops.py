@@ -320,6 +320,48 @@ def test_multimodal_bmp_exact_features_roundtrip(spark):
     assert got[90].luma_total == 1000 * sum(v for row in ramp for v in row)
 
 
+def test_multimodal_png_exact_features_roundtrip(spark):
+    """png_exact_features over synth payloads: dims/chunk counts match
+    the closed forms (tEXt on %5==0, double-IDAT on %4==0, both on
+    id 0/20), the inflate+unfilter chain reproduces exact pixel luma,
+    and corrupt payloads (bad signature, CRC flip) NULL features
+    instead of crashing the batch."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        png_exact_features,
+        synth_png_bytes,
+    )
+
+    crc_flipped = bytearray(synth_png_bytes(3))
+    crc_flipped[60] ^= 0xFF
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(synth_png_bytes(0))),  # tEXt + double IDAT
+            (7, bytearray(synth_png_bytes(7))),  # filters cycle 1,2,0,..
+            (90, bytearray(b"\x89PNGnot really a png")),
+            (91, bytes(crc_flipped)),
+        ],
+        "doc_id bigint, content binary",
+    )
+    got = {r.doc_id: r for r in png_exact_features(df).collect()}
+    assert (got[0].width, got[0].height) == (12, 9)
+    assert got[0].n_chunks == 5  # IHDR + tEXt + IDAT x2 + IEND
+    assert (got[7].width, got[7].height) == (27, 15)
+    assert got[7].n_chunks == 3
+    r = np.arange(15, dtype=np.int64)[:, None]
+    c = np.arange(27, dtype=np.int64)[None, :]
+    lum = (
+        299 * ((7 + 3 * r + 5 * c) % 256)
+        + 587 * ((3 + 7 * r + 2 * c) % 256)
+        + 114 * ((77 + r + 6 * c) % 256)
+    )
+    assert got[7].luma_total == int(lum.sum())
+    assert got[7].luma_wsum == int((lum * (r * 27 + c + 1)).sum())
+    assert got[90].width is None and got[90].luma_total is None
+    assert got[91].width is None and got[91].luma_wsum is None
+
+
 def test_simhash_candidates_recall_is_exact_vs_bruteforce(spark):
     """Pigeonhole chunking must find EVERY pair within max_hamming — the
     4x16 design only guarantees radius 3, so radius 8 derives 9 chunks.
