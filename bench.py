@@ -198,6 +198,12 @@ HEADLINE = [
     # candidates) — times the full funnel incl. the two scalar
     # materializations
     "ann_pipeline_end2end",
+    "curation_zorder_layout",
+    "join_bloom_prefilter",
+    "linkage_entity_resolution",
+    "graph_bfs_landmarks",
+    "graph_sssp_weighted",
+    "ann_maxsim_topk",
 ]
 
 

@@ -791,3 +791,108 @@ def kcore(
         f"kcore: no fixpoint after max_rounds={max_rounds} peel rounds — "
         "the partial subgraph would overstate the core; raise max_rounds"
     )
+
+
+def landmark_bfs(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    lm_col: str = "lm",
+    max_depth: int = 4,
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance from every landmark to every
+    node within ``max_depth`` — the landmark/distance-sketch primitive
+    (approximate shortest-path / reachability oracles are built by
+    combining per-landmark distances).
+
+    One frontier loop carries ALL landmarks at once as (node, lm) state
+    — per round one equi-join (frontier x adjacency) + one distinct +
+    one anti-join against the visited set, all shuffles keyed on node
+    id, so L landmarks cost one BFS (state is L x frontier, not L
+    runs).  First-visit depth IS the minimum (levels expand in order),
+    so no min-agg is needed; the anti-join keeps the visited set and
+    frontier disjoint, which also bounds state by nodes x landmarks
+    regardless of path multiplicity.  Lineage is cut per round with
+    ``checkpoint`` — same discipline as :func:`connected_components`.
+    The input edge list is treated as UNDIRECTED (symmetrized +
+    distinct here) and is pinned MEMORY_AND_DISK for the loop: every
+    round re-probes the same adjacency, so one materialization pays
+    for max_depth joins; evictable, nothing hard-pinned.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    visited = landmarks.select(
+        F.col(lm_col).alias("node"), F.col(lm_col).alias("lm"), F.lit(0).alias("dist")
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.u)
+            .select(F.col("v").alias("node"), "lm")
+            .distinct()
+            .join(visited.select("node", "lm"), ["node", "lm"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = checkpoint(nxt)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    checkpoint: CheckpointFn = local_checkpoint,
+) -> DataFrame:
+    """Bounded-round single-source shortest path (Bellman-Ford): the
+    exact minimum cost over paths of at most ``rounds`` edges, on the
+    UNDIRECTED weighted graph (symmetrized here; parallel edges are
+    collapsed to their MIN weight so the relaxation sees a simple
+    graph).
+
+    Per round: one equi-join (tentative distances x adjacency) + one
+    min-groupBy — two combiner-reduced shuffles on node id, lineage cut
+    per round; identical cost shape to :func:`connected_components`.
+    Unlike :func:`landmark_bfs` the frontier cannot be pruned to
+    first-visit (a longer-hop path may be cheaper), so every round
+    relaxes the full tentative set — which is why the round count is a
+    parameter: bounded-hop distances are the well-defined, oracle-
+    checkable unit (full SSSP is this to fixpoint).  Weights and costs
+    are integers end-to-end — no FP accumulation anywhere."""
+    from pyspark.storagelevel import StorageLevel
+
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w).alias("w"))
+        .union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), F.col(w).alias("w"))
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node bigint, cost bigint")
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(und, dist.node == und.u)
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        dist = checkpoint(dist)
+    return dist

@@ -8,7 +8,7 @@ operators below fill the gaps Spark lacks natively.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -385,3 +385,71 @@ def asof_join_nearest(
     if inner:
         out = out.where(F.col("matched_ts").isNotNull())
     return out
+
+
+def bloom_filter_build(
+    build: DataFrame, key: str, log2_m: int = 18, k: int = 3
+) -> list[int]:
+    """Build a deterministic Bloom filter over ``build[key]`` as a list
+    of ``2^log2_m / 64`` long words — the distributed, bounded-driver
+    form of what Spark's runtime bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does opaquely.
+
+    The 100 TB shape: the k bit positions are computed row-side
+    (``xxhash64(key, seed)`` — JVM codegen, no Python), then OR-folded
+    into words by a combiner-reduced ``groupBy(word_idx).agg(bit_or)``
+    — the driver collects at most ``m/64`` (word, bits) rows no matter
+    how large the build side is.  A 2^18-bit filter is 32 KiB: it
+    broadcasts where a 10M-key hash relation would not, which is the
+    whole trade — prefilter the probe side's shuffle down to
+    ~selectivity + FPP before the exact join.
+
+    False-positive rate ~ (1 - e^(-k*n/m))^k; positives are removed by
+    the exact join that follows, so correctness never depends on the
+    filter (the oracle for any query using this is the plain join).
+    """
+    m = 1 << log2_m
+    hashes = F.array(
+        *[F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+    words = (
+        build.select(F.explode(hashes).alias("p"))
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+        .collect()
+    )
+    out = [0] * (m // 64)
+    for r in words:
+        out[r["widx"]] = r["w"]
+    return out
+
+
+def bloom_might_contain(
+    words: list[int], key: str, log2_m: int = 18, k: int = 3
+) -> Column:
+    """Row predicate: every one of the k bloom bits for ``key`` is set.
+
+    ``words`` rides into the plan as ONE array<long> literal (data, not
+    expression tree — 4096 longs at log2_m=18), the bit masks as a
+    64-long lookup literal (the Python ``shiftleft`` wrapper only takes
+    literal shift amounts, so shift-by-column is replaced by
+    ``element_at(masks, p % 64 + 1)``), and the test is pure
+    whole-stage-codegen arithmetic on the probe side: no shuffle, no
+    Python, evaluated map-side before any exchange.  NULL keys hash
+    like any value and simply fail/pass the bits; an inner join after
+    discards them either way."""
+    m = 1 << log2_m
+    arr = F.lit(words)
+    # two's-complement wrap for bit 63: python 1<<63 exceeds signed long
+    masks = F.lit([(1 << b) - (1 << 64 if b == 63 else 0) for b in range(64)])
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m))
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + 1)
+        mask = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond

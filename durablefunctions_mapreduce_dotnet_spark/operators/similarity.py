@@ -1320,3 +1320,75 @@ def ivfpq_rescored_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tokens: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim top-k: each vector is
+    viewed as ``n_tokens`` contiguous sub-token embeddings of
+    dim/n_tokens each, and score(q, d) = sum_u max_t <q_u, d_t> — the
+    retrieval scoring function of multi-vector models, where a query
+    token matches its best document token instead of one pooled dot.
+
+    Same 100 TB shape as :func:`brute_force_topk`: the query token
+    tensor broadcasts, each Arrow batch runs ONE einsum against it
+    ((batch, T, S) x (Q, T, S) -> per-pair token-similarity matrices),
+    reduces max-over-doc-tokens / sum-over-query-tokens in the batch,
+    and emits an exact per-query partial top-k under the final total
+    order (score desc, vid asc) — candidates shrink to k per (batch,
+    query) before any shuffle.  Output is ids + rank (float scores
+    never leave the plan; MaxSim margins are O(1) vs ~1e-15 fold
+    skew, the brute_force_topk discipline).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qids, qm = _collect_matrix(queries, vec_col, id_col)
+    dim = qm.shape[1]
+    assert dim % n_tokens == 0, f"dim {dim} not divisible by {n_tokens} tokens"
+    sub = dim // n_tokens
+    qt = qm.reshape(len(qids), n_tokens, sub)
+    bc = spark.sparkContext.broadcast((qids, qt))
+
+    def gen(batches):
+        b_qids, b_qt = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["_id"].to_numpy(dtype=np.int64)
+            m = np.stack(batch["_v"].to_numpy()).astype(np.float64)
+            dt = m.reshape(len(ids), n_tokens, sub)
+            # sims[d, q, u, t] = <query token u, doc token t>
+            sims = np.einsum("qus,dts->dqut", b_qt, dt)
+            scores = sims.max(axis=3).sum(axis=2)  # (d, q)
+            out = []
+            for j in range(len(b_qids)):
+                col = scores[:, j]
+                mask = ids != b_qids[j]
+                cand_ids, cand = ids[mask], col[mask]
+                if not len(cand_ids):
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), b_qids[j], dtype=np.int64),
+                            "vid": cand_ids[order],
+                            "cos": cand[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = _vec_rows(embeddings, vec_col, id_col).mapInPandas(
+        gen, "qid bigint, vid bigint, cos double"
+    )
+    return _topk_window(partial, k)

@@ -309,6 +309,35 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # the stream-join family; the purchase side's day-tighter eviction
     # frontier (strict < bts) pinned by its own synthetic edge test
     "streaming_join_full_outer",
+    # r14 newcomer: the Z-order layout audit — equi-depth grid buckets +
+    # equal-count file tiles, all via the distributed exact NTILE (pure
+    # integer path); per-file per-dimension min/max spans + band-filter
+    # touch flags make the pruning win a measured number (the trailing-
+    # column band filter reads 64/64 linear files vs ~17/64 zorder)
+    "curation_zorder_layout",
+    # r14 newcomer: Bloom-prefilter join — build side folded to 32 KiB
+    # of bit_or-aggregated words (driver collect bounded by m/64, not
+    # build rows), probe filtered map-side pre-exchange; oracle is the
+    # plain join (FPs removed exactly, no-false-negative pytest-locked)
+    "join_bloom_prefilter",
+    # r14 newcomer: golden-record entity resolution — three source
+    # feeds, blocked fuzzy match, CC over pairs, survivorship agg;
+    # clusters close only TRANSITIVELY through the clean row and the
+    # recursive-CTE oracle checks exactly that
+    "linkage_entity_resolution",
+    # r14 newcomer: multi-source landmark BFS — L landmarks ride one
+    # frontier loop as (node, lm) state; first-visit depth proven equal
+    # to the recursive-CTE MIN(dist) closure
+    "graph_bfs_landmarks",
+    # r14 newcomer: late-interaction MaxSim retrieval — 8 sub-token
+    # embeddings per vector, score = sum of best-matching token dots
+    # (one einsum per Arrow batch vs the broadcast query token tensor);
+    # oracle unrolls the full 8x8x8 expression in SQL
+    "ann_maxsim_topk",
+    # r14 newcomer: bounded-round weighted SSSP (Bellman-Ford) — the
+    # recursive-CTE oracle enumerates every <=4-hop path cost, proving
+    # the relaxation keeps longer-hop-but-cheaper paths
+    "graph_sssp_weighted",
     # r14 newcomer: the PNG tier — chunk walk + CRC32 verify + zlib
     # inflate + per-row unfiltering, all stdlib; closed-form oracle
     "multimodal_png_exact",

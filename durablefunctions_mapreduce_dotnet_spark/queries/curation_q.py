@@ -1580,7 +1580,67 @@ ORDER BY host
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over events(user_id, value): per-file grid
+    min/max spans for the naive single-column sort layout vs
+    equal-count Morton-order files (sources.layout.grid_layout_audit).
+    The 100 TB argument made measurable: ``span_cells`` (grid cells a
+    filter on ALL clustered columns must consider per file) stays
+    bounded under zorder while ``linear`` leaves the value dimension
+    at full width.  Exact equi-depth buckets AND equal-count file
+    tiles both come from the distributed exact NTILE — a pure integer
+    path (no cross-engine FP exposure), no sampled boundaries, no
+    SinglePartition window, hash-exact end-to-end.  The
+    reference has no layout control at all (its blobs are arrival-
+    ordered, Sample.cs:41-60); the production write path
+    (write_zordered, quantile-bucketed) is pytest-covered in
+    tests/test_layout.py."""
+    from ..sources.layout import grid_layout_audit
+
+    e = read_table(spark, sf_dir, "events")
+    return grid_layout_audit(e, ["user_id", "value"], "event_id", bits=6, n_files=64)
+
+
+_ZORDER_LAYOUT_SQL = """
+WITH b AS (
+  -- exact equi-depth bins: the integer twin of grid_layout_audit's
+  -- distributed NTILE(64) bucketing (NULLS FIRST matches Spark's
+  -- asc_nulls_first window order)
+  SELECT event_id,
+         CAST(NTILE(64) OVER (ORDER BY user_id NULLS FIRST, event_id) AS INTEGER) - 1 AS b0,
+         CAST(NTILE(64) OVER (ORDER BY value   NULLS FIRST, event_id) AS INTEGER) - 1 AS b1
+  FROM events
+), z AS (
+  SELECT event_id, b0, b1,
+         ((b0 >> 5) & 1) * 2048 + ((b1 >> 5) & 1) * 1024
+       + ((b0 >> 4) & 1) * 512  + ((b1 >> 4) & 1) * 256
+       + ((b0 >> 3) & 1) * 128  + ((b1 >> 3) & 1) * 64
+       + ((b0 >> 2) & 1) * 32   + ((b1 >> 2) & 1) * 16
+       + ((b0 >> 1) & 1) * 8    + ((b1 >> 1) & 1) * 4
+       + (b0 & 1) * 2           + (b1 & 1)            AS zc
+  FROM b
+), stacked AS (
+  SELECT 'linear' AS layout,
+         CAST(NTILE(64) OVER (ORDER BY b0, event_id) AS INTEGER) AS file_id, b0, b1 FROM z
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         CAST(NTILE(64) OVER (ORDER BY zc, event_id) AS INTEGER) AS file_id, b0, b1 FROM z
+)
+SELECT layout, file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(b0) AS BIGINT) AS min_b0, CAST(MAX(b0) AS BIGINT) AS max_b0,
+       CAST(MIN(b1) AS BIGINT) AS min_b1, CAST(MAX(b1) AS BIGINT) AS max_b1,
+       CAST(MAX(b0) - MIN(b0) + 1 AS BIGINT) * (MAX(b1) - MIN(b1) + 1) AS span_cells,
+       CAST(CASE WHEN MIN(b0) <= 23 AND MAX(b0) >= 16 THEN 1 ELSE 0 END AS INTEGER) AS touch_b0,
+       CAST(CASE WHEN MIN(b1) <= 23 AND MAX(b1) >= 16 THEN 1 ELSE 0 END AS INTEGER) AS touch_b1
+FROM stacked
+GROUP BY layout, file_id
+ORDER BY layout, file_id
+"""
+
+
 QUERIES = {
+    "curation_zorder_layout": q_zorder_layout,
     "curation_schema_evolution": q_curation_schema_evolution,
     "curation_decontaminate": q_curation_decontaminate,
     "curation_url_normalize": q_curation_url_normalize,
@@ -1617,6 +1677,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_zorder_layout": _ZORDER_LAYOUT_SQL,
     "curation_schema_evolution": _CURATION_SCHEMA_EVOLUTION_SQL,
     "curation_decontaminate": _CURATION_DECONTAMINATE_SQL,
     "curation_url_normalize": _CURATION_URL_SQL,

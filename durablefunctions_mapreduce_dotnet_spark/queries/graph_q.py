@@ -344,7 +344,111 @@ ORDER BY side, degree
 """
 
 
+def q_graph_bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source landmark BFS (operators.graph.landmark_bfs): exact
+    hop distances from 4 supplier landmarks over the undirected
+    supplier-part graph, depth <= 4, reported as per-(landmark, depth)
+    frontier sizes + node-id checksums (the full per-node table is the
+    operator's output; the aggregate keeps the driver row scale-stable
+    while still pinning every distance — a single node at the wrong
+    depth moves both count and sum).  All landmarks ride ONE frontier
+    loop as (node, lm) state: L landmarks cost one BFS, not L.  The
+    oracle replays the closure with a recursive CTE + MIN(dist), which
+    must equal first-visit depth — locking the level-order invariant
+    the anti-join relies on."""
+    from ..operators.graph import landmark_bfs, local_checkpoint
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    lms = spark.createDataFrame([(1,), (2,), (3,), (4,)], "lm bigint")
+    d = landmark_bfs(edges, lms, max_depth=4, checkpoint=local_checkpoint)
+    return (
+        d.groupBy("lm", "dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("sum_nodes"),
+        )
+        .orderBy("lm", "dist")
+    )
+
+
+_BFS_LANDMARKS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+         l_partkey + 1000000 AS v
+  FROM lineitem
+), und AS (
+  SELECT u, v FROM e UNION SELECT v, u FROM e
+), walk AS (
+  SELECT CAST(lm AS BIGINT) AS lm, CAST(lm AS BIGINT) AS node, 0 AS dist
+  FROM (VALUES (1), (2), (3), (4)) AS t(lm)
+  UNION
+  SELECT w.lm, und.v, w.dist + 1
+  FROM walk w JOIN und ON und.u = w.node
+  WHERE w.dist < 4
+), best AS (
+  SELECT lm, node, MIN(dist) AS dist FROM walk GROUP BY lm, node
+)
+SELECT lm, dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM best
+GROUP BY lm, dist
+ORDER BY lm, dist
+"""
+
+
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted SSSP (operators.graph.sssp_bounded):
+    4-round Bellman-Ford from supplier 1 over the undirected
+    supplier-part graph with integer weights (l_quantity % 3 + 1,
+    parallel edges collapsed to MIN) — the 50 cheapest (cost, node)
+    reachable within 4 edges.  Integer costs end-to-end; the oracle's
+    recursive CTE enumerates every <=4-hop path cost and takes the MIN,
+    which must equal the relaxation fixpoint at round 4 — locking that
+    a longer-hop-but-cheaper path is NOT missed (the property
+    first-visit BFS pruning would break)."""
+    from ..operators.graph import local_checkpoint, sssp_bounded
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+        ((F.col("l_quantity").cast("long") % 3) + 1).alias("w"),
+    )
+    d = sssp_bounded(edges, source=1, rounds=4, checkpoint=local_checkpoint)
+    return d.orderBy("cost", "node").limit(50)
+
+
+_SSSP_WEIGHTED_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS u,
+         l_partkey + 1000000 AS v,
+         (CAST(l_quantity AS BIGINT) % 3) + 1 AS w
+  FROM lineitem
+), e AS (
+  SELECT u, v, MIN(w) AS w
+  FROM (SELECT u, v, w FROM d UNION ALL SELECT v, u, w FROM d)
+  GROUP BY u, v
+), walk AS (
+  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+  UNION
+  SELECT e.v, wk.cost + e.w, wk.hops + 1
+  FROM walk wk JOIN e ON e.u = wk.node
+  WHERE wk.hops < 4
+), best AS (
+  SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
+)
+SELECT node, cost FROM best ORDER BY cost, node LIMIT 50
+"""
+
+
 QUERIES = {
+    "graph_sssp_weighted": q_graph_sssp_weighted,
+    "graph_bfs_landmarks": q_graph_bfs_landmarks,
     "graph_degree_histogram": q_graph_degree_histogram,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
@@ -353,6 +457,8 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
 }
 ORACLES = {
+    "graph_sssp_weighted": _SSSP_WEIGHTED_SQL,
+    "graph_bfs_landmarks": _BFS_LANDMARKS_SQL,
     "graph_degree_histogram": _DEGREE_HISTOGRAM_SQL,
     "graph_kcore": _kcore_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),

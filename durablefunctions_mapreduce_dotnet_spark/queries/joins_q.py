@@ -366,7 +366,52 @@ GROUP BY p_partkey
 """
 
 
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: urgent-order revenue by ship month.  The
+    build side (orders WHERE o_orderpriority = '1-URGENT', ~20% of
+    orders) is folded into a 32 KiB Bloom filter by a combiner-reduced
+    bit_or aggregate (driver collects <= m/64 words REGARDLESS of build
+    size — operators.joins.bloom_filter_build), broadcast as one
+    array<long> literal, and applied to lineitem MAP-SIDE before the
+    exchange: at 100 TB the probe shuffle shrinks to ~selectivity + FPP
+    before the exact join runs.  This is the explicit, deterministic
+    form of Spark's runtime bloom join — and because the exact join
+    removes every false positive, the oracle is the PLAIN join: the
+    filter can only affect performance, never the answer (locked by
+    this row; the no-false-negative property is pytest-locked in
+    tests/test_bloom_join.py)."""
+    from ..operators.joins import bloom_filter_build, bloom_might_contain
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    words = bloom_filter_build(o.select("o_orderkey"), "o_orderkey")
+    pre = li.where(bloom_might_contain(words, "l_orderkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pre.join(o, pre.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_JOIN_BLOOM_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY ship_month ORDER BY ship_month
+"""
+
+
 QUERIES = {
+    "join_bloom_prefilter": q_join_bloom_prefilter,
     "join_inner_revenue": q_join_revenue,
     "join_range_binned": q_join_range_binned,
     "join_multiway_region": q_join_multiway,
@@ -381,6 +426,7 @@ QUERIES = {
     "join_asof_tolerance": q_join_asof_tolerance,
 }
 ORACLES = {
+    "join_bloom_prefilter": _JOIN_BLOOM_SQL,
     "join_inner_revenue": _JOIN_REVENUE_SQL,
     "join_range_binned": _JOIN_RANGE_BINNED_SQL,
     "join_multiway_region": _JOIN_MULTIWAY_SQL,

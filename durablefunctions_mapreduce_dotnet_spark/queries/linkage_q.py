@@ -161,12 +161,152 @@ FROM pick WHERE matched_ts IS NOT NULL
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record entity resolution end-to-end: three deterministic
+    source feeds per customer (clean CRM row + two 1-edit-perturbed
+    copies from 'web'/'app'), blocked fuzzy matching (same blocking
+    policy as join_fuzzy_blocked), connected components over the match
+    pairs (operators.graph — the 100 TB CC path), then survivorship
+    per entity cluster: canonical id = MIN(rec_id), golden name =
+    lexicographic MAX (deterministic stand-in for longest-string
+    rules), golden balance = MAX across feeds, member/source counts.
+    The two perturbations are 1 edit from the clean name but up to 2
+    from each other, so the cluster only closes TRANSITIVELY through
+    the clean row — the oracle's recursive-CTE closure checks exactly
+    that.  No arithmetic on doubles (MAX only) — hash-exact."""
+    from ..operators.graph import canonicalize_clusters
+
+    c = read_table(spark, sf_dir, "customer")
+    bal_bin = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bin")
+    m = F.pmod(F.col("c_custkey"), F.lit(4))
+    perturb_a = (
+        F.when(m == 0, F.col("c_name"))
+        .when(m == 1, F.concat(F.substring("c_name", 1, 8), F.expr("substring(c_name, 10)")))
+        .when(m == 2, F.concat(F.substring("c_name", 1, 10), F.lit("x"), F.expr("substring(c_name, 12)")))
+        .otherwise(F.concat(F.col("c_name"), F.lit("q")))
+    )
+    perturb_b = F.concat(
+        F.substring("c_name", 1, 2), F.lit("Z"), F.expr("substring(c_name, 4)")
+    )
+    feeds = [
+        (0, "crm", F.col("c_name"), F.col("c_acctbal")),
+        (1, "web", perturb_a, F.col("c_acctbal") - 1.0),
+        (2, "app", perturb_b, F.col("c_acctbal") + 0.5),
+    ]
+    recs = None
+    for off, src, name, bal in feeds:
+        part = c.select(
+            (F.col("c_custkey") * 10 + off).alias("rec_id"),
+            name.alias("name"),
+            F.lit(src).alias("src"),
+            bal.alias("acctbal"),
+            "c_nationkey",
+            "c_mktsegment",
+            bal_bin,
+        )
+        recs = part if recs is None else recs.unionByName(part)
+    a = recs.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bin",
+    )
+    b = recs.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bin",
+    )
+    pairs = (
+        blocked_fuzzy_join(
+            a, b, ["c_nationkey", "c_mktsegment", "bal_bin"],
+            "name_a", "name_b", max_edit=1,
+        )
+        .where(F.col("rec_a") < F.col("rec_b"))
+        .select("rec_a", "rec_b")
+    )
+    cc = canonicalize_clusters(
+        recs, pairs, id_col="rec_id", src="rec_a", dst="rec_b",
+        pairs_distinct_ordered=True,
+    )
+    return (
+        recs.join(cc.select("rec_id", "cluster_id"), "rec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("src").alias("n_sources"),
+            F.max("name").alias("golden_name"),
+            F.max("acctbal").alias("golden_acctbal"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey * 10 AS rec_id, c_name AS name, 'crm' AS src,
+         c_acctbal AS acctbal, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 1,
+         CASE c_custkey % 4
+           WHEN 0 THEN c_name
+           WHEN 1 THEN substr(c_name, 1, 8) || substr(c_name, 10)
+           WHEN 2 THEN substr(c_name, 1, 10) || 'x' || substr(c_name, 12)
+           ELSE c_name || 'q'
+         END,
+         'web', c_acctbal - 1.0, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 2,
+         substr(c_name, 1, 2) || 'Z' || substr(c_name, 4),
+         'app', c_acctbal + 0.5, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+  FROM customer
+), pairs AS (
+  SELECT a.rec_id AS u, b.rec_id AS v
+  FROM recs a
+  JOIN recs b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.bal_bin = b.bal_bin
+  WHERE a.rec_id < b.rec_id
+    AND abs(length(a.name) - length(b.name)) <= 1
+    AND levenshtein(a.name, b.name) <= 1
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach AS (
+  SELECT u AS n, u AS m FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+), comp AS (
+  SELECT n AS rec_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+), labeled AS (
+  SELECT r.*, COALESCE(c.cluster_id, r.rec_id) AS cluster_id
+  FROM recs r LEFT JOIN comp c USING (rec_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+       MAX(name) AS golden_name,
+       MAX(acctbal) AS golden_acctbal
+FROM labeled
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
+    "linkage_entity_resolution": q_entity_resolution,
     "join_fuzzy_blocked": q_join_fuzzy_blocked,
     "join_asof_forward": q_join_asof_forward,
     "join_asof_nearest": q_join_asof_nearest,
 }
 ORACLES = {
+    "linkage_entity_resolution": _ENTITY_RESOLUTION_SQL,
     "join_fuzzy_blocked": _FUZZY_SQL,
     "join_asof_forward": _ASOF_FORWARD_SQL,
     "join_asof_nearest": _ASOF_NEAREST_SQL,

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk, maxsim_topk
 from ..sources.readers import read_table
 
 
@@ -37,6 +37,50 @@ SELECT qid AS query_id, vid AS neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5
+"""
+
+
+def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim top-5: vectors viewed as
+    8 sub-token embeddings of 8 dims; score = sum over query tokens of
+    the best-matching doc-token dot (operators.similarity.maxsim_topk
+    — broadcast query token tensor, one einsum per Arrow batch,
+    partial top-k before the shuffle).  The oracle unrolls the full
+    sum-of-greatest-of-dots expression (8 x 8 x 8 products) in SQL;
+    ids + rank only, the brute_force_topk discipline."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return maxsim_topk(e, _queries_subset(e), k=5, n_tokens=8)
+
+
+def _maxsim_oracle_sql(n_tokens: int = 8, sub: int = 8, k: int = 5) -> str:
+    terms = []
+    for u in range(n_tokens):
+        dots = []
+        for t in range(n_tokens):
+            prods = " + ".join(
+                f"qv[{u * sub + i}] * dv[{t * sub + i}]" for i in range(1, sub + 1)
+            )
+            dots.append(f"({prods})")
+        terms.append("greatest(" + ",\n             ".join(dots) + ")")
+    score = "\n         + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.qid, e.vec_id AS vid, q.qv AS qv, e.v AS dv
+  FROM q JOIN e ON q.qid != e.vec_id
+),
+scored AS (
+  SELECT qid, vid,
+         {score} AS s
+  FROM pairs
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vid) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
 """
 
 
@@ -1421,6 +1465,7 @@ QUERIES = {
     "ann_matryoshka_audit": q_ann_matryoshka,
     "ann_quantized_recall": q_ann_quantized_recall,
     "ann_ivfpq_rescored": q_ann_ivfpq_rescored,
+    "ann_maxsim_topk": q_ann_maxsim,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -1446,6 +1491,7 @@ ORACLES = {
     "ann_hybrid_rrf": _rrf_oracle_sql(),
     "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
+    "ann_maxsim_topk": _maxsim_oracle_sql(),
     "ann_matryoshka_audit": _matryoshka_oracle_sql(),
     "ann_quantized_recall": _ANN_QUANTIZED_RECALL_SQL,
     "embedding_covariance": _COVARIANCE_SQL,

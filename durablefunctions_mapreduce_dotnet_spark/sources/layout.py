@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_code", "zorder_layout", "write_zordered"]
+__all__ = [
+    "grid_layout_audit",
+    "zorder_code",
+    "zorder_layout",
+    "write_zordered",
+]
 
 
 def _bucket_boundaries(df: DataFrame, cols: list[str], bits: int) -> list[list[float]]:
@@ -113,6 +118,96 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z", *bnames)
     )
+
+
+def grid_layout_audit(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    bits: int = 6,
+    n_files: int = 8,
+) -> DataFrame:
+    """Per-file clustering-quality audit: the measurable argument for
+    Z-ordering, as a deterministic DataFrame (one row per (layout,
+    file)).
+
+    Everything is built from the distributed exact NTILE
+    (``operators.windows.global_distribution_rank``: two-pass
+    range-bucketed rank, no SinglePartition window), tie-broken by
+    ``id_col`` so every tiling is a total order any engine replays —
+    a pure INTEGER path end-to-end, no cross-engine FP exposure:
+
+    * grid buckets are EQUAL-DEPTH bins per clustered column —
+      ``NTILE(2^bits) OVER (ORDER BY col, id) - 1`` — the exact form
+      of the quantile bucketing the production write path
+      (:func:`zorder_layout`) approximates with GK sketches; equi-depth
+      keeps the grid uniformly occupied under skew, which fixed-width
+      bins do not.
+    * files are EQUAL-COUNT tiles of a total order — the row
+      distribution ``repartitionByRange + sort`` actually produces:
+      ``linear`` tiles the FIRST column's bucket order (the naive
+      "sort by one key" layout), ``zorder`` tiles the Morton-code
+      order of the interleaved buckets.
+
+    Emitted per file: row count, each dimension's bucket min/max,
+    ``span_cells`` = prod(max_i - min_i + 1), and per-dimension
+    ``touch_b{i}`` — whether this file's min/max range intersects a
+    canonical eighth-width band filter on that dimension (buckets
+    [n/4, n/4 + n/8)), i.e. whether parquet min/max stats could SKIP
+    the file for that filter.  This is the honest pruning metric: the
+    bounding-box product of equal-count tiles is ~n_cells/n_files for
+    ANY layout, but the per-dimension spans are not — ``linear``
+    leaves every trailing column at full width (its band filter reads
+    ALL files) while the Z-curve bounds every column's span at
+    ~2^(bits - log2(n_files)/len(cols)), so the same filter reads a
+    ~sqrt fraction of files.  Cost shape matches the real write path
+    (one rank pass per column ~ the quantile sketch, one per layout ~
+    the layout sort)."""
+    from ..operators.windows import global_distribution_rank
+
+    n_bins = 1 << bits
+    coded = df.select(id_col, *cols)
+    bnames = []
+    for i, c in enumerate(cols):
+        bn = f"_b{i}"
+        bnames.append(bn)
+        coded = (
+            global_distribution_rank(coded, [c, id_col], ntile_k=n_bins)
+            .withColumn(bn, F.col("quartile") - 1)
+            .drop("_rn", "quartile", "pct_rank", "cume", c)
+        )
+    coded = coded.withColumn(
+        "_z", _interleave([F.col(b) for b in bnames], bits)
+    )
+    lin = global_distribution_rank(coded, [bnames[0], id_col], ntile_k=n_files)
+    zrd = global_distribution_rank(coded, ["_z", id_col], ntile_k=n_files)
+    lbl = lambda d, name: d.select(  # noqa: E731
+        F.lit(name).alias("layout"), F.col("quartile").alias("file_id"), *bnames
+    )
+    stacked = lbl(lin, "linear").unionByName(lbl(zrd, "zorder"))
+    span = F.lit(1).cast("long")
+    lo, hi = n_bins // 4, n_bins // 4 + n_bins // 8 - 1
+    sel = [F.count(F.lit(1)).alias("n_rows")]
+    touches = []
+    for i, bn in enumerate(bnames):
+        sel += [
+            F.min(bn).cast("long").alias(f"min_b{i}"),
+            F.max(bn).cast("long").alias(f"max_b{i}"),
+        ]
+        span = span * (F.col(f"max_b{i}") - F.col(f"min_b{i}") + 1)
+        touches.append(
+            F.when(
+                (F.col(f"min_b{i}") <= hi) & (F.col(f"max_b{i}") >= lo),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias(f"touch_b{i}")
+        )
+    out = stacked.groupBy("layout", "file_id").agg(*sel)
+    return out.select(
+        "*", span.alias("span_cells"), *touches
+    ).orderBy("layout", "file_id")
 
 
 def write_zordered(

@@ -379,3 +379,40 @@ def test_kcore_and_jaccard_ignore_self_loops(spark):
     ).collect()
     got = {(r["node_a"], r["node_b"]): r["n_common"] for r in sim}
     assert got == {(6, 7): 1}  # via center 5 only; the loop adds nothing
+
+
+def test_landmark_bfs_known_distances(spark):
+    """Path graph 1-2-3-4-5 plus isolated edge 8-9: exact hop counts,
+    depth cutoff honored, unreachable nodes absent, isolated-landmark
+    component separate, and undirected symmetrization applied (edges
+    given in one direction only)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import landmark_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src bigint, dst bigint"
+    )
+    lms = spark.createDataFrame([(1,), (9,)], "lm bigint")
+    got = {
+        (r.lm, r.node): r.dist
+        for r in landmark_bfs(edges, lms, max_depth=3).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,   # 5 is beyond depth 3
+        (9, 9): 0, (9, 8): 1,                          # reverse direction works
+    }
+
+
+def test_sssp_keeps_longer_hop_cheaper_path(spark):
+    """Triangle with an expensive direct edge: 1-2 costs 10, but
+    1-3-2 costs 2.  First-visit BFS pruning would lock node 2 at 10;
+    Bellman-Ford relaxation must settle at 2 (and at rounds=1, where
+    only the direct edge is reachable, it must report 10)."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1)], "src bigint, dst bigint, w bigint"
+    )
+    two = {r.node: r.cost for r in sssp_bounded(edges, 1, rounds=2).collect()}
+    assert two == {1: 0, 2: 2, 3: 1}
+    one = {r.node: r.cost for r in sssp_bounded(edges, 1, rounds=1).collect()}
+    assert one == {1: 0, 2: 10, 3: 1}

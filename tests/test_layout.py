@@ -73,3 +73,31 @@ def test_zorder_code_stays_long_beyond_32_bits(spark):
     lo, hi = e.select(F.min(z), F.max(z)).first()
     assert lo >= 0, f"negative Morton code {lo}: int32 wraparound"
     assert hi >= (1 << 24)  # high interleaved bits actually populated
+
+
+def test_grid_layout_audit_pruning_and_balance(spark):
+    """The audit's own claims, locked: (a) files are exactly
+    equal-count (+-1 row) under BOTH layouts, (b) the trailing-column
+    band filter touches every linear file but a sub-half fraction of
+    zorder files, (c) BOTH dimensions' zorder spans stay near the
+    theoretical ~2^(bits/2) = 8 cell width (unaligned tile boundaries
+    can at most double it), while linear leaves the trailing dimension
+    at full width — which is the whole point of the curve."""
+    from durablefunctions_mapreduce_dotnet_spark.sources.layout import (
+        grid_layout_audit,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    out = grid_layout_audit(e, COLS, "event_id", bits=6, n_files=64).toPandas()
+    n = e.count()
+    by = {k: g for k, g in out.groupby("layout")}
+    for k, g in by.items():
+        assert len(g) == 64
+        assert int(g.n_rows.max()) - int(g.n_rows.min()) <= 1, k
+        assert int(g.n_rows.sum()) == n, k
+    lin, zrd = by["linear"], by["zorder"]
+    assert int(lin.touch_b1.sum()) == 64  # trailing col: no pruning at all
+    assert int(zrd.touch_b1.sum()) <= 32  # zorder: band filter skips >=half
+    assert (zrd.max_b0 - zrd.min_b0).mean() <= 16  # ~8 ideal, 2x slack
+    assert (zrd.max_b1 - zrd.min_b1).mean() <= 16
+    assert (lin.max_b1 - lin.min_b1).mean() >= 48  # linear: full width

@@ -2043,3 +2043,57 @@ def test_incremental_components_composes_across_batches(spark):
         30: 30, 31: 30, 42: 30,           # batch-1 pair grows in batch 2
     }
     assert {n: got[n] for n in full} == full
+
+
+def test_maxsim_differs_from_pooled_cosine(spark):
+    """MaxSim must be a genuinely different ranking function than
+    pooled cosine — a degenerate implementation (e.g. summing ALL
+    token dots instead of the per-query-token max) collapses to the
+    full dot product and would track cosine almost everywhere.  On the
+    synthetic corpus the two orderings disagree on most ranks."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        brute_force_topk,
+        maxsim_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    q = e.where((F.col("vec_id") % 50) == 0)
+    ms = maxsim_topk(e, q, k=5).toPandas()
+    bf = brute_force_topk(e, q, k=5).toPandas()
+    m = ms.merge(bf, on=["query_id", "rank"], suffixes=("_ms", "_bf"))
+    assert len(m) == 50
+    assert (m.neighbor_id_ms != m.neighbor_id_bf).sum() >= 25
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    """Differential: the distributed einsum path equals a from-scratch
+    per-pair python loop on a small slice (first 40 vectors, 2 queries)."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    e = read_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 40)
+    q = e.where(F.col("vec_id").isin(0, 7))
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in maxsim_topk(e, q, k=3).collect()
+    }
+    pdf = e.toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64).reshape(8, 8)
+        for r in pdf.itertuples()
+    }
+    for qid in (0, 7):
+        scores = []
+        for vid, dt in vecs.items():
+            if vid == qid:
+                continue
+            s = sum(
+                max(float(vecs[qid][u] @ dt[t]) for t in range(8))
+                for u in range(8)
+            )
+            scores.append((-s, vid))
+        want = [vid for _, vid in sorted(scores)[:3]]
+        assert [got[(qid, r)] for r in (1, 2, 3)] == want
