@@ -204,6 +204,7 @@ HEADLINE = [
     "graph_bfs_landmarks",
     "graph_sssp_weighted",
     "ann_maxsim_topk",
+    "curation_mix_schedule",
 ]
 
 

@@ -252,7 +252,24 @@ def all_oracles() -> dict[str, str]:
 #             headline is now the per-query MIN over the round's
 #             official runs (merge-min under BENCH_EPOCH r14, per-run
 #             totals in a runs array) — run totals 165.3/142.2 merged
-#             to 136.4 over 111 queries.)
+#             to 136.4 over 111 queries.
+#             r14 newcomers (each hash-exact vs its DuckDB mirror at
+#             sf0.001 AND sf0.01 before pinning): ann_pipeline_end2end
+#             (RAG composite), ann_ivf_filtered_exhaustive +
+#             ann_filtered_recall (filtered-ANN audit axis),
+#             streaming_join_full_outer, multimodal_png_exact,
+#             curation_zorder_layout (equi-depth grid + equal-count
+#             tiles via distributed NTILE; band-filter touch counts
+#             read 64/64 linear vs ~17/64 zorder files),
+#             join_bloom_prefilter (bit_or-folded words, plain-join
+#             oracle), linkage_entity_resolution (golden record over
+#             blocked fuzzy + CC + survivorship),
+#             graph_bfs_landmarks (multi-source frontier loop),
+#             graph_sssp_weighted (bounded Bellman-Ford vs
+#             all-paths-cost CTE), ann_maxsim_topk (late-interaction
+#             MaxSim, unrolled 8x8x8 oracle).  Full driver-contract
+#             sweep re-run after the additions: 260 queries, 248
+#             hash-exact + 12 rows-only by design, 0 failures.)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -338,6 +355,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # recursive-CTE oracle enumerates every <=4-hop path cost, proving
     # the relaxation keeps longer-hop-but-cheaper paths
     "graph_sssp_weighted",
+    # r14 newcomer: stride-scheduler source mixing — the deterministic
+    # interleave order for fixed-ratio corpus mixing; stride bound
+    # (every prefix within 1 of step*share) pytest-locked
+    "curation_mix_schedule",
     # r14 newcomer: the PNG tier — chunk walk + CRC32 verify + zlib
     # inflate + per-row unfiltering, all stdlib; closed-form oracle
     "multimodal_png_exact",

@@ -1639,7 +1639,68 @@ ORDER BY layout, file_id
 """
 
 
+def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-scheduler source mixing: the exact
+    interleave order a training pipeline uses to mix corpora at fixed
+    ratios.  Each source emits its k-th example at virtual time
+    (2k+1)/(2*share) — the classic stride schedule, whose guarantee
+    (pytest-locked in tests/test_curation_graph.py) is that after any
+    prefix of steps every source's emission count is within 1 of
+    step*share: no burst, no starvation, reproducible from row one.
+    Shares come from the per-language doc counts (one combiner agg
+    — genuinely non-uniform: en holds ~44% of the corpus, each other
+    language ~13-15%, so the schedule interleaves ~3 en emissions
+    between any two emissions of a smaller language);
+    times are a single double division with identical operands on both
+    engines, tie-broken (t, source) into a total order.  The global
+    order is a TakeOrderedAndProject of the first 500 steps — the
+    row_number window runs on that bounded result, never on the
+    corpus."""
+    from pyspark.sql import Window
+
+    n_steps = 500
+    d = read_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    seq = cnt.select(
+        "lang",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_steps - 1))).alias("k"),
+    )
+    timed = seq.select(
+        "lang",
+        F.col("k").cast("long").alias("k"),
+        ((2 * F.col("k") + 1) / (2 * F.col("cnt"))).alias("t"),
+    )
+    first = timed.orderBy("t", "lang").limit(n_steps)
+    w = Window.orderBy("t", "lang")
+    return (
+        first.withColumn("step", F.row_number().over(w).cast("long"))
+        .select("step", "lang", "k")
+        .orderBy("step")
+    )
+
+
+_MIX_SCHEDULE_SQL = """
+WITH cnt AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+), seq AS (
+  SELECT lang, cnt, i AS k FROM cnt, unnest(range(0, 500)) AS u(i)
+), timed AS (
+  SELECT lang, CAST(k AS BIGINT) AS k,
+         (2 * k + 1) / (2 * cnt) AS t
+  FROM seq
+), first AS (
+  SELECT * FROM timed ORDER BY t, lang LIMIT 500
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, lang) AS BIGINT) AS step,
+       lang, k
+FROM first
+ORDER BY step
+"""
+
+
 QUERIES = {
+    "curation_mix_schedule": q_mix_schedule,
     "curation_zorder_layout": q_zorder_layout,
     "curation_schema_evolution": q_curation_schema_evolution,
     "curation_decontaminate": q_curation_decontaminate,
@@ -1677,6 +1738,7 @@ QUERIES = {
     "curation_redact_pii": q_redact_pii,
 }
 ORACLES = {
+    "curation_mix_schedule": _MIX_SCHEDULE_SQL,
     "curation_zorder_layout": _ZORDER_LAYOUT_SQL,
     "curation_schema_evolution": _CURATION_SCHEMA_EVOLUTION_SQL,
     "curation_decontaminate": _CURATION_DECONTAMINATE_SQL,

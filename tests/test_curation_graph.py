@@ -416,3 +416,41 @@ def test_sssp_keeps_longer_hop_cheaper_path(spark):
     assert two == {1: 0, 2: 2, 3: 1}
     one = {r.node: r.cost for r in sssp_bounded(edges, 1, rounds=1).collect()}
     assert one == {1: 0, 2: 10, 3: 1}
+
+
+def test_mix_schedule_stride_bound(spark):
+    """The stride guarantee the mix-schedule query sells: after ANY
+    prefix of n steps, every source's emission count stays within 1 of
+    n*share — no burst, no starvation.  Also: per-source k must count
+    0,1,2,... in order (a source's own examples are never reordered)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    pdf = (
+        entry.queries()["curation_mix_schedule"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 500
+    from durablefunctions_mapreduce_dotnet_spark.sources.readers import read_table
+
+    cnt = {
+        r.lang: r["count"]
+        for r in read_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    total = sum(cnt.values())
+    cum = {s: 0 for s in cnt}
+    seen_k = {s: [] for s in cnt}
+    for row in pdf.itertuples():
+        cum[row.lang] += 1
+        seen_k[row.lang].append(row.k)
+        n = row.step
+        for s in cnt:
+            share = cnt[s] / total
+            assert abs(cum[s] - n * share) <= 1.0 + 1e-9, (s, n, cum[s], n * share)
+    for s, ks in seen_k.items():
+        assert ks == list(range(len(ks))), s
