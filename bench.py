@@ -205,6 +205,9 @@ HEADLINE = [
     "graph_sssp_weighted",
     "ann_maxsim_topk",
     "curation_mix_schedule",
+    "multimodal_gif_exact",
+    "text_vocab_growth",
+    "ann_hard_negatives",
 ]
 
 

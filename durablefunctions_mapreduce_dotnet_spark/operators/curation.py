@@ -1138,3 +1138,47 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return df.withColumn("host", host).withColumn("url_norm", norm)
+
+
+def stride_schedule(
+    counts: DataFrame,
+    n_steps: int,
+    key_col: str = "lang",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Deterministic stride-scheduler interleave: the exact order in
+    which a training pipeline emits examples from several corpora at
+    fixed ratios.  Source ``key``'s k-th emission happens at virtual
+    time (2k+1)/(2*cnt) — strides proportional to 1/share, phase-offset
+    to the stride midpoint — which yields the classic guarantee that
+    after ANY prefix of n steps each source has emitted within 1 of
+    n*share: no burst, no starvation, reproducible from row one
+    (property-fuzzed against a from-scratch reference in
+    tests/test_property_fuzz.py).
+
+    ``counts`` is a per-source weight table (a combiner-reduced
+    aggregate — sources, not rows, so broadcast-sized).  The first
+    ``n_steps`` emissions are selected by a TakeOrderedAndProject over
+    sources x n_steps candidate times; the row_number window that
+    assigns step ids runs on that bounded result, never on anything
+    corpus-sized.  Times are one double division with identical
+    operands on any engine; (t, key) is a total order (t is strictly
+    increasing in k within a source), so the schedule is
+    engine-independent."""
+    seq = counts.select(
+        key_col,
+        cnt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_steps - 1))).alias("k"),
+    )
+    timed = seq.select(
+        key_col,
+        F.col("k").cast("long").alias("k"),
+        ((2 * F.col("k") + 1) / (2 * F.col(cnt_col))).alias("t"),
+    )
+    first = timed.orderBy("t", key_col).limit(n_steps)
+    w = Window.orderBy("t", key_col)
+    return (
+        first.withColumn("step", F.row_number().over(w).cast("long"))
+        .select("step", key_col, "k")
+        .orderBy("step")
+    )

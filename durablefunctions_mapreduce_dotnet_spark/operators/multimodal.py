@@ -1164,3 +1164,254 @@ def png_exact_features(binary_df: DataFrame) -> DataFrame:
         "doc_id bigint, width int, height int, n_chunks int, "
         "luma_total bigint, luma_wsum bigint",
     )
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-color GIF89a payload for one id — the generator
+    half of the hash-exact GIF round-trip (:func:`gif_exact_features`),
+    extending the pure-bytes image tier to a PALETTE + LZW container
+    (BMP = raw strides; PNG = zlib + filters; GIF = color table + LZW
+    with variable code width, clear codes and sub-block framing — all
+    implemented here, no codec library).  Closed forms in ``doc_id``:
+
+        w = 10 + (id % 4)·4  ∈ {10,14,18,22}
+        h = 8  + (id % 3)·5  ∈ {8,13,18}
+        palette[i] = ((id + 17i) % 256, (3id + 29i) % 256,
+                      (7id + 11i) % 256),  i ∈ 0..15
+        index(r,c) = (id + 2r + 3c) % 16
+        ids % 5 == 0 carry a Comment Extension before the image
+        (parsers must skip extension sub-blocks)
+
+    Up to 396 pixels over 16 symbols grows the LZW dictionary past
+    two code-width bumps (5 -> 6 -> 7 bits), so a decoder with a
+    broken width schedule or clear-code handling cannot round-trip.
+    Compressed length is encoder-defined and NOT a feature."""
+    did = int(doc_id)
+    w = 10 + (did % 4) * 4
+    h = 8 + (did % 3) * 5
+    palette = bytearray()
+    for i in range(16):
+        palette += bytes(
+            [(did + 17 * i) % 256, (3 * did + 29 * i) % 256, (7 * did + 11 * i) % 256]
+        )
+    indices = [(did + 2 * r + 3 * c) % 16 for r in range(h) for c in range(w)]
+
+    # --- GIF-LZW encode: variable width, LSB-first, CLEAR up front ---
+    min_code = 4
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    codes = [clear]
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (sym,)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    # first element was the bare clear code at initial width
+    codes[0] = (clear, min_code + 1)
+    acc = n_bits = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << n_bits
+        n_bits += cw
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x03, 0, 0])  # GCT present, 16 entries (2^(3+1))
+    out += palette
+    if did % 5 == 0:
+        out += b"\x21\xfe" + bytes([9]) + b"synthetic" + b"\x00"
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for off in range(0, len(packed), 255):
+        block = packed[off : off + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synth_gif_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content binary) of :func:`synth_gif_bytes` payloads — one
+    Arrow pass, no shuffle (the :func:`synth_bmp_table` pattern)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "content": [
+                        synth_gif_bytes(int(i)) for i in batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        gen, "doc_id bigint, content binary"
+    )
+
+
+def parse_gif(blob) -> "tuple[int, int, int, object, object] | None":
+    """REAL stdlib-free GIF decode: header + logical screen descriptor,
+    global color table, extension-block skipping, image descriptor,
+    and a full GIF-LZW decoder (LSB-first bit reader, variable code
+    width — the width grows when the decoder's next free slot reaches
+    2^width, which with the decoder's one-entry lag mirrors the
+    encoder bumping at 2^width + 1; pinned by a 200-id round-trip
+    pytest — CLEAR resets, EOI).
+    Returns (width, height, n_colors, palette ndarray[n,3],
+    indices ndarray[h,w]) or ``None`` for anything that isn't a
+    single-frame non-interlaced GCT GIF — truncated data, a code
+    beyond the dictionary, or a pixel-count mismatch all refuse
+    rather than guess."""
+    import numpy as np
+
+    b = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    if not flags & 0x80 or w <= 0 or h <= 0:
+        return None
+    n_colors = 2 << (flags & 0x07)
+    pos = 13
+    if pos + 3 * n_colors > len(b):
+        return None
+    palette = np.frombuffer(b, np.uint8, 3 * n_colors, pos).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    while pos < len(b) and b[pos] == 0x21:  # extensions: skip sub-blocks
+        pos += 2
+        while pos < len(b) and b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    if pos >= len(b) or b[pos] != 0x2C or pos + 10 > len(b):
+        return None
+    iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+    iflags = b[pos + 9]
+    if iw != w or ih != h or iflags & 0xC0:  # no LCT, no interlace
+        return None
+    pos += 10
+    if pos >= len(b):
+        return None
+    min_code = b[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(b) and b[pos]:
+        ln = b[pos]
+        if pos + 1 + ln > len(b):
+            return None
+        data += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    if min_code < 2 or min_code > 11:
+        return None
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [(i,) for i in range(clear)]
+    table = list(base) + [(), ()]
+    width = min_code + 1
+    acc = n_bits = di = 0
+    out: list = []
+    prev = None
+    while True:
+        while n_bits < width:
+            if di >= len(data):
+                return None
+            acc |= data[di] << n_bits
+            di += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base) + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != w * h or any(i >= n_colors for i in out):
+        return None
+    idx = np.array(out, dtype=np.int32).reshape(h, w)
+    return w, h, n_colors, palette, idx
+
+
+def gif_exact_features(binary_df: DataFrame) -> DataFrame:
+    """HASH-EXACT decoded features over real GIF payloads — the
+    :func:`png_exact_features` discipline on a PALETTE + LZW container:
+    true dims, global-color-table size, and total + position-weighted
+    integer BT.601 luma of the palette-mapped pixels, so any slip in
+    the block walk, LZW width schedule, or palette lookup changes the
+    value hash.  Payloads :func:`parse_gif` refuses NULL every
+    feature — corrupt inputs surface, never crash."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            w_, h_, nc_, lt_, lw_ = [], [], [], [], []
+            for content in batch["content"]:
+                parsed = parse_gif(content)
+                if parsed is None:
+                    w_.append(None); h_.append(None); nc_.append(None)
+                    lt_.append(None); lw_.append(None)
+                    continue
+                w, h, ncol, palette, idx = parsed
+                p64 = palette.astype(np.int64)
+                lum_pal = 299 * p64[:, 0] + 587 * p64[:, 1] + 114 * p64[:, 2]
+                lum = lum_pal[idx]
+                pos = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                w_.append(w); h_.append(h); nc_.append(ncol)
+                lt_.append(int(lum.sum()))
+                lw_.append(int((lum * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": pd.array(w_, dtype="Int32"),
+                    "height": pd.array(h_, dtype="Int32"),
+                    "n_colors": pd.array(nc_, dtype="Int32"),
+                    "luma_total": pd.array(lt_, dtype="Int64"),
+                    "luma_wsum": pd.array(lw_, dtype="Int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, n_colors int, "
+        "luma_total bigint, luma_wsum bigint",
+    )

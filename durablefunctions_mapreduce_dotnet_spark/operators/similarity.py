@@ -127,6 +127,7 @@ def filtered_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     filter_col: str = "label",
+    negate: bool = False,
 ) -> DataFrame:
     """METADATA-FILTERED exact cosine top-k — the constrained vector
     search every production retrieval stack needs (tenant-scoped,
@@ -143,7 +144,14 @@ def filtered_topk(
     the plan stays ONE corpus pass with a broadcast query matrix and no
     shuffle of vectors — same 100 TB posture as brute_force_topk; at
     scale a highly selective attribute instead pushes down as a
-    partition/scan filter and degenerates to the unfiltered kernel."""
+    partition/scan filter and degenerates to the unfiltered kernel.
+
+    ``negate=True`` flips the eligibility to ``filter_col`` INEQUALITY
+    — hard-negative mining for contrastive training: the most similar
+    corpus rows that are NOT the query's own class/source are exactly
+    the negatives a retriever trains against.  NULL semantics stay
+    SQL's in both modes: a NULL label on either side is never eligible
+    (mirroring ``a <> b``, which is NULL — not TRUE — under NULLs)."""
     import numpy as np
     import pandas as pd
 
@@ -177,7 +185,8 @@ def filtered_topk(
             for j in range(len(b_qids)):
                 if pd.isnull(b_qf[j]):
                     continue
-                mask = (ids != b_qids[j]) & lab_ok & (labs == b_qf[j])
+                same = labs == b_qf[j]
+                mask = (ids != b_qids[j]) & lab_ok & (~same if negate else same)
                 cand_ids, cand = ids[mask], scores[mask, j]
                 if not len(cand_ids):
                     continue

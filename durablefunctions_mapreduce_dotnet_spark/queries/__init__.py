@@ -269,7 +269,18 @@ def all_oracles() -> dict[str, str]:
 #             all-paths-cost CTE), ann_maxsim_topk (late-interaction
 #             MaxSim, unrolled 8x8x8 oracle).  Full driver-contract
 #             sweep re-run after the additions: 260 queries, 248
-#             hash-exact + 12 rows-only by design, 0 failures.)
+#             hash-exact + 12 rows-only by design, 0 failures.
+#             Later r14 newcomers (same two-SF mirror discipline):
+#             curation_mix_schedule (stride-scheduler corpus mixing,
+#             extracted to operators.curation.stride_schedule +
+#             property-fuzzed vs a from-scratch reference),
+#             multimodal_gif_exact (from-scratch GIF-LZW codec, 200-id
+#             round-trip pinned), text_vocab_growth (Heaps-law curve,
+#             scale-adaptive checkpoints), ann_hard_negatives
+#             (filtered_topk negate mode, SQL-NULL inequality
+#             semantics pytest-pinned).  Bench: BENCH_DETAIL carries
+#             the r14 merge-min across official runs as the committed
+#             headline.)
 #
 # To rotate: swap the two tuples in _ROTATION and append a line to the log
 # above.  Rotate every round UNLESS a query in the out-half had a
@@ -359,6 +370,18 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # interleave order for fixed-ratio corpus mixing; stride bound
     # (every prefix within 1 of step*share) pytest-locked
     "curation_mix_schedule",
+    # r14 newcomer: the GIF tier — palette + from-scratch GIF-LZW codec
+    # (variable width, CLEAR/EOI, extension skip), 200-id round-trip
+    # pinned; analytic closed-form oracle like the PNG tier
+    "multimodal_gif_exact",
+    # r14 newcomer: Heaps-law vocabulary growth — per-term first-doc
+    # reduction makes cumulative distinct counting a combiner agg;
+    # ~20 scale-adaptive checkpoints keep the window input bounded
+    "text_vocab_growth",
+    # r14 newcomer: hard-negative mining — filtered_topk with the
+    # eligibility mask negated (most-similar rows of a DIFFERENT
+    # label), SQL-NULL inequality semantics preserved
+    "ann_hard_negatives",
     # r14 newcomer: the PNG tier — chunk walk + CRC32 verify + zlib
     # inflate + per-row unfiltering, all stdlib; closed-form oracle
     "multimodal_png_exact",

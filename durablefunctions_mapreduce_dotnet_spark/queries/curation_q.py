@@ -1656,28 +1656,11 @@ def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is a TakeOrderedAndProject of the first 500 steps — the
     row_number window runs on that bounded result, never on the
     corpus."""
-    from pyspark.sql import Window
+    from ..operators.curation import stride_schedule
 
-    n_steps = 500
     d = read_table(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    seq = cnt.select(
-        "lang",
-        "cnt",
-        F.explode(F.sequence(F.lit(0), F.lit(n_steps - 1))).alias("k"),
-    )
-    timed = seq.select(
-        "lang",
-        F.col("k").cast("long").alias("k"),
-        ((2 * F.col("k") + 1) / (2 * F.col("cnt"))).alias("t"),
-    )
-    first = timed.orderBy("t", "lang").limit(n_steps)
-    w = Window.orderBy("t", "lang")
-    return (
-        first.withColumn("step", F.row_number().over(w).cast("long"))
-        .select("step", "lang", "k")
-        .orderBy("step")
-    )
+    return stride_schedule(cnt, n_steps=500, key_col="lang")
 
 
 _MIX_SCHEDULE_SQL = """

@@ -368,7 +368,67 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_gif_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF tier's VALUE-CHECKABLE face — the png_exact discipline
+    on a PALETTE + LZW container: deterministic 16-color GIF89a
+    payloads are generated per doc_id (operators.multimodal.
+    synth_gif_bytes — closed-form palette and index grid, a Comment
+    Extension to skip on ids%5==0, dictionary growth through two LZW
+    code-width bumps), REALLY decoded by parse_gif (header + screen
+    descriptor, global color table, extension skip, image descriptor,
+    full GIF-LZW with variable width and CLEAR/EOI), and reduced to
+    exact integer features (true dims, color-table size, total +
+    position-weighted BT.601 luma of the palette-mapped pixels).  The
+    oracle never parses a byte: it recomputes the features from the
+    same closed forms, so any slip in the block walk, the LZW width
+    schedule, or the palette lookup breaks the value hash."""
+    from ..operators.multimodal import gif_exact_features, synth_gif_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return gif_exact_features(synth_gif_table(d)).orderBy("doc_id")
+
+
+# Mirrors synth_gif_bytes + gif_exact_features analytically: the pixel
+# index and palette entries are closed forms, so luma is enumerable
+# with lateral range() — no GIF bytes on the oracle side at all.
+_MULTIMODAL_GIF_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         10 + (doc_id % 4) * 4 AS w,
+         8 + (doc_id % 3) * 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, r.r, c.c,
+         (d.doc_id + 2 * r.r + 3 * c.c) % 16 AS p
+  FROM d, unnest(range(0, d.h)) AS r(r), unnest(range(0, d.w)) AS c(c)
+),
+lum AS (
+  SELECT doc_id, w, h, r, c,
+         299 * ((doc_id + 17 * p) % 256)
+       + 587 * ((3 * doc_id + 29 * p) % 256)
+       + 114 * ((7 * doc_id + 11 * p) % 256) AS lm
+  FROM px
+),
+tot AS (
+  SELECT doc_id,
+         SUM(lm)::BIGINT AS luma_total,
+         SUM(lm * (r * w + c + 1))::BIGINT AS luma_wsum
+  FROM lum GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(16 AS INTEGER) AS n_colors,
+       t.luma_total,
+       t.luma_wsum
+FROM d JOIN tot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_gif_exact": q_multimodal_gif_exact,
     "multimodal_png_exact": q_multimodal_png_exact,
     "multimodal_bmp_exact": q_multimodal_bmp_exact,
     "multimodal_wav_exact": q_multimodal_wav_exact,
@@ -381,6 +441,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
+    "multimodal_gif_exact": _MULTIMODAL_GIF_EXACT_SQL,
     "multimodal_png_exact": _MULTIMODAL_PNG_EXACT_SQL,
     "multimodal_bmp_exact": _MULTIMODAL_BMP_EXACT_SQL,
     "multimodal_wav_exact": _MULTIMODAL_WAV_EXACT_SQL,

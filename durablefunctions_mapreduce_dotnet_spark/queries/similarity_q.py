@@ -445,6 +445,46 @@ ORDER BY query_id, rank
 """
 
 
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 5 MOST similar corpus vectors whose label DIFFERS —
+    the negatives a retriever/embedding model trains against (easy
+    random negatives teach nothing; the near-boundary ones do).  Same
+    kernel as ann_filtered with the eligibility mask negated
+    (operators.similarity.filtered_topk(negate=True)): one corpus pass,
+    broadcast query matrix, in-kernel mask, exact partial top-k — and
+    the same SQL-NULL semantics (a NULL label is never eligible, as
+    with ``a <> b``).  Exact mirror via the inequality join."""
+    from ..operators.similarity import filtered_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return filtered_topk(e, _queries_subset(e), k=5, negate=True).orderBy(
+        "query_id", "rank"
+    )
+
+
+_ANN_HARD_NEGATIVES_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn
+      FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+           / (qn * e.nrm) AS cos
+  FROM q JOIN e ON q.qid != e.vec_id AND q.ql <> e.label
+)
+SELECT qid AS query_id, vid AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_ann_ivf_filtered_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact twin of the filtered-IVF scale path: probing ALL 16 cells
     makes the inverted-list search brute-force-equivalent, so the
@@ -1473,6 +1513,7 @@ QUERIES = {
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_ivf_refined_exhaustive": q_ann_ivf_refined_exhaustive,
     "ann_filtered": q_ann_filtered,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_ivf_filtered_exhaustive": q_ann_ivf_filtered_exhaustive,
     "ann_filtered_recall": q_ann_filtered_recall,
     "ann_mmr_rerank": q_ann_mmr_rerank,
@@ -1492,6 +1533,7 @@ ORACLES = {
     "ann_ivf_incremental": _ANN_IVF_INCR_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
     "ann_maxsim_topk": _maxsim_oracle_sql(),
+    "ann_hard_negatives": _ANN_HARD_NEGATIVES_SQL,
     "ann_matryoshka_audit": _matryoshka_oracle_sql(),
     "ann_quantized_recall": _ANN_QUANTIZED_RECALL_SQL,
     "embedding_covariance": _COVARIANCE_SQL,

@@ -828,7 +828,89 @@ ORDER BY freq DESC, token
 """
 
 
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct terms vs
+    cumulative tokens at ~20 equal-width checkpoints of the ingestion
+    order — the corpus-health curve that flags both a stalled crawl
+    (vocab flatlines: duplicated content) and junk floods (vocab grows
+    ~linearly: random strings).  Distributed shape: one explode, then
+    each term reduces to its FIRST document (min doc_id, a combiner
+    agg) — cumulative vocab at checkpoint d is just a count of terms
+    with first_doc <= d, so no distinct-per-prefix rescan, no growing
+    state: two tiny per-checkpoint aggregates + a window over the
+    CHECKPOINT table.  The checkpoint stride SCALES with the corpus
+    (max_id/20 + 1, a 1-row broadcast), so the window input is <= ~21
+    rows at ANY corpus size — never corpus-sized.  The sibling
+    text_zipf_slope fits the frequency law; this one tracks the
+    growth law."""
+    d = read_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .crossJoin(F.broadcast(mx))
+    )
+    stride = F.floor(F.col("_mx") / 20) + 1
+    ck = lambda col: (F.floor(col / stride) + 1).cast("long")  # noqa: E731
+    toks = tok.groupBy(ck(F.col("doc_id")).alias("ckpt")).agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    # _mx is a broadcast constant; MIN re-exposes it past the groupBy
+    first = tok.groupBy("term").agg(
+        F.min("doc_id").alias("fd"), F.min("_mx").alias("_mx")
+    )
+    vocab = first.groupBy(ck(F.col("fd")).alias("ckpt")).agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    both = (
+        toks.join(vocab, "ckpt", "full")
+        .select(
+            "ckpt",
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        )
+    )
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    return both.select(
+        "ckpt",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("vocab").over(w).alias("cum_vocab"),
+    ).orderBy("ckpt")
+
+
+_TEXT_VOCAB_GROWTH_SQL = """
+WITH mx AS (
+  SELECT MAX(doc_id) // 20 + 1 AS stride FROM documents
+), tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '\\S+')) AS t(term)
+), toks AS (
+  SELECT doc_id // stride + 1 AS ckpt, COUNT(*) AS toks
+  FROM tok CROSS JOIN mx GROUP BY 1
+), first AS (
+  SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term
+), vocab AS (
+  SELECT fd // stride + 1 AS ckpt, COUNT(*) AS vocab
+  FROM first CROSS JOIN mx GROUP BY 1
+), merged AS (
+  SELECT COALESCE(t.ckpt, v.ckpt) AS ckpt,
+         COALESCE(t.toks, 0) AS toks,
+         COALESCE(v.vocab, 0) AS vocab
+  FROM toks t FULL JOIN vocab v ON t.ckpt = v.ckpt
+)
+SELECT ckpt,
+       CAST(SUM(toks) OVER (ORDER BY ckpt) AS BIGINT) AS cum_tokens,
+       CAST(SUM(vocab) OVER (ORDER BY ckpt) AS BIGINT) AS cum_vocab
+FROM merged
+ORDER BY ckpt
+"""
+
+
 QUERIES = {
+    "text_vocab_growth": q_text_vocab_growth,
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_feature_hashing": q_text_feature_hashing,
     "text_quality_logistic": q_text_quality_logistic,
@@ -854,6 +936,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
 }
 ORACLES = {
+    "text_vocab_growth": _TEXT_VOCAB_GROWTH_SQL,
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_bm25": _bm25_oracle_sql(),
     "text_bpe_merges": _bpe_oracle_sql(),

@@ -2097,3 +2097,99 @@ def test_maxsim_matches_numpy_reference(spark):
             scores.append((-s, vid))
         want = [vid for _, vid in sorted(scores)[:3]]
         assert [got[(qid, r)] for r in (1, 2, 3)] == want
+
+
+def test_multimodal_gif_lzw_roundtrip_200_ids():
+    """The GIF tier's codec contract, pinned WITHOUT Spark: 200
+    consecutive synth payloads encode + decode to the exact closed-form
+    index grid (dictionary growth crosses two LZW width bumps inside
+    this range, so a broken width schedule cannot pass), and corrupt
+    payloads refuse: truncated data, a code beyond the dictionary
+    (forged high byte), wrong header, pixel-count mismatch."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        parse_gif,
+        synth_gif_bytes,
+    )
+
+    for did in range(200):
+        w_exp = 10 + (did % 4) * 4
+        h_exp = 8 + (did % 3) * 5
+        parsed = parse_gif(synth_gif_bytes(did))
+        assert parsed is not None, did
+        w, h, ncol, palette, idx = parsed
+        assert (w, h, ncol) == (w_exp, h_exp, 16), did
+        want = (did + 2 * np.arange(h)[:, None] + 3 * np.arange(w)[None, :]) % 16
+        assert (idx == want).all(), did
+        for i in range(16):
+            assert tuple(palette[i]) == (
+                (did + 17 * i) % 256,
+                (3 * did + 29 * i) % 256,
+                (7 * did + 11 * i) % 256,
+            ), (did, i)
+    good = synth_gif_bytes(1)
+    assert parse_gif(b"NOTAGIF" + good[6:]) is None
+    assert parse_gif(good[: len(good) // 2]) is None  # truncated mid-stream
+    # shrink the declared height: decoded pixel count no longer matches
+    forged = bytearray(good)
+    forged[8:10] = (1).to_bytes(2, "little")
+    assert parse_gif(bytes(forged)) is None
+
+
+def test_multimodal_gif_exact_features_handles_corrupt(spark):
+    """gif_exact_features NULLs corrupt rows instead of crashing the
+    Arrow batch, and reproduces the closed-form luma on a good row."""
+    import numpy as np
+
+    from durablefunctions_mapreduce_dotnet_spark.operators.multimodal import (
+        gif_exact_features,
+        synth_gif_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (5, bytearray(synth_gif_bytes(5))),  # carries the Comment Ext
+            (90, bytearray(b"GIF89a but junk after")),
+        ],
+        "doc_id bigint, content binary",
+    )
+    got = {r.doc_id: r for r in gif_exact_features(df).collect()}
+    assert (got[5].width, got[5].height, got[5].n_colors) == (14, 18, 16)
+    r = np.arange(18, dtype=np.int64)[:, None]
+    c = np.arange(14, dtype=np.int64)[None, :]
+    p = (5 + 2 * r + 3 * c) % 16
+    lum = (
+        299 * ((5 + 17 * p) % 256)
+        + 587 * ((15 + 29 * p) % 256)
+        + 114 * ((35 + 11 * p) % 256)
+    )
+    assert got[5].luma_total == int(lum.sum())
+    assert got[5].luma_wsum == int((lum * (r * 14 + c + 1)).sum())
+    assert got[90].width is None and got[90].luma_total is None
+
+
+def test_filtered_topk_negate_null_semantics(spark):
+    """negate=True must keep SQL's NULL inequality semantics: a NULL
+    label is never eligible as a negative (a <> b is NULL, not TRUE),
+    and a NULL-labeled query retrieves nothing in either mode."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "a"),   # same label: excluded under negate
+        (3, [0.8, 0.2], "b"),   # different label: the hard negative
+        (4, [0.99, 0.01], None),  # NULL label: never eligible
+        (5, [0.0, 1.0], None),    # NULL-labeled query: retrieves nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    q = df.where(F.col("vec_id").isin(1, 5))
+    got = filtered_topk(df, q, k=3, negate=True).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q == {1: [3]}  # not 2 (same label), not 4/5 (NULL), no q5 rows

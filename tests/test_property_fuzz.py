@@ -622,3 +622,41 @@ def test_firstfit_tree_pathological_bucket_stays_loglinear():
     for j in range(n):
         assert fit.place(513, budget) == j + 1
     assert fit.n_open == n
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+    n_steps=st.integers(1, 60),
+)
+@_FUZZ
+def test_stride_schedule_fuzz_vs_python_reference(spark, counts, n_steps):
+    """Differential + invariant for the stride scheduler: the Spark
+    pipeline must equal a from-scratch python sort of the same virtual
+    times, and the emitted prefix counts must satisfy the stride bound
+    |cum_i(n) - n*share_i| <= 1 for EVERY prefix and source — with
+    arbitrary weights, not just the documents corpus shares."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.curation import (
+        stride_schedule,
+    )
+
+    cdf = spark.createDataFrame(
+        [(f"s{i}", c) for i, c in enumerate(counts)], "lang string, cnt long"
+    )
+    got = [
+        (r.step, r.lang, r.k)
+        for r in stride_schedule(cdf, n_steps).orderBy("step").collect()
+    ]
+    # reference: enumerate candidate times, sort by (t, key), take n
+    cand = sorted(
+        ((2 * k + 1) / (2 * c), f"s{i}", k)
+        for i, c in enumerate(counts)
+        for k in range(n_steps)
+    )[:n_steps]
+    want = [(s + 1, key, k) for s, (_, key, k) in enumerate(cand)]
+    assert got == want
+    total = sum(counts)
+    cum = {f"s{i}": 0 for i in range(len(counts))}
+    for step, key, _ in got:
+        cum[key] += 1
+        for i, c in enumerate(counts):
+            assert abs(cum[f"s{i}"] - step * c / total) <= 1.0 + 1e-9
