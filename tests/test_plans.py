@@ -146,6 +146,9 @@ _BNLJ_OK = {
     # corpus-totals scalar (N_uni, N_big): broadcast 1-row cross join
     # (textops.pmi_collocations)
     "text_collocations",
+    # checkpoint-stride scalar (max doc_id): broadcast 1-row cross join
+    # (queries/text_q.q_text_vocab_growth)
+    "text_vocab_growth",
     # distribution-stats scalar: broadcast 1-row cross join onto the
     # 10-row heavy-key table (operators.skew.skew_report)
     "diag_skew_report",
