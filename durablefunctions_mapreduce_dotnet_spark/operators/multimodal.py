@@ -46,6 +46,23 @@ def attach_binary(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a small frame across the cluster before a per-row
+    Python kernel.  The documents-sized inputs arrive as ONE scan task
+    (a single small parquet file), which would serialize every
+    generate/decode in one Python worker — the guide's "input skew:
+    one huge unsplittable file" case, except the file is small and the
+    kernel expensive.  The exchange moves only the tiny input rows;
+    width tracks the session's parallelism (scale-adaptive, not a
+    constant), and a scan that already has at least that many tasks is
+    left untouched — so on a real cluster whose binary table is
+    properly partitioned this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -299,7 +316,7 @@ def perceptual_dhash(binary_df: DataFrame) -> DataFrame:
             out = [_dhash_words(b)[0] for b in batch["content"]]
             yield pd.DataFrame({"doc_id": batch["doc_id"], "dhash": pd.array(out, dtype="int64")})
 
-    return binary_df.select("doc_id", "content").mapInPandas(
+    return _spread(binary_df.select("doc_id", "content")).mapInPandas(
         gen, "doc_id bigint, dhash bigint"
     )
 
@@ -462,7 +479,7 @@ def perceptual_dhash128(binary_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return binary_df.select("doc_id", "content").mapInPandas(
+    return _spread(binary_df.select("doc_id", "content")).mapInPandas(
         gen, "doc_id bigint, dhash bigint, dhash_v bigint"
     )
 
@@ -561,7 +578,7 @@ def audio_frame_energy(
                 }
             )
 
-    out = binary_df.select("doc_id", "content").mapInPandas(
+    out = _spread(binary_df.select("doc_id", "content")).mapInPandas(
         gen, "doc_id bigint, frame_idx int, n_samples int, energy bigint"
     )
     return out.withColumn(
@@ -639,7 +656,7 @@ def synth_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col))).mapInPandas(
         gen, "doc_id bigint, content binary"
     )
 
@@ -794,7 +811,7 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col))).mapInPandas(
         gen, "doc_id bigint, content binary"
     )
 
@@ -1007,7 +1024,7 @@ def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col))).mapInPandas(
         gen, "doc_id bigint, content binary"
     )
 
@@ -1262,7 +1279,7 @@ def synth_gif_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col))).mapInPandas(
         gen, "doc_id bigint, content binary"
     )
 
