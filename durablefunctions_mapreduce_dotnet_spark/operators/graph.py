@@ -814,19 +814,34 @@ def landmark_bfs(
     runs).  First-visit depth IS the minimum (levels expand in order),
     so no min-agg is needed; the anti-join keeps the visited set and
     frontier disjoint, which also bounds state by nodes x landmarks
-    regardless of path multiplicity.  Lineage is cut per round with
-    ``checkpoint`` — same discipline as :func:`connected_components`.
-    The input edge list is treated as UNDIRECTED (symmetrized +
-    distinct here) and is pinned MEMORY_AND_DISK for the loop: every
-    round re-probes the same adjacency, so one materialization pays
-    for max_depth joins; evictable, nothing hard-pinned.
+    regardless of path multiplicity.
+
+    Lineage discipline for a FIXED-depth loop (r14): each round is
+    PERSISTED — the frame feeds both the visited union and the next
+    frontier, so the pin shares one computation without any per-round
+    driver work — and ``checkpoint``'s lazy sibling cuts lineage only
+    every 6th round.  The depth budget is fixed, so unlike
+    :func:`connected_components` no convergence probe exists between
+    rounds; a per-round cut (eager OR lazy) forces one full Catalyst
+    compile per round on the driver (``toRdd``; measured ~0.6 s each
+    at sf0.1 — 2.6 s of the query's 5.4 s), while the logical plan
+    merely doubles per uncut round, so a periodic cut bounds tree
+    growth at 2^6 tiny subtrees and the default depth-4 loop pays
+    ZERO mid-loop compiles.  The whole loop rides the caller's single
+    action.  The input edge list is treated as UNDIRECTED (symmetrized
+    + distinct here), REPARTITIONED ON THE PROBE KEY ``u`` and pinned
+    MEMORY_AND_DISK for the loop: the cached plan's hash partitioning
+    satisfies every round's join distribution, so the adjacency is
+    shuffled once, not once per round; evictable, nothing hard-pinned.
     """
     from pyspark.storagelevel import StorageLevel
 
+    cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     visited = landmarks.select(
@@ -841,7 +856,10 @@ def landmark_bfs(
             .join(visited.select("node", "lm"), ["node", "lm"], "left_anti")
             .withColumn("dist", F.lit(depth))
         )
-        nxt = checkpoint(nxt)
+        if depth % 6 == 0:
+            nxt = cut_lazy(nxt)
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -863,8 +881,16 @@ def sssp_bounded(
     graph).
 
     Per round: one equi-join (tentative distances x adjacency) + one
-    min-groupBy — two combiner-reduced shuffles on node id, lineage cut
-    per round; identical cost shape to :func:`connected_components`.
+    min-groupBy — two combiner-reduced shuffles on node id.  Lineage
+    discipline matches :func:`landmark_bfs` (r14): the round budget is
+    FIXED, so no convergence probe exists between rounds — each round
+    is PERSISTED (the tentative frame feeds both the union and the
+    relaxation join) and ``checkpoint``'s lazy sibling cuts lineage
+    only every 6th round, bounding logical-plan growth without paying
+    one Catalyst ``toRdd`` compile per round on the driver; the whole
+    relaxation rides the caller's single action.  The adjacency is
+    persisted REPARTITIONED ON ``u`` so the cached hash partitioning
+    satisfies every round's join without re-shuffling the edge set.
     Unlike :func:`landmark_bfs` the frontier cannot be pruned to
     first-visit (a longer-hop path may be cheaper), so every round
     relaxes the full tentative set — which is why the round count is a
@@ -873,6 +899,7 @@ def sssp_bounded(
     are integers end-to-end — no FP accumulation anywhere."""
     from pyspark.storagelevel import StorageLevel
 
+    cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w).alias("w"))
         .union(
@@ -880,11 +907,12 @@ def sssp_bounded(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
+        .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "node bigint, cost bigint")
-    for _ in range(rounds):
+    for rnd in range(1, rounds + 1):
         relaxed = (
             dist.join(und, dist.node == und.u)
             .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
@@ -894,5 +922,8 @@ def sssp_bounded(
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
-        dist = checkpoint(dist)
+        if rnd % 6 == 0:
+            dist = cut_lazy(dist)
+        else:
+            dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
     return dist

@@ -34,7 +34,7 @@ Two traps the implementation dodges (found the hard way):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -120,6 +120,20 @@ def zorder_layout(
     )
 
 
+def _exact_ntile_expr(rn: Column, n: int, k: int) -> Column:
+    """SQL ``NTILE(k)`` of a 1-based global row number with DRIVER-KNOWN
+    total count ``n`` — pure arithmetic, no window over the full frame.
+    Same formula as ``operators.windows.global_distribution_rank``:
+    the first ``n % k`` tiles hold ``n // k + 1`` rows."""
+    if n < k:
+        return rn
+    base, rem = divmod(n, k)
+    cut = rem * (base + 1)
+    return F.when(rn <= cut, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((rn - cut - 1) / base) + 1
+    )
+
+
 def grid_layout_audit(
     df: DataFrame,
     cols: list[str],
@@ -160,29 +174,121 @@ def grid_layout_audit(
     leaves every trailing column at full width (its band filter reads
     ALL files) while the Z-curve bounds every column's span at
     ~2^(bits - log2(n_files)/len(cols)), so the same filter reads a
-    ~sqrt fraction of files.  Cost shape matches the real write path
-    (one rank pass per column ~ the quantile sketch, one per layout ~
-    the layout sort)."""
-    from ..operators.windows import global_distribution_rank
+    ~sqrt fraction of files.
 
+    Cost shape (r14 optimization): THREE eager driver jobs total —
+    one merged GK-sketch scan for every column's range-bucket
+    boundaries, one combiner-reduced count of the joint bucket grid
+    (≤ parallelism^len(cols) cells), one count of the occupied Z-cells
+    (≤ 2^(bits·len(cols)) rows, corpus-size-independent) — where the
+    naive form (4 × global_distribution_rank) paid 8 (a quantile scan
+    + a count-collect per rank pass).  All global row numbers are then
+    per-bucket windows plus DRIVER-COMPUTED offsets (tiny literal maps
+    / one broadcast join), and the exact NTILE is arithmetic on the
+    driver-known total — zero non-broadcast joins, same pure-integer
+    output bit for bit (bucket boundaries affect only load balance,
+    never the exact rank)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
     n_bins = 1 << bits
-    coded = df.select(id_col, *cols)
+    pnames = [f"_pid{i}" for i in range(len(cols))]
+    base = df.select(id_col, *cols).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Eager job 1: ONE scan merges every column's GK sketch (as in
+    # _bucket_boundaries) — boundaries for deterministic range buckets.
+    probs = [i / p for i in range(1, p)]
+    all_bounds = [
+        sorted(set(b)) for b in base.stat.approxQuantile(list(cols), probs, 0.001)
+    ]
+    pid_exprs = []
+    for c, bounds, pn in zip(cols, all_bounds, pnames):
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + (F.col(c) > F.lit(b)).cast("int")
+        # approxQuantile ignores NULLs: explicit -1 bucket, ranked first
+        # (asc_nulls_first), exactly as global_distribution_rank does.
+        pid_exprs.append(F.when(F.col(c).isNull(), F.lit(-1)).otherwise(pid).alias(pn))
+    withpid = base.select("*", *pid_exprs)
+
+    # Eager job 2: ONE combiner-reduced count over the joint bucket grid
+    # gives every column's marginal bucket counts + the total row count.
+    cells = withpid.groupBy(*pnames).count().collect()
+    n = int(sum(r["count"] for r in cells))
+
+    def _offsets(counts: dict) -> dict:
+        out, acc = {}, 0
+        for key in sorted(counts):
+            out[key] = acc
+            acc += counts[key]
+        return out
+
+    def _lit_map(off: dict) -> Column:
+        items = list(off.items()) or [(0, 0)]
+        return F.create_map([F.lit(x) for kv in items for x in kv])
+
     bnames = []
-    for i, c in enumerate(cols):
+    coded = withpid
+    for i, (c, pn) in enumerate(zip(cols, pnames)):
+        marg: dict = {}
+        for r in cells:
+            marg[r[pn]] = marg.get(r[pn], 0) + r["count"]
+        w = Window.partitionBy(pn).orderBy(c, id_col)
+        rn = F.element_at(_lit_map(_offsets(marg)), F.col(pn)) + F.row_number().over(w)
         bn = f"_b{i}"
         bnames.append(bn)
-        coded = (
-            global_distribution_rank(coded, [c, id_col], ntile_k=n_bins)
-            .withColumn(bn, F.col("quartile") - 1)
-            .drop("_rn", "quartile", "pct_rank", "cume", c)
+        coded = coded.withColumn(
+            bn, (_exact_ntile_expr(rn, n, n_bins) - 1).cast("int")
         )
-    coded = coded.withColumn(
-        "_z", _interleave([F.col(b) for b in bnames], bits)
+    coded = (
+        coded.withColumn("_z", _interleave([F.col(b) for b in bnames], bits))
+        .drop(*pnames, *cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    lin = global_distribution_rank(coded, [bnames[0], id_col], ntile_k=n_files)
-    zrd = global_distribution_rank(coded, ["_z", id_col], ntile_k=n_files)
+
+    # Eager job 3: occupied Z-cell counts — bounded by the GRID size
+    # (4096 at bits=6 × 2 cols), never the corpus.  Both tilings'
+    # global row numbers derive from these counts on the driver.
+    zcells = coded.groupBy(*bnames).count().collect()
+
+    def _z_of(vals: list[int]) -> int:
+        code = 0
+        for bit in range(bits - 1, -1, -1):
+            for v in vals:
+                code = (code << 1) | ((v >> bit) & 1)
+        return code
+
+    b0_marg: dict = {}
+    for r in zcells:
+        b0_marg[r[bnames[0]]] = b0_marg.get(r[bnames[0]], 0) + r["count"]
+    lin_off = _offsets(b0_marg)
+    z_off = _offsets({_z_of([r[b] for b in bnames]): r["count"] for r in zcells})
+
+    # linear: global rank over (b0, id) = offset[b0] + rank within b0
+    lin_rn = F.element_at(_lit_map(lin_off), F.col(bnames[0])) + F.row_number().over(
+        Window.partitionBy(bnames[0]).orderBy(id_col)
+    )
+    lin = coded.withColumn(
+        "file_id", _exact_ntile_expr(lin_rn, n, n_files).cast("int")
+    )
+    # zorder: offsets keyed on the Morton code — up to grid-size many,
+    # so they ride a broadcast join instead of a literal map.
+    zoff_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(z), int(o)) for z, o in z_off.items()] or [(0, 0)],
+            "_z bigint, _zoff bigint",
+        )
+    )
+    z_rn = F.col("_zoff") + F.row_number().over(
+        Window.partitionBy("_z").orderBy(id_col)
+    )
+    zrd = (
+        coded.join(zoff_df, "_z")
+        .withColumn("file_id", _exact_ntile_expr(z_rn, n, n_files).cast("int"))
+    )
     lbl = lambda d, name: d.select(  # noqa: E731
-        F.lit(name).alias("layout"), F.col("quartile").alias("file_id"), *bnames
+        F.lit(name).alias("layout"), F.col("file_id"), *bnames
     )
     stacked = lbl(lin, "linear").unionByName(lbl(zrd, "zorder"))
     span = F.lit(1).cast("long")
