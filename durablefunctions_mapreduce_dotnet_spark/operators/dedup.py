@@ -465,9 +465,14 @@ def jaccard_verify(
     only for docs that appear in some candidate pair (semi-join first) —
     at scale candidates are a vanishing fraction of the corpus.
 
-    ``pairs`` feeds multiple branches (ids-union + final join), so it is
+    ``pairs`` feeds multiple branches (ids-union + final join) and is
     pinned through ``checkpoint`` (default: eager localCheckpoint) —
-    candidate-sized, tiny."""
+    candidate-sized, tiny.  r14 note: an experiment dropping this cut
+    when ``hashes`` is provided (single consumer) measured consistently
+    SLOWER end-to-end (dedup_minhash ~2.6 vs ~2.0 s, cluster_sizes
+    ~3.3 vs ~2.3 s interleaved A/B): materialized candidate sizes let
+    AQE plan the verify join from exact stats, which beats saving the
+    checkpoint job — so the eager cut stays unconditional."""
     pairs = checkpoint(pairs)
     if hashes is None:
         ids = (
@@ -504,6 +509,7 @@ def minhash_near_dup_pairs(
     max_bucket: int = 200,
     checkpoint: CheckpointFn = local_checkpoint,
     fast: bool = True,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline sharing ONE shingling pass:
     hash table → banded candidates → exact-Jaccard verification.
@@ -513,9 +519,23 @@ def minhash_near_dup_pairs(
     ``fast=True`` (default) computes shingle hashes AND signatures in a
     single fused Arrow kernel (:func:`shingle_minhash_table_fast`);
     ``fast=False`` keeps the two-stage expression+UDF formulation —
-    identical FINAL pairs (pytest-pinned), different hash family."""
+    identical FINAL pairs (pytest-pinned), different hash family.
+
+    ``table`` (fast path only): a PRECOMPUTED, already-checkpointed
+    fused table for ``df`` — ``shingle_minhash_table_fast(df, …,
+    bands=bands)`` with the same parameters.  This is the stored-table
+    production shape (sources/sinks.py): a caller that needs the same
+    corpus signed for several passes (e.g. a full-corpus pass AND an
+    incremental pass over the same history) pays the one corpus-sized
+    Arrow pass once instead of once per consumer."""
     if fast:
-        tbl = checkpoint(
+        # The fused table feeds two consumers whose stages run
+        # CONCURRENTLY in the final job (the banding shuffle and the
+        # verify-join hash exchanges), so a lazy pin would compute the
+        # Arrow pass once per racing stage — the EAGER checkpoint that
+        # materializes it first is load-bearing, not overhead
+        # (measured r14: lazy persist regressed dedup_minhash ~2x).
+        tbl = table if table is not None else checkpoint(
             shingle_minhash_table_fast(
                 df, text_col, id_col, shingle_k, num_hashes, bands=bands
             )
@@ -1603,11 +1623,19 @@ def minhash_near_dup_incremental(
     shingle_k: int = 9,
     max_bucket: int = 200,
     checkpoint: CheckpointFn = local_checkpoint,
+    history_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a RECURRING ingest: verified pairs
     (new × history) ∪ (new × new), never (history × history) — the
     incremental sibling of :func:`minhash_near_dup_pairs`, and the
     near-dup completion of :func:`incremental_dedup`'s exact story.
+
+    ``history_table``: the stored fused (id, hs, sig, buckets) table
+    for the UNFILTERED history corpus (``shingle_minhash_table_fast``
+    with identical parameters, already checkpointed) — exactly what a
+    production deployment persists between batches (see below); when
+    provided the history is never re-signed here, only anti-joined
+    against re-ingested ids.
 
     The history side enters as raw documents here, but everything the
     pipeline derives from it — the fused (id, hs, sig) table — is
@@ -1634,16 +1662,26 @@ def minhash_near_dup_incremental(
     history = history.join(
         new_batch.select(id_col), id_col, "left_anti"
     )
+    # Both sign tables feed two consumers each whose stages race in
+    # the final job (banding shuffle + verify-hash exchanges): EAGER
+    # checkpoints materialize them first so neither Arrow pass runs
+    # twice (see minhash_near_dup_pairs — lazy pins measurably regress).
     nb = checkpoint(
         shingle_minhash_table_fast(
             new_batch, text_col, id_col, shingle_k, num_hashes, bands=bands
         )
     ).withColumn("_new", F.lit(True))
-    hs = checkpoint(
-        shingle_minhash_table_fast(
-            history, text_col, id_col, shingle_k, num_hashes, bands=bands
+    if history_table is not None:
+        hist_tbl = history_table.join(
+            new_batch.select(id_col), id_col, "left_anti"
         )
-    ).withColumn("_new", F.lit(False))
+    else:
+        hist_tbl = checkpoint(
+            shingle_minhash_table_fast(
+                history, text_col, id_col, shingle_k, num_hashes, bands=bands
+            )
+        )
+    hs = hist_tbl.withColumn("_new", F.lit(False))
     both = nb.unionByName(hs)
     banded = both.select(
         F.col(id_col).alias("_id"),

@@ -128,8 +128,10 @@ def connected_components(
     verified-pair graph that fixed job overhead (~1.2 s at sf0.1
     local[32]) dwarfs the actual work.  Pass 0 to always run
     distributed.  At 100 TB the verified-pair table exceeds any sane
-    threshold and the distributed loop runs — the size check costs one
-    count on the already-checkpointed edge frame.
+    threshold and the distributed loop runs — the size check is one
+    ``limit(t+1).toPandas()`` job that stops after t+1 rows and doubles
+    as the edge collect when small, so the small path costs a single
+    bounded job and no lineage-cut compile.
 
     Raises ``RuntimeError`` if ``max_iter`` propagation steps pass
     without reaching the fixpoint — unconverged labels are
@@ -140,18 +142,21 @@ def connected_components(
     # the convergence probe, so each round costs one pass over labels, not
     # two.  Opaque custom fns fall back to the eager two-job path.
     cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
-    # Cut the incoming pair pipeline BEFORE symmetrizing: the union
-    # consumes `pairs` twice, and without this cut an expensive upstream
-    # (e.g. the MinHash verify join) would be computed once per branch
-    # in the materialization job.
-    one = cut_lazy(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    proj = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if small_graph_threshold:
-        # limit(t+1).count() bounds the size probe itself: a huge pair
-        # table answers "too big" after t+1 rows instead of a full count.
-        if one.limit(small_graph_threshold + 1).count() <= small_graph_threshold:
+        # ONE bounded job answers BOTH "is it small?" and "give me the
+        # edges": limit(t+1).toPandas() collects at most t+1 rows (the
+        # same bound the old count probe had), so a huge pair table
+        # stops after t+1 rows, while a small one arrives ready for the
+        # union-find with no second scan.  No lineage cut runs on this
+        # path — the projection is consumed exactly once, and skipping
+        # the cut also skips its driver-side Catalyst compile (r14:
+        # probe count + separate toPandas + toRdd compile were three
+        # driver waits per CC call; this is one).
+        pdf = proj.limit(small_graph_threshold + 1).toPandas()
+        if len(pdf) <= small_graph_threshold:
             import pandas as pd
 
-            pdf = one.toPandas()
             parent: dict = {}
 
             def find(x):
@@ -184,9 +189,14 @@ def connected_components(
             if len(out):
                 out = out.astype({"n": pdf["u"].dtype, "component": pdf["u"].dtype})
                 return pairs.sparkSession.createDataFrame(out)
-            return one.select(
+            return proj.select(
                 F.col("u").alias("n"), F.col("u").alias("component")
             )
+    # Distributed path: NOW cut the incoming pair pipeline — the
+    # symmetrizing union consumes it twice, and without this cut an
+    # expensive upstream (e.g. the MinHash verify join) would be
+    # computed once per branch in the materialization job.
+    one = cut_lazy(proj)
     sym = one.union(one.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = cut_lazy(
         sym.repartition("u") if pairs_distinct_ordered else sym.distinct()
@@ -333,6 +343,15 @@ def incremental_components(
     recompute is the driver-checked contract
     (``dedup_clusters_incremental`` shares the full-closure oracle —
     the agg_incremental_maintenance IVM pattern applied to graphs)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # The pair table feeds THREE consumers (both contraction join sides
+    # via `contracted`, plus the new-node endpoint scan) — and it is
+    # typically the tail of a full verify pipeline.  Pin it once so the
+    # caller's action doesn't re-run that pipeline per consumer branch
+    # (r14: the un-pinned new_nodes branch alone re-executed the MinHash
+    # verify join at action time, ~1.5 s of dedup_clusters_incremental).
+    new_pairs = new_pairs.select(src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     rep_a = prior.select(
         F.col(node).alias(src), F.col(comp).alias("_ca")
     )
@@ -340,7 +359,7 @@ def incremental_components(
         F.col(node).alias(dst), F.col(comp).alias("_cb")
     )
     contracted = (
-        new_pairs.select(src, dst)
+        new_pairs
         .join(rep_a, src, "left")
         .join(rep_b, dst, "left")
         .select(

@@ -285,21 +285,38 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     step proper is the incremental-MinHash pass + a batch-sized CC +
     one broadcast relabel, and never re-reads history pairs — that
     asymmetry, not this harness timing, is the 100 TB claim."""
-    from ..operators.dedup import minhash_near_dup_incremental
-    from ..operators.graph import canonicalize_clusters, incremental_components
+    from ..operators.dedup import (
+        minhash_near_dup_incremental,
+        shingle_minhash_table_fast,
+    )
+    from ..operators.graph import (
+        canonicalize_clusters,
+        incremental_components,
+        local_checkpoint,
+    )
 
     d = read_table(spark, sf_dir, "documents")
     hist = d.where(F.col("doc_id") % 2 == 0)
     new = d.where(F.col("doc_id") % 2 == 1)
-    hist_pairs = minhash_near_dup_pairs(hist, threshold=0.6).select(
+    # r14: the history corpus is SIGNED ONCE — the checkpointed fused
+    # (id, hs, sig, buckets) table is the stored artifact a production
+    # deployment keeps between batches, and all four consumers (the
+    # prior rebuild's banding + verify hashes, the incremental pass's
+    # history banding + hashes) read the materialized table instead of
+    # re-running the corpus-sized Arrow kernel (eager: the consumer
+    # stages race within one job, so a lazy pin would double-compute).
+    hist_tbl = local_checkpoint(
+        shingle_minhash_table_fast(hist, "text", "doc_id", 9, 63, bands=21)
+    )
+    hist_pairs = minhash_near_dup_pairs(hist, threshold=0.6, table=hist_tbl).select(
         "id_a", "id_b"
     )
     prior = canonicalize_clusters(
         hist, hist_pairs, pairs_distinct_ordered=True
     ).select("doc_id", "cluster_id")
-    new_pairs = minhash_near_dup_incremental(new, hist, threshold=0.6).select(
-        "id_a", "id_b"
-    )
+    new_pairs = minhash_near_dup_incremental(
+        new, hist, threshold=0.6, history_table=hist_tbl
+    ).select("id_a", "id_b")
     updated = incremental_components(
         prior, new_pairs, node="doc_id", comp="cluster_id"
     )

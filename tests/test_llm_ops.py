@@ -426,6 +426,54 @@ def test_minhash_checkpoint_fn_is_pluggable(spark, tmp_path):
     assert len(calls) >= 2  # shared shingle pass + candidate pin both rode the hook
 
 
+def test_minhash_precomputed_table_paths_identical(spark):
+    """r14: the stored-table fast paths (``minhash_near_dup_pairs(…,
+    table=)`` and ``minhash_near_dup_incremental(…, history_table=)``)
+    must produce pair sets identical to the self-signing defaults —
+    the sharing is a cost optimization, never a result change.  The
+    incremental history_table is deliberately built from the FULL
+    history (including ids that re-appear in the batch) to exercise
+    the operator's own new-version-wins anti-join on the table."""
+    from durablefunctions_mapreduce_dotnet_spark.operators.dedup import (
+        minhash_near_dup_incremental,
+        minhash_near_dup_pairs,
+        shingle_minhash_table_fast,
+    )
+    from durablefunctions_mapreduce_dotnet_spark.operators.graph import (
+        local_checkpoint,
+    )
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, SF_DIR, "documents")
+    hist = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    tbl = local_checkpoint(
+        shingle_minhash_table_fast(hist, "text", "doc_id", 9, 63, bands=21)
+    )
+
+    base = sorted(
+        tuple(r) for r in minhash_near_dup_pairs(hist, threshold=0.6)
+        .select("id_a", "id_b").collect()
+    )
+    shared = sorted(
+        tuple(r) for r in minhash_near_dup_pairs(hist, threshold=0.6, table=tbl)
+        .select("id_a", "id_b").collect()
+    )
+    assert shared == base and len(base) > 0
+
+    inc_base = sorted(
+        tuple(r) for r in minhash_near_dup_incremental(new, hist, threshold=0.6)
+        .select("id_a", "id_b").collect()
+    )
+    inc_shared = sorted(
+        tuple(r)
+        for r in minhash_near_dup_incremental(
+            new, hist, threshold=0.6, history_table=tbl
+        ).select("id_a", "id_b").collect()
+    )
+    assert inc_shared == inc_base and len(inc_base) > 0
+
+
 def test_char_entropy_fast_bit_identical_to_explode_path(spark):
     """The single-pass Arrow kernel must reproduce the oracle-mirrorable
     explode formulation BIT-FOR-BIT — including NULL text (NULL length,
