@@ -635,10 +635,23 @@ def label_propagation(
     Scale shape: one labels frame (node-sized), per round one
     edge-labels equi-join + one (node, label) combiner count + one
     argmax aggregate — the same per-iteration cost as a PageRank step,
-    all shuffle-partitioned on node id, lineage cut every round.  The
-    vote argmax is a single ``max(struct(cnt, -label))`` aggregate, not
-    a window, so no per-node sort materializes.
+    all shuffle-partitioned on node id.  The vote argmax is a single
+    ``max(struct(cnt, -label))`` aggregate, not a window, so no
+    per-node sort materializes.
+
+    Lineage discipline (r14): the round chain is SINGLE-CONSUMER
+    (labels_i feeds only round i+1's join), so the logical plan grows
+    LINEARLY and no per-round pin or cut is needed at all — the fixed
+    ``iters`` rounds compile once and ride the caller's single action;
+    ``checkpoint``'s lazy sibling cuts lineage every 6th round to keep
+    long runs bounded (each per-round eager cut used to cost a
+    scheduled driver job — 5 jobs before the action ran).  Only the
+    symmetrized edge list keeps its EAGER cut: it feeds both union
+    branches, whose tasks race within one stage, so materializing it
+    first prevents a duplicated distinct (same finding as the MinHash
+    sign tables).
     """
+    cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
     und = checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -653,14 +666,14 @@ def label_propagation(
     labels = both.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         votes = (
             both.join(labels, both["s"] == labels["node"])
             .select(F.col("d"), F.col("label"))
             .groupBy("d", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = checkpoint(
+        labels = (
             votes.groupBy("d")
             .agg(
                 F.max(
@@ -671,6 +684,8 @@ def label_propagation(
             )
             .select(F.col("d").alias("node"), (-F.col("m.nl")).alias("label"))
         )
+        if i % 6 == 0:
+            labels = cut_lazy(labels)
     return labels
 
 
@@ -762,10 +777,21 @@ def kcore(
 
     Per round: one degree aggregate (combiner-reduced, node-sized) and
     one semi-join of the edge list against surviving nodes on EACH
-    endpoint — all equi-shuffles on node id; lineage cut per round.
-    Rounds to fixpoint ≤ graph degeneracy-peel depth, which is small for
-    real (heavy-tailed) graphs; the probe is the surviving-edge count
-    (strictly decreasing until the fixpoint).
+    endpoint — all equi-shuffles on node id.  Rounds to fixpoint ≤
+    graph degeneracy-peel depth, which is small for real (heavy-tailed)
+    graphs; the probe is the surviving-edge count (strictly decreasing
+    until the fixpoint).
+
+    Lineage discipline (r14, A/B'd and kept AS-IS): unlike the
+    fixed-round single-consumer loops (:func:`landmark_bfs`,
+    :func:`sssp_bounded`), each peel round consumes ``bi`` THREE times
+    (the degree aggregate plus one semi-join per endpoint), so without
+    a per-round cut the logical plan grows ~3^rounds — a persist-only
+    variant (probe materializes the pin, predecessor unpersisted) OOMed
+    the driver at sf0.01, where the peel runs deep, from Catalyst plan
+    blow-up alone.  The per-round LAZY cut stays: the unavoidable count
+    probe materializes the checkpoint, one pass per round, and the
+    plan each round compiles is O(1).
 
     Returns (node, degree): nodes of the k-core with their WITHIN-CORE
     degree.  Raises ``RuntimeError`` if ``max_rounds`` passes without a
