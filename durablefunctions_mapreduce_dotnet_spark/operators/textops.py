@@ -668,8 +668,18 @@ def learn_bpe_merges(
     over adjacent symbol pairs weighted by word freq, (b) a 1-row
     driver collect of the argmax pair (cnt DESC, pair ASC — total
     order, engine-independent), (c) one codegen'd ``replace`` applying
-    the merge to every word's symbol string, checkpointed so plans stay
-    O(1).  Nothing else touches the driver.
+    the merge to every word's symbol string.  Nothing else touches the
+    driver.
+
+    Lineage discipline (r14): each round's symbol frame is PERSISTED,
+    not eagerly checkpointed — the round's unavoidable argmax collect
+    materializes the cache as a side effect, so a round costs ONE
+    scheduled job instead of two (the former eager ``localCheckpoint``
+    ran its own materialization job per round before the collect).  The
+    retained chain is a single projection per round, so the logical
+    plan grows LINEARLY in rounds (a handful of ``replace`` nodes —
+    compile-trivial), and the predecessor frame is unpersisted once the
+    next round's collect has fully cached its successor.
 
     MERGE SEMANTICS — "replace-BPE": symbols live in a space-joined
     string with sentinel boundary spaces, and a merge is string
@@ -700,7 +710,10 @@ def learn_bpe_merges(
             "freq",
         )
     )
-    words = words.localCheckpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
     spark = df.sparkSession
     merges = []
     for rank in range(1, n_merges + 1):
@@ -728,17 +741,23 @@ def learn_bpe_merges(
             .limit(1)
             .collect()
         )
+        # the collect above has fully cached `words`; its predecessor
+        # can no longer be recomputed and is released
+        if prev is not None:
+            prev.unpersist()
         if not best:
             break
         pair, cnt = best[0]["pair"], best[0]["cnt"]
         merges.append((rank, pair, int(cnt)))
         a, b = pair.split(" ")
+        prev = words
         words = words.select(
             F.replace(
                 F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             ).alias("sym"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    words.unpersist()
     return spark.createDataFrame(
         merges, "rank bigint, pair string, freq bigint"
     )

@@ -205,6 +205,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             bal_bin,
         )
         recs = part if recs is None else recs.unionByName(part)
+    # four consumers (both sides of the blocked self-join during the
+    # CC pair collect, then the survivorship join in the final action)
+    # — pin the 3-feed union once instead of re-deriving it per branch
+    from pyspark.storagelevel import StorageLevel
+
+    recs = recs.persist(StorageLevel.MEMORY_AND_DISK)
     a = recs.select(
         F.col("rec_id").alias("rec_a"),
         F.col("name").alias("name_a"),
