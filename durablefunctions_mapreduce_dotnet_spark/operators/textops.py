@@ -668,18 +668,16 @@ def learn_bpe_merges(
     over adjacent symbol pairs weighted by word freq, (b) a 1-row
     driver collect of the argmax pair (cnt DESC, pair ASC — total
     order, engine-independent), (c) one codegen'd ``replace`` applying
-    the merge to every word's symbol string.  Nothing else touches the
-    driver.
+    the merge to every word's symbol string, checkpointed so plans stay
+    O(1).  Nothing else touches the driver.
 
-    Lineage discipline (r14): each round's symbol frame is PERSISTED,
-    not eagerly checkpointed — the round's unavoidable argmax collect
-    materializes the cache as a side effect, so a round costs ONE
-    scheduled job instead of two (the former eager ``localCheckpoint``
-    ran its own materialization job per round before the collect).  The
-    retained chain is a single projection per round, so the logical
-    plan grows LINEARLY in rounds (a handful of ``replace`` nodes —
-    compile-trivial), and the predecessor frame is unpersisted once the
-    next round's collect has fully cached its successor.
+    The per-round EAGER ``localCheckpoint`` is kept DELIBERATELY (r14
+    A/B, interleaved on a quiet host): replacing it with a lazy
+    ``persist`` materialized by the argmax collect — one scheduled job
+    per round instead of two — measured ~40% SLOWER end-to-end (2.50 s
+    vs 3.50 s min at sf0.1): for this small vocab-sized frame the
+    InMemoryRelation columnar encode/decode per round costs more than
+    the RDD-checkpoint job it saves.  Do not re-try without re-measuring.
 
     MERGE SEMANTICS — "replace-BPE": symbols live in a space-joined
     string with sentinel boundary spaces, and a merge is string
@@ -710,10 +708,7 @@ def learn_bpe_merges(
             "freq",
         )
     )
-    from pyspark.storagelevel import StorageLevel
-
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    prev = None
+    words = words.localCheckpoint(eager=True)
     spark = df.sparkSession
     merges = []
     for rank in range(1, n_merges + 1):
@@ -741,23 +736,17 @@ def learn_bpe_merges(
             .limit(1)
             .collect()
         )
-        # the collect above has fully cached `words`; its predecessor
-        # can no longer be recomputed and is released
-        if prev is not None:
-            prev.unpersist()
         if not best:
             break
         pair, cnt = best[0]["pair"], best[0]["cnt"]
         merges.append((rank, pair, int(cnt)))
         a, b = pair.split(" ")
-        prev = words
         words = words.select(
             F.replace(
                 F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             ).alias("sym"),
             "freq",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    words.unpersist()
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank bigint, pair string, freq bigint"
     )
