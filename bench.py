@@ -44,7 +44,7 @@ from durablefunctions_mapreduce_dotnet_spark.session import get_spark
 #: Bump at round open and after any plan-affecting change; the bench
 #: contract test pins the committed BENCH_DETAIL.json to this value so
 #: a round can't ship minima carried over from different code.
-BENCH_EPOCH = "r14"
+BENCH_EPOCH = "r14opt"
 
 #: headline set — extended as operators land
 HEADLINE = [
