@@ -18,14 +18,19 @@ driver-side transfer skewing the numbers.
 Official-run MERGING (r13 VERDICT #2): a single sf0.1 run is one draw
 from a noisy distribution — six near-identical r13 runs spanned
 136-165 s under external load storms.  The committed headline is now
-the per-query MIN over the round's official runs: each sf0.1 run
+the per-query MIN over the round's official runs: each OFFICIAL run
+(default SF at the official 32-core config — r14's 8-core scaling run
+merged into and polluted the 32-core record, r14 VERDICT #1b)
 merge-mins its per-query times into the existing BENCH_DETAIL.json
 (same ``bench_epoch`` only), appends its own total to the ``runs``
-array, and records per-query run counts.  ``BENCH_EPOCH`` must be
-bumped at round open AND after any committed change that can alter a
-measured plan, so a stale minimum can never mask a real regression;
-adding new headline queries needs no bump (they enter with run count
-1 and merge from there).
+array, and records per-query run counts.  A non-official run (any
+other ``$SPARK_GRAFT_CPUS``) neither reads nor writes the record: its
+one-line JSON reports THIS run's own times, which is exactly what a
+scaling probe must measure.  ``BENCH_EPOCH`` must be bumped at round
+open AND after any committed change that can alter a measured plan, so
+a stale minimum can never mask a real regression; adding new headline
+queries needs no bump (they enter with run count 1 and merge from
+there).
 """
 
 from __future__ import annotations
@@ -44,7 +49,26 @@ from durablefunctions_mapreduce_dotnet_spark.session import get_spark
 #: Bump at round open and after any plan-affecting change; the bench
 #: contract test pins the committed BENCH_DETAIL.json to this value so
 #: a round can't ship minima carried over from different code.
-BENCH_EPOCH = "r14opt"
+BENCH_EPOCH = "r15"
+
+#: The official measurement configuration: the committed min-of-runs
+#: record holds 32-core numbers ONLY.  A run at any other core count
+#: (the driver's scaling probe sets SPARK_GRAFT_CPUS=8) must neither
+#: read the record (it would re-print 32-core minima as its own) nor
+#: write it (r14's 8-core run lowered committed 32-core minima —
+#: VERDICT r14 #1b); it reports this run's own fresh times instead.
+OFFICIAL_CPUS = 32
+
+
+def bench_cpus() -> int:
+    """Core count of this run — same derivation as session.get_spark."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(os.cpu_count() or 4, 32)
+
+
+def official_run(sf: str, cpus: int) -> bool:
+    """True iff this run's config may read/write the committed
+    min-of-runs record (BENCH_DETAIL.json)."""
+    return sf == "0.1" and cpus == OFFICIAL_CPUS
 
 #: headline set — extended as operators land
 HEADLINE = [
@@ -432,14 +456,24 @@ def _ensure_scale_dir(repo_dir: str) -> str:
 
 
 #: hard ceiling for the FINAL stdout line — the driver keeps only the
-#: last ~2,000 chars, so the official record must fit with headroom.
-_LINE_BUDGET = 1500
+#: last 2,000 chars (measured exactly: every BENCH_r*.json tail is
+#: len 2000), so the line + newline must fit with a little headroom.
+#: r14 VERDICT #1a raised this from 1500: every char of headroom we
+#: don't use is a per-query entry the driver doesn't get.
+_LINE_BUDGET = 1900
 
 
 def compact_result(result: dict) -> dict:
-    """The official last-line record: totals always; the per-query dict
-    (2 dp) only if the serialized line stays under ``_LINE_BUDGET`` —
-    otherwise per-query times live in the detail line / file only."""
+    """The official last-line record: totals always, plus as many
+    per-query times (2 dp) as fit under ``_LINE_BUDGET``.
+
+    r14 VERDICT #1a: the line used to drop the per-query dict entirely
+    once the full dict outgrew the budget, so the driver's per-query
+    comparison came back empty.  121 full query names can NEVER fit a
+    2,000-char tail (~2.8k chars of names alone), so the line now fills
+    its remaining budget SLOWEST-FIRST — the performance-relevant
+    entries — and reports how many were omitted (``q_omitted``; the
+    full dict always lives in the detail line + BENCH_DETAIL.json)."""
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -448,12 +482,29 @@ def compact_result(result: dict) -> dict:
         "n_queries": result.get("n_queries", len(result.get("queries", {}))),
         "detail": "BENCH_DETAIL.json",
     }
+    if "cpus" in result:
+        compact["cpus"] = result["cpus"]
+    if "this_run_total" in result:  # r14 VERDICT #1b: a scaling run's own total
+        compact["this_run_total"] = result["this_run_total"]
     if "runs" in result:  # min-of-runs provenance: how many runs merged
         compact["runs"] = len(result["runs"])
+    qs = result.get("queries", {}) or {}
     with_q = dict(compact)
-    with_q["queries"] = {k: round(v, 2) for k, v in result.get("queries", {}).items()}
+    with_q["queries"] = {k: round(v, 2) for k, v in qs.items()}
     if len(json.dumps(with_q, separators=(",", ":"))) <= _LINE_BUDGET:
         return with_q
+    # Greedy slowest-first fill; ties broken by name for determinism.
+    chosen: dict[str, float] = {}
+    for k, v in sorted(qs.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(compact)
+        trial["q_omitted"] = len(qs)  # worst-case digit width
+        trial["queries"] = dict(chosen)
+        trial["queries"][k] = round(v, 2)
+        if len(json.dumps(trial, separators=(",", ":"))) > _LINE_BUDGET:
+            break
+        chosen[k] = round(v, 2)
+    compact["q_omitted"] = len(qs) - len(chosen)
+    compact["queries"] = chosen
     return compact
 
 
@@ -493,6 +544,8 @@ def main() -> None:
         raise SystemExit(preflight())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = bench_cpus()
+    official = official_run(sf, cpus)
     # Host-state provenance (r11 VERDICT #8): sampled BEFORE the JVM
     # spins up, so the note reflects pre-existing contention, not our
     # own load.  Best-of-3 absorbs bursts but not a steadily busy host;
@@ -556,13 +609,15 @@ def main() -> None:
         best = min(samples)
         times[name] = round(best, 4)
         spreads[name] = round((max(samples) - best) / best, 3)
-    # Min-of-runs merge (official sf0.1 runs only — see module
-    # docstring): fold this run's per-query best-of-3 into the prior
-    # BENCH_DETAIL.json minima when the merge epoch matches.  The
+    # Min-of-runs merge (official sf0.1 @ 32-core runs only — see
+    # module docstring): fold this run's per-query best-of-3 into the
+    # prior BENCH_DETAIL.json minima when the merge epoch matches.  The
     # committed "value"/"queries" are then the round's per-query MIN
     # over all official runs — immune to one run catching a host load
     # storm — while "runs" keeps every run's own total for provenance
-    # and "spread" stays THIS run's contention diagnostic.
+    # and "spread" stays THIS run's contention diagnostic.  A run at a
+    # non-official core count skips the merge entirely and reports its
+    # own fresh numbers (r14 VERDICT #1b).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -570,7 +625,7 @@ def main() -> None:
     merged: dict[str, float] = dict(times)
     runs_per_query: dict[str, int] = {n: 1 for n in times}
     runs: list[dict] = []
-    if sf == "0.1":
+    if official:
         try:
             with open(detail_path) as fh:
                 prior = json.loads(fh.read())
@@ -601,6 +656,8 @@ def main() -> None:
         "queries": merged,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "n_queries": len(merged),
+        "cpus": cpus,
+        "this_run_total": this_run_total,
         "bench_epoch": BENCH_EPOCH,
         "runs": runs,
         "runs_per_query": runs_per_query,
@@ -624,13 +681,14 @@ def main() -> None:
             },
         },
     }
-    # Scale curve (only on the default sf0.1 run; skip for quick dev
-    # loops at other SFs or with SPARK_GRAFT_SCALE=0): best-of-3 at a
-    # 10x replica — the SAME minimum-sampling as the sf0.1 numbers, or
-    # the ratio reads biased-high by construction (asymmetric best-of-N
-    # put gapfill at 10.1-10.4x where equal sampling shows ~10x).
-    # Linear plans ride ratio <= ~10; super-linear is a regression.
-    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+    # Scale curve (only on the official sf0.1 @ 32-core run; skip for
+    # quick dev loops at other SFs/core counts or with
+    # SPARK_GRAFT_SCALE=0): best-of-3 at a 10x replica — the SAME
+    # minimum-sampling as the sf0.1 numbers, or the ratio reads
+    # biased-high by construction (asymmetric best-of-N put gapfill at
+    # 10.1-10.4x where equal sampling shows ~10x).  Linear plans ride
+    # ratio <= ~10; super-linear is a regression.
+    if official and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         try:
             big_dir = _ensure_scale_dir(os.path.dirname(os.path.abspath(__file__)))
         except Exception as exc:  # generation failure must not kill bench
@@ -658,12 +716,12 @@ def main() -> None:
     # Detail record: full 4-dp times + scale curve — an EARLY stdout
     # line (survives in builder logs) and a git-TRACKED file; never the
     # last line, which must stay under the driver's tail capture.
-    # Only the official default-SF run (sf0.1) writes the file, so dev
-    # loops at SPARK_GRAFT_SF_DIR=sf0.01 can't clobber the committed
-    # per-query record in the working tree.
+    # Only the official run (sf0.1 at 32 cores) writes the file, so dev
+    # loops at SPARK_GRAFT_SF_DIR=sf0.01 or the driver's 8-core scaling
+    # probe can't clobber the committed per-query record.
     detail_line = json.dumps(result)
     print(detail_line)
-    if sf == "0.1":
+    if official:
         try:
             with open(detail_path, "w") as fh:
                 fh.write(detail_line + "\n")

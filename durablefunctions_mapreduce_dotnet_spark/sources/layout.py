@@ -140,6 +140,7 @@ def grid_layout_audit(
     id_col: str,
     bits: int = 6,
     n_files: int = 8,
+    pinned: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-file clustering-quality audit: the measurable argument for
     Z-ordering, as a deterministic DataFrame (one row per (layout,
@@ -178,16 +179,30 @@ def grid_layout_audit(
 
     Cost shape (r14 optimization): THREE eager driver jobs total —
     one merged GK-sketch scan for every column's range-bucket
-    boundaries, one combiner-reduced count of the joint bucket grid
-    (≤ parallelism^len(cols) cells), one count of the occupied Z-cells
-    (≤ 2^(bits·len(cols)) rows, corpus-size-independent) — where the
-    naive form (4 × global_distribution_rank) paid 8 (a quantile scan
-    + a count-collect per rank pass).  All global row numbers are then
-    per-bucket windows plus DRIVER-COMPUTED offsets (tiny literal maps
-    / one broadcast join), and the exact NTILE is arithmetic on the
-    driver-known total — zero non-broadcast joins, same pure-integer
-    output bit for bit (bucket boundaries affect only load balance,
-    never the exact rank)."""
+    boundaries, one combiner-reduced marginal count per range-bucket
+    column, one count of the occupied Z-cells (≤ 2^(bits·len(cols))
+    rows, corpus-size-independent) — where the naive form (4 ×
+    global_distribution_rank) paid 8 (a quantile scan + a count-collect
+    per rank pass).  All global row numbers are then per-bucket windows
+    plus DRIVER-COMPUTED offsets (tiny literal maps / one broadcast
+    join), and the exact NTILE is arithmetic on the driver-known total
+    — zero non-broadcast joins, same pure-integer output bit for bit
+    (bucket boundaries affect only load balance, never the exact rank).
+
+    r15 fix (VERDICT r14 #2): job 2 used to collect the JOINT bucket
+    grid (``groupBy(*pnames).count()``) — bounded by min(rows,
+    parallelism^len(cols)), which approaches a corpus-sized collect on
+    a high-parallelism cluster with several columns, even though only
+    the per-column MARGINALS and the total are ever consumed.  It is
+    now one GROUPING SETS aggregate ((pid_0), (pid_1), …): collected
+    rows drop to O(parallelism × len(cols)) for bit-identical output.
+
+    The two frames this audit pins evictable (the projected base and
+    the bucket-coded rows) follow the ``pinned=[]`` release contract of
+    ``pagerank`` / ``global_distribution_rank``: callers in long-lived
+    sessions pass ``pinned=[]`` and unpersist when done with the
+    returned frame; the base projection is released internally as soon
+    as its last consumer (the Z-cell count) has run."""
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
@@ -212,10 +227,23 @@ def grid_layout_audit(
         pid_exprs.append(F.when(F.col(c).isNull(), F.lit(-1)).otherwise(pid).alias(pn))
     withpid = base.select("*", *pid_exprs)
 
-    # Eager job 2: ONE combiner-reduced count over the joint bucket grid
-    # gives every column's marginal bucket counts + the total row count.
-    cells = withpid.groupBy(*pnames).count().collect()
-    n = int(sum(r["count"] for r in cells))
+    # Eager job 2: ONE combiner-reduced GROUPING SETS aggregate gives
+    # every column's marginal bucket counts + the total row count in
+    # O(parallelism × len(cols)) collected rows (never the joint grid).
+    # A pid column is never NULL (NULL source values map to bucket -1),
+    # so a NULL in the output marks "column not in this grouping set".
+    marg_rows = (
+        withpid.groupingSets([[pn] for pn in pnames], *pnames)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
+    )
+    margs: list[dict] = [{} for _ in pnames]
+    for r in marg_rows:
+        for i, pn in enumerate(pnames):
+            if r[pn] is not None:
+                margs[i][r[pn]] = margs[i].get(r[pn], 0) + r["count"]
+                break
+    n = int(sum(margs[0].values()))
 
     def _offsets(counts: dict) -> dict:
         out, acc = {}, 0
@@ -231,11 +259,8 @@ def grid_layout_audit(
     bnames = []
     coded = withpid
     for i, (c, pn) in enumerate(zip(cols, pnames)):
-        marg: dict = {}
-        for r in cells:
-            marg[r[pn]] = marg.get(r[pn], 0) + r["count"]
         w = Window.partitionBy(pn).orderBy(c, id_col)
-        rn = F.element_at(_lit_map(_offsets(marg)), F.col(pn)) + F.row_number().over(w)
+        rn = F.element_at(_lit_map(_offsets(margs[i])), F.col(pn)) + F.row_number().over(w)
         bn = f"_b{i}"
         bnames.append(bn)
         coded = coded.withColumn(
@@ -251,6 +276,13 @@ def grid_layout_audit(
     # (4096 at bits=6 × 2 cols), never the corpus.  Both tilings'
     # global row numbers derive from these counts on the driver.
     zcells = coded.groupBy(*bnames).count().collect()
+    # Job 3 materialized `coded`, so the projected base has no further
+    # consumer — release its pin now (VERDICT r14 #3); `coded` itself
+    # feeds both tilings of the returned lazy frame, so its pin is the
+    # caller's to release via the pinned=[] contract.
+    base.unpersist()
+    if pinned is not None:
+        pinned.append(coded)
 
     def _z_of(vals: list[int]) -> int:
         code = 0

@@ -13,40 +13,68 @@ def _serialized(result: dict) -> str:
 
 def test_current_headline_set_fits_budget():
     """With every current headline query at a worst-case 3-digit time,
-    the final line must stay under the driver's capture window."""
+    the final line must stay within the driver's capture window (2,000
+    chars, measured: every BENCH_r*.json tail is exactly that long) AND
+    still carry a slowest-first per-query subset (r14 VERDICT #1a: the
+    old all-or-nothing dict came back empty for 121 queries)."""
     result = {
         "metric": "headline_queries_total",
         "value": 12345.6789,
         "unit": "sec",
         "sf": 0.1,
+        "cpus": 32,
+        "this_run_total": 12999.9999,
         "n_queries": len(bench.HEADLINE),
         "queries": {name: 123.4567 for name in bench.HEADLINE},
     }
     line = _serialized(result)
-    assert len(line) < 1900
+    assert len(line) <= bench._LINE_BUDGET < 2000
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["value"] == 12345.6789
     assert parsed["n_queries"] == len(bench.HEADLINE)
+    # r14 VERDICT #1b: the line carries this run's own total + config
+    assert parsed["this_run_total"] == 12999.9999
+    assert parsed["cpus"] == 32
+    # per-query times: as many as fit, with the omission count declared
+    assert parsed["queries"]
+    assert len(parsed["queries"]) + parsed.get("q_omitted", 0) == len(bench.HEADLINE)
+    assert all(n in bench.HEADLINE for n in parsed["queries"])
 
 
-def test_oversized_query_dict_is_dropped_not_truncated():
-    """200 long-named queries cannot fit: the compact record must drop
-    the per-query dict entirely (detail file keeps it) and still parse."""
+def test_oversized_query_dict_keeps_slowest_first_subset():
+    """200 long-named queries cannot all fit: the compact record must
+    keep the SLOWEST entries (the performance-relevant ones), declare
+    how many were omitted, and still parse within budget."""
+    qs = {f"very_long_query_name_number_{i:03d}": float(i) for i in range(200)}
     result = {
         "metric": "headline_queries_total",
         "value": 1.0,
         "unit": "sec",
         "sf": 0.1,
         "n_queries": 200,
-        "queries": {f"very_long_query_name_number_{i:03d}": 1.2345 for i in range(200)},
+        "queries": qs,
     }
     line = _serialized(result)
-    assert len(line) < 1900
+    assert len(line) <= bench._LINE_BUDGET
     parsed = json.loads(line)
-    assert "queries" not in parsed
+    kept = parsed["queries"]
+    assert kept and parsed["q_omitted"] == 200 - len(kept)
+    # slowest-first: the kept set is exactly the top-len(kept) by time
+    expect = sorted(qs, key=lambda k: (-qs[k], k))[: len(kept)]
+    assert set(kept) == set(expect)
     assert parsed["n_queries"] == 200
     assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_official_run_gate_excludes_other_core_counts():
+    """r14 VERDICT #1b: only the 32-core default-SF config may touch
+    the committed min-of-runs record — the driver's 8-core scaling run
+    must neither re-print the 32-core minima nor merge into them."""
+    assert bench.official_run("0.1", 32)
+    assert not bench.official_run("0.1", 8)
+    assert not bench.official_run("0.01", 32)
+    assert not bench.official_run("0.01", 8)
 
 
 def test_scale_curve_never_reaches_final_line():
