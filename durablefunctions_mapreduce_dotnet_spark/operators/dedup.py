@@ -521,6 +521,17 @@ def minhash_near_dup_pairs(
     ``fast=False`` keeps the two-stage expression+UDF formulation —
     identical FINAL pairs (pytest-pinned), different hash family.
 
+    Negative result pinned (r15, plans/r15/ab_dedup_cuts.py): dropping
+    the candidate-pairs eager cut (identity ``checkpoint`` for the
+    pairs, sign table still cut) to save one serialized driver job was
+    re-measured for the construction-dominated single-consumer queries
+    (dedup_keep_best / dedup_cluster_sizes, where the pairs feed one
+    bounded CC collect rather than the final action) — and LOST both
+    times: 1.71 → 2.35 s and 1.81 → 2.28 s (quiet interleaved min-of-4,
+    outputs asserted row-identical).  The r14 rationale holds in the
+    small-path era too: AQE plans the verify join from the cut frame's
+    exact stats.  The eager pairs cut stays.
+
     ``table`` (fast path only): a PRECOMPUTED, already-checkpointed
     fused table for ``df`` — ``shingle_minhash_table_fast(df, …,
     bands=bands)`` with the same parameters.  This is the stored-table

@@ -424,18 +424,20 @@ def pagerank(
     round-trip exactly at 9 dp.  The dangling total rides a broadcast
     1-row cross join (the scalar-subquery shape, BNLJ-allowlisted).
 
-    ``iters`` is deliberately small and unrolled lazily; each extra
-    iteration doubles the self-referencing plan (ranks feeds both the
-    contribution join and the dangling sum), so for iterating to
-    convergence on a cluster pass ``checkpoint`` (same contract as
-    :func:`connected_components`) to cut lineage each round.  N (node
-    count) is a driver scalar by design — the one collect is one long.
+    ``iters`` is deliberately small; each round's ranks is PERSISTED
+    (it feeds three consumers — see the loop comment) and, when a
+    ``checkpoint`` is supplied, lineage is cut lazily every 6th round,
+    bounding logical-plan growth (~2^rounds between cuts, the
+    landmark_bfs discipline) for convergence-scale iteration counts
+    (same contract as :func:`connected_components`).  N (node count)
+    is a driver scalar by design — the one collect is one long.
 
-    The edge/node/degree frames are pinned evictable (MEMORY_AND_DISK)
-    for the duration of the iterations; callers running pagerank
-    repeatedly in a long-lived session should pass ``pinned=[]`` and
-    ``unpersist()`` the appended frames when done — the same release
-    contract as ``global_distribution_rank`` / ``gap_fill``.
+    The edge/node/degree frames AND each round's persisted ranks are
+    pinned evictable (MEMORY_AND_DISK) for the duration of the
+    iterations; callers running pagerank repeatedly in a long-lived
+    session should pass ``pinned=[]`` and ``unpersist()`` the appended
+    frames when done — the same release contract as
+    ``global_distribution_rank`` / ``gap_fill``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -516,20 +518,31 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # the final iteration's lineage is depth-1 off the last cut —
+        # the final iteration's lineage is depth-1 off the last round —
         # let the consumer's job compute it instead of spending a
         # materialization job on it
-        if checkpoint is not None and i < iters - 1:
-            # prefer the lazy cut (CheckpointFn.lazy protocol): the NEXT
-            # iteration's job materializes the cut frame, so each round
-            # costs one pass instead of an extra eager-materialization
-            # job.  Measured sf0.1 (r10, interleaved best-of-4): lazy
-            # 5.03 s vs eager 5.06 s vs every-2nd-eager 4.80 s — all
-            # within host noise locally, but lazy strictly removes a
-            # job per iteration, which is the term that grows on a real
-            # cluster.  Values are bit-identical (cuts change
-            # execution, not math; verified .equals across all three).
-            ranks = getattr(checkpoint, "lazy", checkpoint)(ranks)
+        if i < iters - 1:
+            # Round discipline (r15, supersedes the r10 lazy-cut-only
+            # tuning): each round's ranks feeds THREE consumers (the
+            # contribution join, the dangling semi-agg, the densify
+            # join), so PERSIST it — the pin shares one computation
+            # across the branches and rides the caller's single action,
+            # exactly the landmark_bfs/sssp_bounded r14 pattern.  The
+            # lazy lineage cut is kept only every 6th round to bound
+            # logical-plan growth (~2^rounds between cuts) for
+            # convergence-scale iteration counts without paying a
+            # Catalyst toRdd conversion per round.  Quiet interleaved
+            # A/B at sf0.1 (r15, 4 reps, outputs asserted identical,
+            # plans/r15/ab_pagerank_rounds.py): shipped lazy-cut-per-
+            # round 3.39 s min / persist-per-round-no-cut 2.28 s /
+            # persist+cut-per-round 3.66 s — persist wins every rep;
+            # the per-round cut was the cost, not the fix.  Values are
+            # bit-identical (cuts/pins change execution, not math).
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            if pinned is not None:
+                pinned.append(ranks)
+            if checkpoint is not None and (i + 1) % 6 == 0:
+                ranks = getattr(checkpoint, "lazy", checkpoint)(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
 
 
@@ -538,6 +551,7 @@ def triangle_counts(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint: CheckpointFn = local_checkpoint,
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(node, n_triangles) — how many triangles each node closes in the
     undirected graph of ``edges`` (self-loops and duplicate/reverse
@@ -553,19 +567,41 @@ def triangle_counts(
     nothing quadratic because all its edges point INTO it.  Three
     shuffles total (degrees, wedge join, closing join), all
     equi-joins; no driver state.
+
+    Pin lifetime: the canonical edge list is persisted evictable for
+    the duration of the computation; long-lived sessions pass
+    ``pinned=[]`` and unpersist when done (the pagerank/landmark_bfs
+    release contract).
     """
     # canonical edges feed THREE consumers (degrees + both sides of the
     # orientation join) and `oriented` feeds three more (e1, e2, the
     # closing probe) — pin both or the upstream edge derivation (often a
-    # self-join) re-executes per branch
-    und = checkpoint(
+    # self-join) re-executes per branch.
+    #
+    # r15: `und` is PERSISTED, not eager-cut — `oriented`'s eager cut
+    # below is und's FIRST consumer, so that one job materializes the
+    # cache as a side effect and the separate und-materialization job
+    # disappears (two serialized eager jobs become one); the wedge
+    # stages then read the cut `oriented` and never touch und again, so
+    # no racing stage can duplicate the distinct.  Quiet interleaved
+    # A/B at sf0.1 (plans/r15/ab_graph_cuts.py, outputs asserted
+    # identical): eager+eager 1.15 s min / persist+persist 1.05 /
+    # persist+eager 0.69 — every rep.  `oriented` KEEPS the eager cut:
+    # its three wedge-join legs race within one stage group, the
+    # MinHash-sign-table finding.
+    from pyspark.storagelevel import StorageLevel
+
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pinned is not None:
+        pinned.append(und)
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -615,6 +651,7 @@ def label_propagation(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint: CheckpointFn = local_checkpoint,
+    pinned: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007, the GraphFrames/Pregel formulation): every node starts as
@@ -645,21 +682,35 @@ def label_propagation(
     ``iters`` rounds compile once and ride the caller's single action;
     ``checkpoint``'s lazy sibling cuts lineage every 6th round to keep
     long runs bounded (each per-round eager cut used to cost a
-    scheduled driver job — 5 jobs before the action ran).  Only the
-    symmetrized edge list keeps its EAGER cut: it feeds both union
-    branches, whose tasks race within one stage, so materializing it
-    first prevents a duplicated distinct (same finding as the MinHash
-    sign tables).
+    scheduled driver job — 5 jobs before the action ran).
+
+    r15: the symmetrized edge list's EAGER cut became a PERSIST — the
+    whole query now compiles once and rides ONE action, removing the
+    last scheduled pre-action driver job.  The trade accepted with
+    eyes open: the two union legs of ``both`` race within the first
+    stage group and may duplicate the cached distinct's compute
+    per-partition, where the eager cut serialized it; quiet
+    interleaved A/B at sf0.1 (plans/r15/ab_graph_cuts.py, outputs
+    asserted identical, min-of-4): eager 2.07 s / persist 1.94 s,
+    persist ≤ eager in EVERY rep — the saved materialization job
+    outweighs the race, and on a cluster removing a serialized job
+    barrier is the term that grows.  Long-lived sessions release the
+    pin via ``pinned=[]`` (pagerank contract).
     """
+    from pyspark.storagelevel import StorageLevel
+
     cut_lazy: CheckpointFn = getattr(checkpoint, "lazy", checkpoint)
-    und = checkpoint(
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pinned is not None:
+        pinned.append(und)
     both = und.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -793,6 +844,14 @@ def kcore(
     probe materializes the checkpoint, one pass per round, and the
     plan each round compiles is O(1).
 
+    Second negative pinned (r15, plans/r15/ab_kcore_probe.py): probing
+    every 2nd round (counts strictly decrease until fixpoint, so
+    equality across a 2-round window still proves the unique core;
+    plan growth between probes 3^2, bounded) halves the serialized
+    probe jobs but measured a WASH at sf0.1 — 2.29 vs 2.23 s min-of-4
+    interleaved, overlapping reps: the peel's own shuffles dominate,
+    and the wasted no-op round cancels the saved probes.  Kept as-is.
+
     Returns (node, degree): nodes of the k-core with their WITHIN-CORE
     degree.  Raises ``RuntimeError`` if ``max_rounds`` passes without a
     fixpoint — a truncated peel is a silently-wrong (too large) core.
@@ -861,6 +920,15 @@ def landmark_bfs(
     so no min-agg is needed; the anti-join keeps the visited set and
     frontier disjoint, which also bounds state by nodes x landmarks
     regardless of path multiplicity.
+
+    Negative result pinned (r15, plans/r15/ab_bfs_rounds.py): fusing
+    the per-round distinct + anti-join into ONE combiner-reduced
+    aggregation (expanded ∪ visited → groupBy(node, lm).min(flag),
+    keep flag=1 — provably the same frontier) measured a wash at
+    sf0.1: shipped 3.46 s min vs fused 3.72 s, overlapping reps
+    (quiet interleaved min-of-4, outputs asserted identical).  Same
+    verdict as the r14 bitmap variant at L=4.  The distinct+anti shape
+    stays — its stages are already all keyed on node id.
 
     Lineage discipline for a FIXED-depth loop (r14): each round is
     PERSISTED — the frame feeds both the visited union and the next

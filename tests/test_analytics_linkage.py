@@ -557,8 +557,10 @@ def test_asof_forward_skew_width_matches_ts_units(spark, monkeypatch):
 
 def test_pagerank_pinned_release_contract(spark):
     """pagerank exposes the same pinned=[] release contract as the other
-    multi-pass operators: the cached edge/node/degree frames are handed
-    back so long-lived sessions can unpersist them."""
+    multi-pass operators: the cached edge/node/degree frames AND each
+    persisted round (r15: every round but the last is pinned — it feeds
+    three consumers) are handed back so long-lived sessions can
+    unpersist them."""
     from durablefunctions_mapreduce_dotnet_spark.operators.graph import pagerank
 
     edges = spark.createDataFrame(
@@ -567,7 +569,8 @@ def test_pagerank_pinned_release_contract(spark):
     pinned = []
     ranks = pagerank(edges, iters=2, pinned=pinned)
     assert ranks.count() == 3
-    assert len(pinned) == 3
+    # ew + nodes + dang_nodes + 1 persisted round (iters - 1)
+    assert len(pinned) == 4
     for df in pinned:
         assert df.storageLevel.useMemory or df.storageLevel.useDisk
         df.unpersist()
