@@ -1002,7 +1002,15 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nonempty/quality/exact/kept), serializing the funnel behind three
     extra full-corpus materialization barriers — at 100 TB those are
     three extra petabyte-scale writes; at sf0.1 they were most of the
-    query's 2.65→7.42 s drift."""
+    query's 2.65→7.42 s drift.
+
+    Negative result pinned (r15, plans/r15/ab_pipeline_cuts.py):
+    turning the two TINY id-set cuts (winners/losers) into persists —
+    the pagerank/triangles r15 persist finding — LOST 2.84 → 3.23 s
+    (quiet interleaved min-of-4, outputs identical): these cuts feed
+    semi/anti joins whose AQE planning wants the cut frame's exact
+    stats, the same mechanism as the dedup candidate-pairs cut.  Both
+    eager cuts stay."""
     from ..operators.curation import hash_bucket
     from ..operators.dedup import minhash_near_dup_pairs
     from ..operators.textops import normalize_text, quality_score
